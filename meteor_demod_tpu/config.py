@@ -1,0 +1,161 @@
+"""Static demodulator configuration and derived block geometry.
+
+A DemodConfig is hashable and immutable: it is the jit-static half of the
+demodulator. Everything data-dependent lives in DemodCarry (demod/state.py).
+
+Geometry notes (the TPU-native restructuring): the reference processes one
+sample at a time through stateful blocks (demod.c:23-48). Here a "block" is
+L input samples. The polyphase FIR produces all L*interp interpolated
+outputs ("ticks") of the block densely (MXU-friendly); the feedback loops
+(timing NCO gate, AGC, Costas PLL, M&M retiming) all mutate state only when
+the timing gate fires — once per symbol (QPSK) or twice (OQPSK, demod.c:62-87)
+— so they run as a per-FIRE lax.scan of S steps, not a per-sample scan.
+Window prematerialization: step k's FIR value is gathered once per block into
+a (S, window) array of candidate ticks around the predicted fire position, so
+the scan body contains no dynamic indexing at all.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+from . import constants as C
+from .dsp.loops import loop_gains
+
+_F32 = np.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class DemodConfig:
+    samplerate: int
+    symrate: float = C.SYM_RATE
+    interp: int = C.INTERP_FACTOR
+    rrc_order: int = C.RRC_ORDER
+    rrc_alpha: float = C.RRC_ALPHA
+    pll_bw: float = C.PLL_BW
+    sym_bw: float = C.SYM_BW
+    oqpsk: bool = False
+    # Max carrier deviation in rad/sample at the symbol rate; negative means
+    # "use the default 0.3" (pll.c:30-31). The CLI converts Hz via
+    # 2*pi/symrate (main.c:136).
+    freq_max: float = -1.0
+    # Block length in input samples. Pure performance knob; output is
+    # block-size invariant.
+    block_len: int = 8192
+
+    # ---- loop parameterization (demod.c:7-15, pll.c:24-44, timing.c:18-27)
+
+    @property
+    def taps(self) -> int:
+        return 2 * self.rrc_order + 1
+
+    @property
+    def osf(self) -> float:
+        """Oversampling factor, samples per symbol (demod.c:14)."""
+        return float(self.samplerate) / float(self.symrate)
+
+    @property
+    def pll_bw_eff(self) -> np.float32:
+        mult = 1 if self.oqpsk else 2
+        return _F32(2 * math.pi * self.pll_bw / (mult * self.symrate))
+
+    @property
+    def pll_gains(self) -> tuple[np.float32, np.float32]:
+        return loop_gains(C.DAMP_PLL, self.pll_bw_eff)
+
+    @property
+    def pll_fmax(self) -> np.float32:
+        fm = self.freq_max
+        fm = C.FREQ_MAX_DEFAULT if fm < 0 else min(1.0, fm)
+        return _F32(fm / 2 if self.oqpsk else fm)
+
+    @property
+    def timing_freq(self) -> np.float32:
+        """Timing NCO center frequency, rad per interpolated tick."""
+        return _F32(2 * math.pi * self.symrate / (self.samplerate * self.interp))
+
+    @property
+    def timing_bw(self) -> np.float32:
+        return _F32(self.sym_bw / self.interp)
+
+    @property
+    def timing_gains(self) -> tuple[np.float32, np.float32]:
+        return loop_gains(C.DAMP_TIMING, self.timing_bw)
+
+    @property
+    def timing_dev_max(self) -> np.float32:
+        return _F32(self.timing_freq / (1 << C.FREQ_DEV_EXP))
+
+    # ---- block geometry
+
+    @property
+    def block_ticks(self) -> int:
+        return self.block_len * self.interp
+
+    @property
+    def fire_spacing(self) -> float:
+        """Nominal NCO phase between consecutive gate fires (rad)."""
+        return math.pi if self.oqpsk else 2 * math.pi
+
+    @property
+    def ticks_per_fire(self) -> float:
+        return self.fire_spacing / float(self.timing_freq)
+
+    @property
+    def max_ticks_per_step(self) -> int:
+        """Static bound on ticks consumed per scan step.
+
+        Worst case: the M&M phase correction alpha*err retards the NCO by up
+        to ~4 rad during the AGC transient (|err| <= 2*|sample|*gain with
+        16-bit input before the gain settles), after which the gate needs
+        (spacing + 4)/f_min ticks to refire. Steps that hit the bound without
+        firing simply continue in the next step — exactness is preserved.
+        """
+        f_min = float(self.timing_freq) * (1 - 2.0 ** -C.FREQ_DEV_EXP)
+        return int(math.ceil((self.fire_spacing + 4.0) / f_min)) + 2
+
+    @property
+    def steps_per_block(self) -> int:
+        """Scan steps per block: nominal fire count plus slack for timing
+        frequency deviation (clamped to 2**-12 relative, timing.c:7) and the
+        acquisition transient."""
+        nominal = self.block_ticks / self.ticks_per_fire
+        return int(math.ceil(nominal * (1 + 2.0 ** -(C.FREQ_DEV_EXP - 1)))) + 8
+
+    @property
+    def window_delta(self) -> int:
+        """Half-width (in ticks) of the prematerialized FIR candidate window
+        around each step's predicted fire tick. Must cover cumulative timing
+        frequency drift over the block plus per-symbol phase jitter."""
+        drift = math.ceil(self.steps_per_block * self.ticks_per_fire
+                          * 2.0 ** -C.FREQ_DEV_EXP)
+        jitter = math.ceil(4.0 / float(self.timing_freq))
+        return int(drift + jitter + 8)
+
+    @property
+    def window(self) -> int:
+        w = 2 * self.window_delta
+        return (w + 7) // 8 * 8
+
+    @property
+    def window_offsets(self) -> np.ndarray:
+        """Static per-step predicted fire-tick offsets, shape (S,), int32.
+
+        Step k's window covers ticks tau0_hat + offsets[k] - delta + [0, window).
+        """
+        k = np.arange(self.steps_per_block, dtype=np.float64)
+        return np.round(k * self.ticks_per_fire).astype(np.int32)
+
+    def validate(self) -> None:
+        if self.samplerate <= 0:
+            raise ValueError("samplerate must be positive")
+        if self.osf < 1.0:
+            raise ValueError(
+                f"samplerate {self.samplerate} below symbol rate {self.symrate}")
+        if self.interp < 1 or self.rrc_order < 1:
+            raise ValueError("interp and rrc_order must be >= 1")
+        if self.block_len < 4 * self.taps:
+            raise ValueError("block_len too small for the FIR order")

@@ -1,0 +1,172 @@
+"""Host-side stream driver: blocks in, soft symbols out.
+
+Feeds fixed-size sample blocks through the jitted block demodulator,
+carries state across blocks, watches the safety flags, and falls back to the
+exact scalar oracle for any flagged block (pathological inputs only) and for
+the sub-block tail at EOF. The result is sample-exact regardless of block
+size or how the input was chunked.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import DemodConfig
+from .scan import jit_block_demod
+from .state import DemodCarry, init_carry
+from . import scalar
+
+_SYM_DTYPE = [("re", np.float32), ("im", np.float32), ("locked_once", np.int32)]
+
+
+def carry_to_scalar_state(cfg: DemodConfig, carry: DemodCarry) -> dict:
+    c = {k: np.asarray(v) for k, v in carry._asdict().items()}
+    return dict(
+        t_phase=np.float32(c["t_phase"]), t_freq=np.float32(c["t_freq"]),
+        t_prev=np.float32(c["t_prev"]),
+        p_phase=np.float32(c["p_phase"]), p_freq=np.float32(c["p_freq"]),
+        p_err=np.float32(c["p_err"]),
+        locked=int(c["locked"]), locked_once=int(c["locked_once"]),
+        updown=np.float32(c["updown"]),
+        agc_gain=np.float32(c["agc_gain"]), agc_bias=np.complex64(c["agc_bias"]),
+        inphase=np.float32(c["inphase"]), slot=int(c["slot"]),
+        fir_tail=np.asarray(c["fir_tail"], dtype=np.complex64),
+    )
+
+
+def scalar_state_to_carry(cfg: DemodConfig, st: dict) -> DemodCarry:
+    base = init_carry(cfg)
+    return base._replace(
+        t_phase=jnp.float32(st["t_phase"]), t_freq=jnp.float32(st["t_freq"]),
+        t_prev=jnp.float32(st["t_prev"]),
+        p_phase=jnp.float32(st["p_phase"]), p_freq=jnp.float32(st["p_freq"]),
+        p_err=jnp.float32(st["p_err"]),
+        locked=jnp.int32(st["locked"]),
+        locked_once=jnp.int32(st["locked_once"]),
+        updown=jnp.float32(st["updown"]),
+        agc_gain=jnp.float32(st["agc_gain"]),
+        agc_bias=jnp.asarray(st["agc_bias"], dtype=jnp.complex64),
+        inphase=jnp.float32(st["inphase"]), slot=jnp.int32(st["slot"]),
+        fir_tail=jnp.asarray(st["fir_tail"], dtype=jnp.complex64),
+    )
+
+
+def _outputs_to_symbols(outs) -> np.ndarray:
+    valid = np.asarray(outs.valid)
+    re = np.asarray(outs.sym_re)[valid]
+    im = np.asarray(outs.sym_im)[valid]
+    lo = np.asarray(outs.locked_once)[valid]
+    symbols = np.zeros(len(re), dtype=_SYM_DTYPE)
+    symbols["re"] = re
+    symbols["im"] = im
+    symbols["locked_once"] = lo
+    return symbols
+
+
+class StreamDemodulator:
+    """Stateful streaming demodulator over arbitrary-size input chunks.
+
+    Mirrors the reference worker thread's contract (main.c:284-329): feed IQ
+    samples in, get soft symbols out, with telemetry getters for the UI
+    (pll.c:46-48, timing.c:29, agc.c:27-31).
+    """
+
+    def __init__(self, cfg: DemodConfig):
+        cfg.validate()
+        self.cfg = cfg
+        self._fn = jit_block_demod(cfg)
+        self._carry = init_carry(cfg)
+        self._pending = np.zeros(0, dtype=np.complex64)
+        self.fallback_blocks = 0
+        self.symbols_out = 0
+
+    # -- telemetry (reference getter parity) --------------------------------
+    @property
+    def pll_freq(self) -> float:
+        return float(np.asarray(self._carry.p_freq))
+
+    @property
+    def pll_locked(self) -> bool:
+        return bool(np.asarray(self._carry.locked))
+
+    @property
+    def pll_locked_once(self) -> bool:
+        return bool(np.asarray(self._carry.locked_once))
+
+    @property
+    def mm_omega(self) -> float:
+        return float(np.asarray(self._carry.t_freq))
+
+    @property
+    def agc_gain(self) -> float:
+        return float(np.asarray(self._carry.agc_gain))
+
+    def carrier_freq_hz(self) -> float:
+        """Estimated carrier offset in Hz (main.c:231 conversion)."""
+        mult = 2 if self.cfg.oqpsk else 1
+        return self.pll_freq * self.cfg.symrate / (2 * np.pi) * mult
+
+    def symbol_rate_hz(self) -> float:
+        """Estimated symbol rate in Hz (main.c:232 conversion)."""
+        return (self.mm_omega * self.cfg.samplerate * self.cfg.interp
+                / (2 * np.pi))
+
+    # -- processing ----------------------------------------------------------
+    def process(self, samples: np.ndarray) -> np.ndarray:
+        """Feed samples (any length, complex64); returns produced symbols."""
+        self._pending = np.concatenate(
+            [self._pending, np.asarray(samples, dtype=np.complex64)])
+        L = self.cfg.block_len
+        chunks = []
+        while len(self._pending) >= L:
+            block, self._pending = self._pending[:L], self._pending[L:]
+            chunks.append(self._run_block(block))
+        if chunks:
+            out = np.concatenate(chunks)
+            self.symbols_out += len(out)
+            return out
+        return np.zeros(0, dtype=_SYM_DTYPE)
+
+    def _run_block(self, block: np.ndarray) -> np.ndarray:
+        prev_carry = self._carry
+        carry, outs = self._fn(prev_carry, jnp.asarray(block))
+        if int(np.asarray(carry.flags)) != 0:
+            # Safety net: recompute the block exactly with the scalar oracle.
+            self.fallback_blocks += 1
+            st = carry_to_scalar_state(self.cfg, prev_carry)
+            symbols, st = scalar.demod_stream_np(self.cfg, block, st)
+            self._carry = scalar_state_to_carry(self.cfg, st)
+            return symbols
+        self._carry = carry
+        return _outputs_to_symbols(outs)
+
+    def finish(self) -> np.ndarray:
+        """Process the remaining sub-block tail via the exact oracle."""
+        if len(self._pending) == 0:
+            return np.zeros(0, dtype=_SYM_DTYPE)
+        st = carry_to_scalar_state(self.cfg, self._carry)
+        symbols, st = scalar.demod_stream_np(self.cfg, self._pending, st)
+        self._carry = scalar_state_to_carry(self.cfg, st)
+        self._pending = np.zeros(0, dtype=np.complex64)
+        self.symbols_out += len(symbols)
+        return symbols
+
+
+def demod_array(cfg: DemodConfig, x: np.ndarray) -> np.ndarray:
+    """One-shot demodulation of a full array (tests / offline use)."""
+    d = StreamDemodulator(cfg)
+    out = [d.process(x), d.finish()]
+    return np.concatenate(out)
+
+
+def quantize_symbols(symbols: np.ndarray) -> np.ndarray:
+    """Soft symbols -> interleaved int8 bytes (main.c:305-306 semantics:
+    component/2, clamped to +-127, truncated toward zero)."""
+    out = np.empty(2 * len(symbols), dtype=np.int8)
+    re = np.trunc(np.clip(symbols["re"] * np.float32(0.5), -127.0, 127.0))
+    im = np.trunc(np.clip(symbols["im"] * np.float32(0.5), -127.0, 127.0))
+    out[0::2] = re.astype(np.int8)
+    out[1::2] = im.astype(np.int8)
+    return out

@@ -1,0 +1,72 @@
+"""Block polyphase RRC matched filter.
+
+The reference evaluates one 65-tap complex-by-real dot product per symbol
+from a circular delay line (filter.c:38-65) — its hot kernel. TPU-native
+restructuring: compute ALL interpolated outputs of a block densely as a 1-D
+correlation with `interp` output channels (overlap-save, the previous block's
+taps-1 samples carried as a halo), which XLA lowers onto the MXU/VPU as a
+batched convolution. The downstream symbol scan then just selects the ticks
+the timing gate fires on.
+
+F[s, p] equals the reference's filter_get(phase=p) evaluated right after
+sample s was pushed (filter.c:45-65): an oldest-first dot product of
+x[s-taps+1 .. s] with polyphase bank factor-1-p.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .rrc import polyphase_rrc_banks
+
+
+def make_fir_banks(cfg) -> np.ndarray:
+    """(interp, taps) float32 bank matrix for cfg (demod.c:14 parameters)."""
+    return polyphase_rrc_banks(cfg.rrc_order, cfg.osf, cfg.rrc_alpha, cfg.interp)
+
+
+def polyphase_fir_block(x: jnp.ndarray, tail: jnp.ndarray,
+                        banks: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense polyphase FIR over one block.
+
+    Args:
+      x: (L,) complex64 input samples.
+      tail: (taps-1,) complex64 — the last taps-1 samples of the previous
+        block (zeros at stream start, matching the calloc'd delay line,
+        filter.c:15).
+      banks: (interp, taps) float32, oldest-first taps per phase.
+
+    Returns:
+      F: (L, interp) complex64 — all interpolated filter outputs; F[s, p]
+        corresponds to tick s*interp + p.
+      new_tail: (taps-1,) complex64.
+    """
+    interp, taps = banks.shape
+    xin = jnp.concatenate([tail, x])                      # (L + taps - 1,)
+    lhs = jnp.stack([xin.real, xin.imag])[:, None, :]     # (2, 1, L+taps-1)
+    rhs = banks[:, None, :]                               # (interp, 1, taps)
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs,
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )                                                     # (2, interp, L)
+    F = jax.lax.complex(out[0], out[1]).T                 # (L, interp)
+    new_tail = xin[-(taps - 1):]
+    return F, new_tail
+
+
+def fir_reference_np(x: np.ndarray, tail: np.ndarray, banks: np.ndarray) -> np.ndarray:
+    """Direct numpy evaluation of F (oldest-first dots) for testing."""
+    interp, taps = banks.shape
+    xin = np.concatenate([tail.astype(np.complex64), x.astype(np.complex64)])
+    L = len(x)
+    F = np.empty((L, interp), dtype=np.complex64)
+    for s in range(L):
+        win = xin[s:s + taps]
+        for p in range(interp):
+            F[s, p] = np.dot(win, banks[p].astype(np.float32))
+    return F

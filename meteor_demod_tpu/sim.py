@@ -1,0 +1,124 @@
+"""Test-signal synthesizer: QPSK/OQPSK baseband IQ with impairments.
+
+Generates RRC-shaped (O)QPSK at an arbitrary sample rate with carrier offset,
+phase, timing skew, gain, DC bias, and AWGN — the fixture generator for
+golden tests against the reference demodulator and for benchmarks. Pure
+numpy; float64 synthesis quantized at the end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .dsp.rrc import rrc_coeffs
+
+
+def synth_psk(num_symbols: int,
+              samplerate: float,
+              symrate: float = 72000.0,
+              alpha: float = 0.6,
+              oqpsk: bool = False,
+              carrier_hz: float = 0.0,
+              carrier_phase: float = 0.0,
+              amplitude: float = 8000.0,
+              snr_db: float = 30.0,
+              dc_offset: complex = 0.0,
+              seed: int = 0,
+              timing_offset: float = 0.0):
+    """Returns (iq complex64 at samplerate, symbols (I,Q) in {+-1}).
+
+    The signal is synthesized on a fine integer grid (R x symbol rate, with
+    R*symrate an integer multiple of samplerate when possible) and decimated,
+    so fractional sample-per-symbol ratios like 230400/72000 = 3.2 are exact.
+    """
+    rng = np.random.default_rng(seed)
+    bits = rng.integers(0, 2, size=(num_symbols, 2))
+    sym = (2 * bits - 1).astype(np.float64)          # (+-1, +-1)
+
+    # Fine grid: R samples per symbol such that decim = R*symrate/samplerate
+    # is an integer.
+    R = None
+    for cand in (16, 20, 24, 32, 40, 48, 64, 80, 100):
+        d = cand * symrate / samplerate
+        if abs(d - round(d)) < 1e-9 and round(d) >= 1:
+            R = cand
+            decim = int(round(d))
+            break
+    if R is None:
+        R, decim = 64, max(1, int(round(64 * symrate / samplerate)))
+
+    up_i = np.zeros(num_symbols * R)
+    up_q = np.zeros(num_symbols * R)
+    up_i[::R] = sym[:, 0]
+    up_q[::R] = sym[:, 1]
+    if oqpsk:
+        # Half-symbol delay on Q (the mode's defining property).
+        up_q = np.roll(up_q, R // 2)
+        up_q[:R // 2] = 0.0
+
+    span = 16  # symbols of pulse on each side
+    taps = rrc_coeffs(2 * span * R + 1, float(R), alpha).astype(np.float64)
+    taps = taps / np.sqrt(np.sum(taps ** 2)) * np.sqrt(R)
+    shaped = (np.convolve(up_i, taps, mode="same")
+              + 1j * np.convolve(up_q, taps, mode="same"))
+
+    # Timing offset (fraction of a symbol), then decimate to samplerate.
+    shift = int(round(timing_offset * R))
+    if shift:
+        shaped = np.roll(shaped, shift)
+    x = shaped[::decim] * amplitude
+
+    # Carrier offset + phase.
+    n = np.arange(len(x))
+    x = x * np.exp(1j * (2 * np.pi * carrier_hz / samplerate * n
+                         + carrier_phase))
+
+    # AWGN at the requested SNR (relative to mean signal power).
+    p_sig = np.mean(np.abs(x) ** 2)
+    p_noise = p_sig / (10 ** (snr_db / 10))
+    noise = (rng.standard_normal(len(x)) + 1j * rng.standard_normal(len(x)))
+    x = x + noise * np.sqrt(p_noise / 2)
+    x = x + dc_offset
+
+    return x.astype(np.complex64), sym.astype(np.float32)
+
+
+def encode_iq(iq: np.ndarray, bps: int = 16) -> bytes:
+    """Interleaved I/Q payload bytes in the reference's sample formats."""
+    n = len(iq)
+    if bps == 16:
+        data = np.empty(2 * n, dtype="<i2")
+        data[0::2] = np.clip(np.round(np.real(iq)), -32768, 32767).astype("<i2")
+        data[1::2] = np.clip(np.round(np.imag(iq)), -32768, 32767).astype("<i2")
+    elif bps == 8:
+        data = np.empty(2 * n, dtype=np.uint8)
+        data[0::2] = np.clip(np.round(np.real(iq)) + 128, 0, 255).astype(np.uint8)
+        data[1::2] = np.clip(np.round(np.imag(iq)) + 128, 0, 255).astype(np.uint8)
+    elif bps == 32:
+        data = np.empty(2 * n, dtype="<f4")
+        data[0::2] = np.real(iq).astype("<f4")
+        data[1::2] = np.imag(iq).astype("<f4")
+    else:
+        raise ValueError(f"bps {bps}")
+    return data.tobytes()
+
+
+def write_wav(path: str, iq: np.ndarray, samplerate: int, bps: int = 16) -> None:
+    """Write IQ as a canonical 2-channel WAV the reference can read."""
+    import struct
+    payload = encode_iq(iq, bps)
+    byte_rate = samplerate * 2 * bps // 8
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(payload), b"WAVE", b"fmt ", 16,
+        3 if bps == 32 else 1, 2, samplerate, byte_rate,
+        2 * bps // 8, bps, b"data", len(payload))
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(payload)
+
+
+def write_raw(path: str, iq: np.ndarray, bps: int = 16) -> None:
+    """Write raw interleaved IQ (the rtl_sdr-pipe format, README.md:75)."""
+    with open(path, "wb") as f:
+        f.write(encode_iq(iq, bps))

@@ -1,0 +1,112 @@
+"""Unit tests for the DSP primitives against closed-form oracles
+(SURVEY.md section 4, item 2)."""
+
+import numpy as np
+import pytest
+
+from meteor_demod_tpu.dsp.rrc import rrc_coeffs, polyphase_rrc_banks
+from meteor_demod_tpu.dsp.sincos import fast_sin, fast_cos, fast_sin_np, fast_cos_np
+from meteor_demod_tpu.dsp.loops import (loop_gains, lut_tanh, lut_tanh_np,
+                                        mm_error_np, TANH_TABLE)
+
+
+class TestRRC:
+    def test_center_tap_closed_form(self):
+        # filter.c:82-84: center = norm * (1 - alpha + 4*alpha/pi)
+        taps = rrc_coeffs(65, 3.2, 0.6)
+        expect = np.float32(0.4) * np.float32(
+            1 - 0.6 + 4 * 0.6 / np.float32(np.pi))
+        assert abs(taps[32] - expect) < 1e-6
+
+    def test_window_zeroes_ends(self):
+        # Blackman window 0.42-0.5+0.08 = 0 at stage 0 and taps-1.
+        taps = rrc_coeffs(65, 3.2, 0.6)
+        assert abs(taps[0]) < 1e-6
+        assert abs(taps[-1]) < 1e-6
+
+    def test_symmetric(self):
+        taps = rrc_coeffs(65, 3.2, 0.6)
+        np.testing.assert_allclose(taps, taps[::-1], rtol=0, atol=2e-6)
+
+    def test_matched_filter_response(self):
+        # An RRC-shaped impulse train convolved with the matched filter must
+        # be (near) ISI-free at symbol points.
+        osf = 4.0
+        n = 4 * 65 + 1
+        tx = rrc_coeffs(n, osf, 0.6).astype(np.float64)
+        rx = tx[::-1]
+        full = np.convolve(tx, rx)
+        center = len(full) // 2
+        peak = full[center]
+        isi = [full[center + int(k * osf)] for k in range(1, 8)]
+        assert all(abs(v) < 0.02 * abs(peak) for v in isi)
+
+    def test_polyphase_bank_layout(self):
+        # banks[p, k] must equal prototype[k*factor + factor-1-p]
+        # (filter.c:20 + reversed bank indexing filter.c:52).
+        order, factor = 8, 5
+        banks = polyphase_rrc_banks(order, 3.2, 0.6, factor)
+        proto = rrc_coeffs((2 * order + 1) * factor, 3.2 * factor, 0.6)
+        for p in range(factor):
+            for k in range(2 * order + 1):
+                assert banks[p, k] == proto[k * factor + factor - 1 - p]
+
+
+class TestFastSincos:
+    def test_accuracy(self):
+        x = np.linspace(-4 * np.pi, 4 * np.pi, 10001).astype(np.float32)
+        err = np.abs(fast_sin_np(x) - np.sin(x))
+        assert err.max() < 3.5e-3  # parabolic approx + Q14 quantization error bound
+
+    def test_cos_accuracy(self):
+        x = np.linspace(-4 * np.pi, 4 * np.pi, 10001).astype(np.float32)
+        err = np.abs(fast_cos_np(x) - np.cos(x))
+        assert err.max() < 3.5e-3
+
+    def test_jax_matches_numpy_bitexact(self):
+        x = np.linspace(-7.0, 7.0, 20011).astype(np.float32)
+        j = np.asarray(fast_sin(x))
+        n = fast_sin_np(x)
+        assert (j == n).all()
+        jc = np.asarray(fast_cos(x))
+        nc = fast_cos_np(x)
+        assert (jc == nc).all()
+
+    def test_quantized_output_grid(self):
+        # Outputs live on the Q14 grid.
+        x = np.linspace(-3.0, 3.0, 999).astype(np.float32)
+        v = fast_sin_np(x) * 16384.0
+        assert np.allclose(v, np.round(v))
+
+
+class TestLoops:
+    def test_loop_gains_formula(self):
+        # pll.c:132-140 with damp=1/sqrt(2), bw=0.01
+        a, b = loop_gains(1 / np.sqrt(2), 0.01)
+        damp, bw = 1 / np.sqrt(2), 0.01
+        denom = 1 + 2 * damp * bw + bw * bw
+        assert abs(a - 4 * damp * bw / denom) < 1e-7
+        assert abs(b - 4 * bw * bw / denom) < 1e-9
+
+    def test_lut_tanh_truncation_semantics(self):
+        # (int)val truncates toward zero (pll.c:157).
+        cases = [(0.9, np.tanh(0.0)), (-0.9, np.tanh(0.0)),
+                 (1.5, np.tanh(1.0)), (-1.5, np.tanh(-1.0)),
+                 (15.2, 1.0), (16.0, 1.0), (200.0, 1.0),
+                 (-16.0, np.tanh(-16.0)), (-16.5, -1.0), (-200.0, -1.0)]
+        for v, expect in cases:
+            got = lut_tanh_np(np.float32(v))
+            assert abs(got - np.float32(expect)) < 2e-7, (v, got, expect)
+
+    def test_lut_tanh_jax_matches_numpy(self):
+        v = np.linspace(-40, 40, 4001).astype(np.float32)
+        assert (np.asarray(lut_tanh(v)) == lut_tanh_np(v)).all()
+
+    def test_tanh_table_matches_c_construction(self):
+        for i in range(32):
+            assert TANH_TABLE[i] == np.float32(np.tanh(float(i - 16)))
+
+    def test_mm_error_sgn_zero_is_positive(self):
+        # utils.h:26: sgn(0) = +1
+        assert mm_error_np(np.float32(0.0), np.float32(2.0)) == np.float32(2.0)
+        assert mm_error_np(np.float32(-1.0), np.float32(2.0)) == np.float32(-1.0)
