@@ -81,27 +81,43 @@ class StreamDemodulator:
         self._pending = np.zeros(0, dtype=np.complex64)
         self.fallback_blocks = 0
         self.symbols_out = 0
+        # Host-side telemetry snapshot, refreshed by the processing thread
+        # after each block. UI threads read these plain floats — no
+        # device->host transfers off the worker thread (PJRT clients need
+        # not be re-entrant, and a UI read must never sync the stream).
+        self._telemetry = dict(
+            p_freq=0.0, t_freq=float(cfg.timing_freq), locked=False,
+            locked_once=False, agc_gain=1.0)
+
+    def _publish_telemetry(self) -> None:
+        c = self._carry
+        vals = jax.device_get(
+            (c.p_freq, c.t_freq, c.locked, c.locked_once, c.agc_gain))
+        self._telemetry = dict(
+            p_freq=float(vals[0]), t_freq=float(vals[1]),
+            locked=bool(vals[2]), locked_once=bool(vals[3]),
+            agc_gain=float(vals[4]))
 
     # -- telemetry (reference getter parity) --------------------------------
     @property
     def pll_freq(self) -> float:
-        return float(np.asarray(self._carry.p_freq))
+        return self._telemetry["p_freq"]
 
     @property
     def pll_locked(self) -> bool:
-        return bool(np.asarray(self._carry.locked))
+        return self._telemetry["locked"]
 
     @property
     def pll_locked_once(self) -> bool:
-        return bool(np.asarray(self._carry.locked_once))
+        return self._telemetry["locked_once"]
 
     @property
     def mm_omega(self) -> float:
-        return float(np.asarray(self._carry.t_freq))
+        return self._telemetry["t_freq"]
 
     @property
     def agc_gain(self) -> float:
-        return float(np.asarray(self._carry.agc_gain))
+        return self._telemetry["agc_gain"]
 
     def carrier_freq_hz(self) -> float:
         """Estimated carrier offset in Hz (main.c:231 conversion)."""
@@ -138,8 +154,10 @@ class StreamDemodulator:
             st = carry_to_scalar_state(self.cfg, prev_carry)
             symbols, st = scalar.demod_stream_np(self.cfg, block, st)
             self._carry = scalar_state_to_carry(self.cfg, st)
+            self._publish_telemetry()
             return symbols
         self._carry = carry
+        self._publish_telemetry()
         return _outputs_to_symbols(outs)
 
     def finish(self) -> np.ndarray:
@@ -151,6 +169,7 @@ class StreamDemodulator:
         self._carry = scalar_state_to_carry(self.cfg, st)
         self._pending = np.zeros(0, dtype=np.complex64)
         self.symbols_out += len(symbols)
+        self._publish_telemetry()
         return symbols
 
 

@@ -201,13 +201,17 @@ def make_block_demod(cfg: DemodConfig) -> Callable:
     retry semantics).
     """
     cfg.validate()
-    banks = jnp.asarray(make_fir_banks(cfg))
+    # Closure constants stay numpy: jnp constants would live on the default
+    # device and some PJRT backends cannot copy them back for embedding at
+    # trace time (device->host transfer of trace constants is Unimplemented
+    # on the axon TPU plugin).
+    banks = make_fir_banks(cfg)
     step = _make_symbol_step(cfg)
     S = cfg.steps_per_block
     W = cfg.window
     delta = cfg.window_delta
-    offsets = jnp.asarray(cfg.window_offsets)          # (S,)
-    win_range = jnp.arange(W, dtype=jnp.int32)         # (W,)
+    offsets = np.asarray(cfg.window_offsets)           # (S,)
+    win_range = np.arange(W, dtype=np.int32)           # (W,)
     block_ticks = cfg.block_ticks
     if cfg.oqpsk:
         thresh0 = lambda slot: slot.astype(jnp.float32) * _PI

@@ -19,9 +19,10 @@ import jax.numpy as jnp
 _F32 = np.float32
 
 # tanh at integers -16..15, float64 tanh rounded to float32 — identical to the
-# reference table construction (pll.c:40-42).
+# reference table construction (pll.c:40-42). Kept as numpy so jit embeds it
+# as a host constant (a jnp module-level array would be a device-resident
+# trace constant, which some PJRT backends cannot read back at lowering time).
 TANH_TABLE = np.tanh(np.arange(-16, 16, dtype=np.float64)).astype(np.float32)
-_TANH_TABLE_J = jnp.asarray(TANH_TABLE)
 
 
 def loop_gains(damp: float, bw: float) -> tuple[np.float32, np.float32]:
@@ -37,7 +38,7 @@ def loop_gains(damp: float, bw: float) -> tuple[np.float32, np.float32]:
 def lut_tanh(v):
     """Truncating tanh lookup (pll.c:153-159). v: float32 array."""
     idx = jnp.clip(jnp.trunc(v), -16.0, 15.0).astype(jnp.int32) + 16
-    return jnp.take(_TANH_TABLE_J, idx)
+    return jnp.take(jnp.asarray(TANH_TABLE), idx)
 
 
 def lut_tanh_np(v):

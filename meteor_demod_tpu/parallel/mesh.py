@@ -1,0 +1,128 @@
+"""Device-mesh scale-out: fleet demodulation over `jax.sharding`.
+
+The reference is a single-process, single-stream program (SURVEY.md §2,
+"Parallelism & distribution inventory"); its only concurrency is a UI thread.
+The TPU-native scale story replaces that with:
+
+- **Batch (fleet) parallelism**: many independent recordings/channels demodulate
+  concurrently. Each stream's carry and sample blocks get a leading `streams`
+  axis, sharded over the mesh with `shard_map`. Per-device work is the vmapped
+  block demodulator; VPU lanes hold the batch. No cross-device traffic in the
+  hot loop — collectives appear only in fleet telemetry reductions (psum over
+  ICI), mirroring how the reference's UI thread polls DSP getters
+  (main.c:231-237) without touching the hot path.
+- **Multi-host**: the same code runs under `jax.distributed` with a global mesh;
+  streams shard across hosts over DCN, telemetry psum rides ICI within a slice.
+
+A mesh with a second `time` axis is reserved for sequence-parallel FIR
+(overlap-save halo exchange via `collective_permute`) — see parallel/timeshard.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..config import DemodConfig
+from ..demod.scan import make_block_demod
+from ..demod.state import DemodCarry, init_carry
+
+
+def make_mesh(devices: Sequence[jax.Device] | None = None,
+              axis_name: str = "streams") -> Mesh:
+    """1-D fleet mesh over the given (default: all) devices."""
+    devs = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devs), (axis_name,))
+
+
+def fleet_carry(cfg: DemodConfig, n_streams: int, mesh: Mesh,
+                axis_name: str = "streams") -> DemodCarry:
+    """Initial per-stream carry, sharded over the mesh's stream axis."""
+    c = init_carry(cfg)
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            np.broadcast_to(np.asarray(x), (n_streams,) + x.shape).copy(),
+            sharding),
+        c)
+
+
+def shard_blocks(blocks: np.ndarray, mesh: Mesh,
+                 axis_name: str = "streams") -> jax.Array:
+    """Place a (n_streams, block_len) sample batch on the mesh."""
+    return jax.device_put(blocks, NamedSharding(mesh, P(axis_name)))
+
+
+@functools.lru_cache(maxsize=8)
+def make_fleet_demod(cfg: DemodConfig, mesh: Mesh,
+                     axis_name: str = "streams") -> Callable:
+    """Build the jitted fleet step: (carry, blocks) -> (carry', outs, telemetry).
+
+    carry leaves and blocks have a leading `streams` axis sharded over the
+    mesh. telemetry is a small replicated dict reduced with psum — the only
+    collective in the step, equivalent to the reference's cross-thread
+    telemetry reads (main.c:231-237) but aggregated fleet-wide.
+    """
+    demod = jax.vmap(make_block_demod(cfg))
+
+    def step(carry: DemodCarry, blocks: jnp.ndarray):
+        carry, outs = demod(carry, blocks)
+        telemetry = {
+            "locked_streams": jax.lax.psum(
+                jnp.sum(carry.locked), axis_name),
+            "locked_once_streams": jax.lax.psum(
+                jnp.sum(carry.locked_once), axis_name),
+            "symbols": jax.lax.psum(
+                jnp.sum(outs.valid.astype(jnp.int32)), axis_name),
+            "mean_agc_gain": jax.lax.pmean(
+                jnp.mean(carry.agc_gain), axis_name),
+            "flags": jax.lax.psum(jnp.sum(carry.flags), axis_name),
+        }
+        return carry, outs, telemetry
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(axis_name), P()),
+        check_vma=False)
+    return jax.jit(sharded)
+
+
+class FleetDemodulator:
+    """Demodulate a fleet of independent IQ streams across a device mesh.
+
+    TPU-native equivalent of running N reference processes (BASELINE.json
+    configs[4]): feed aligned (n_streams, block_len) blocks, collect
+    per-stream symbols + fleet telemetry.
+    """
+
+    def __init__(self, cfg: DemodConfig, n_streams: int,
+                 mesh: Mesh | None = None, axis_name: str = "streams"):
+        cfg.validate()
+        self.cfg = cfg
+        self.axis_name = axis_name
+        self.mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
+        n_dev = self.mesh.devices.size
+        if n_streams % n_dev != 0:
+            raise ValueError(
+                f"n_streams {n_streams} must be divisible by mesh size {n_dev}")
+        self.n_streams = n_streams
+        self._fn = make_fleet_demod(cfg, self.mesh, axis_name)
+        self.carry = fleet_carry(cfg, n_streams, self.mesh, axis_name)
+        self.telemetry = None
+
+    def process_blocks(self, blocks: np.ndarray):
+        """blocks: (n_streams, block_len) complex64 -> per-stream BlockOutput."""
+        if blocks.shape != (self.n_streams, self.cfg.block_len):
+            raise ValueError(f"expected {(self.n_streams, self.cfg.block_len)},"
+                             f" got {blocks.shape}")
+        x = shard_blocks(np.ascontiguousarray(blocks, dtype=np.complex64),
+                         self.mesh, self.axis_name)
+        self.carry, outs, self.telemetry = self._fn(self.carry, x)
+        return outs
