@@ -1,0 +1,89 @@
+"""Mesh-sharded fleet demodulation tests on the virtual 8-device CPU mesh.
+
+Numerical invariant (SURVEY.md section 4, item 3): N-shard output must be
+bit-for-bit identical to single-device output — sharding the stream axis
+never changes any stream's symbols, because streams are independent and the
+per-device program is the same vmapped block demodulator.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from meteor_demod_tpu.config import DemodConfig
+from meteor_demod_tpu.demod.scan import jit_batch_block_demod
+from meteor_demod_tpu.demod.state import batch_carry
+from meteor_demod_tpu.parallel.mesh import FleetDemodulator, make_mesh
+from meteor_demod_tpu.sim import synth_psk
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return DemodConfig(samplerate=230400, block_len=2048)
+
+
+def _fleet_blocks(cfg, n_streams, n_blocks, seed0=40):
+    xs = []
+    for i in range(n_streams):
+        x, _ = synth_psk(
+            int(n_blocks * cfg.block_len * cfg.symrate / cfg.samplerate) + 64,
+            cfg.samplerate, carrier_hz=50.0 + 40.0 * i, amplitude=6000.0,
+            snr_db=22.0, seed=seed0 + i)
+        xs.append(x[:n_blocks * cfg.block_len])
+    return np.stack(xs)  # (n_streams, n_blocks * block_len)
+
+
+def test_fleet_matches_unsharded(cfg):
+    n_dev = len(jax.devices())
+    assert n_dev == 8, "conftest must force 8 virtual devices"
+    n_streams, n_blocks = 8, 2
+    data = _fleet_blocks(cfg, n_streams, n_blocks)
+
+    fleet = FleetDemodulator(cfg, n_streams, mesh=make_mesh())
+    fleet_out = []
+    for b in range(n_blocks):
+        blk = data[:, b * cfg.block_len:(b + 1) * cfg.block_len]
+        fleet_out.append(fleet.process_blocks(blk))
+
+    # Unsharded reference: same vmapped program on one device.
+    fn = jit_batch_block_demod(cfg)
+    carry = batch_carry(cfg, n_streams)
+    ref_out = []
+    for b in range(n_blocks):
+        blk = data[:, b * cfg.block_len:(b + 1) * cfg.block_len]
+        carry, outs = fn(carry, blk)
+        ref_out.append(outs)
+
+    for got, ref in zip(fleet_out, ref_out):
+        np.testing.assert_array_equal(np.asarray(got.valid),
+                                      np.asarray(ref.valid))
+        np.testing.assert_array_equal(np.asarray(got.sym_re),
+                                      np.asarray(ref.sym_re))
+        np.testing.assert_array_equal(np.asarray(got.sym_im),
+                                      np.asarray(ref.sym_im))
+
+    # Per-stream carry equality too (everything, not just emitted symbols).
+    for k, v in fleet.carry._asdict().items():
+        np.testing.assert_array_equal(np.asarray(v),
+                                      np.asarray(getattr(carry, k)), err_msg=k)
+
+
+def test_fleet_telemetry_psum(cfg):
+    n_streams = 8
+    data = _fleet_blocks(cfg, n_streams, 1, seed0=60)
+    fleet = FleetDemodulator(cfg, n_streams)
+    outs = fleet.process_blocks(data[:, :cfg.block_len])
+    tel = {k: int(np.asarray(v)) if np.asarray(v).ndim == 0 else v
+           for k, v in fleet.telemetry.items()}
+    # psum over the mesh must equal the host-side reduction over all streams.
+    assert tel["symbols"] == int(np.asarray(outs.valid).sum())
+    assert tel["flags"] == 0
+    assert 0 <= tel["locked_streams"] <= n_streams
+
+
+def test_fleet_rejects_bad_shapes(cfg):
+    fleet = FleetDemodulator(cfg, 8)
+    with pytest.raises(ValueError):
+        fleet.process_blocks(np.zeros((4, cfg.block_len), dtype=np.complex64))
+    with pytest.raises(ValueError):
+        FleetDemodulator(cfg, 3)   # not divisible by 8 devices
