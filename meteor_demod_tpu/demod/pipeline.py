@@ -13,7 +13,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import functools
+
 from ..config import DemodConfig
+from ..dsp.fir import f32_to_iq, iq_to_f32
 from .scan import jit_block_demod
 from .state import DemodCarry, init_carry
 from . import scalar
@@ -21,8 +24,22 @@ from . import scalar
 _SYM_DTYPE = [("re", np.float32), ("im", np.float32), ("locked_once", np.int32)]
 
 
+@functools.lru_cache(maxsize=4)
+def _egress_fn():
+    """Jitted shallow copy: rematerializes buffers through a trivial
+    elementwise executable. Some PJRT backends cannot copy the outputs of
+    loop-containing programs to the host; outputs of this copy program
+    always transfer. All pipeline device->host reads go through it."""
+    return jax.jit(lambda tree: jax.tree_util.tree_map(lambda a: a + 0, tree))
+
+
+def egress(tree):
+    """Fetch a pytree of device arrays to numpy, robustly."""
+    return jax.tree_util.tree_map(np.asarray, jax.device_get(_egress_fn()(tree)))
+
+
 def carry_to_scalar_state(cfg: DemodConfig, carry: DemodCarry) -> dict:
-    c = {k: np.asarray(v) for k, v in carry._asdict().items()}
+    c = egress(carry)._asdict()
     return dict(
         t_phase=np.float32(c["t_phase"]), t_freq=np.float32(c["t_freq"]),
         t_prev=np.float32(c["t_prev"]),
@@ -30,14 +47,16 @@ def carry_to_scalar_state(cfg: DemodConfig, carry: DemodCarry) -> dict:
         p_err=np.float32(c["p_err"]),
         locked=int(c["locked"]), locked_once=int(c["locked_once"]),
         updown=np.float32(c["updown"]),
-        agc_gain=np.float32(c["agc_gain"]), agc_bias=np.complex64(c["agc_bias"]),
+        agc_gain=np.float32(c["agc_gain"]),
+        agc_bias=np.complex64(complex(c["agc_bias_re"], c["agc_bias_im"])),
         inphase=np.float32(c["inphase"]), slot=int(c["slot"]),
-        fir_tail=np.asarray(c["fir_tail"], dtype=np.complex64),
+        fir_tail=f32_to_iq(np.asarray(c["fir_tail"], dtype=np.float32)),
     )
 
 
 def scalar_state_to_carry(cfg: DemodConfig, st: dict) -> DemodCarry:
     base = init_carry(cfg)
+    bias = np.complex64(st["agc_bias"])
     return base._replace(
         t_phase=jnp.float32(st["t_phase"]), t_freq=jnp.float32(st["t_freq"]),
         t_prev=jnp.float32(st["t_prev"]),
@@ -47,14 +66,17 @@ def scalar_state_to_carry(cfg: DemodConfig, st: dict) -> DemodCarry:
         locked_once=jnp.int32(st["locked_once"]),
         updown=jnp.float32(st["updown"]),
         agc_gain=jnp.float32(st["agc_gain"]),
-        agc_bias=jnp.asarray(st["agc_bias"], dtype=jnp.complex64),
+        agc_bias_re=jnp.float32(bias.real),
+        agc_bias_im=jnp.float32(bias.imag),
         inphase=jnp.float32(st["inphase"]), slot=jnp.int32(st["slot"]),
-        fir_tail=jnp.asarray(st["fir_tail"], dtype=jnp.complex64),
+        fir_tail=jnp.asarray(iq_to_f32(np.asarray(st["fir_tail"],
+                                                  dtype=np.complex64))),
     )
 
 
 def _outputs_to_symbols(outs) -> np.ndarray:
-    valid = np.asarray(outs.valid)
+    """outs: already-egressed numpy BlockOutput."""
+    valid = np.asarray(outs.valid).astype(bool)
     re = np.asarray(outs.sym_re)[valid]
     im = np.asarray(outs.sym_im)[valid]
     lo = np.asarray(outs.locked_once)[valid]
@@ -91,8 +113,7 @@ class StreamDemodulator:
 
     def _publish_telemetry(self) -> None:
         c = self._carry
-        vals = jax.device_get(
-            (c.p_freq, c.t_freq, c.locked, c.locked_once, c.agc_gain))
+        vals = egress((c.p_freq, c.t_freq, c.locked, c.locked_once, c.agc_gain))
         self._telemetry = dict(
             p_freq=float(vals[0]), t_freq=float(vals[1]),
             locked=bool(vals[2]), locked_once=bool(vals[3]),
@@ -147,8 +168,12 @@ class StreamDemodulator:
 
     def _run_block(self, block: np.ndarray) -> np.ndarray:
         prev_carry = self._carry
-        carry, outs = self._fn(prev_carry, jnp.asarray(block))
-        if int(np.asarray(carry.flags)) != 0:
+        carry, outs = self._fn(prev_carry, jnp.asarray(iq_to_f32(block)))
+        # One egress fetch per block: safety flags, UI telemetry, symbols.
+        flags, p_freq, t_freq, locked, locked_once, agc_gain, outs_np = egress(
+            (carry.flags, carry.p_freq, carry.t_freq, carry.locked,
+             carry.locked_once, carry.agc_gain, outs))
+        if int(flags) != 0:
             # Safety net: recompute the block exactly with the scalar oracle.
             self.fallback_blocks += 1
             st = carry_to_scalar_state(self.cfg, prev_carry)
@@ -157,8 +182,11 @@ class StreamDemodulator:
             self._publish_telemetry()
             return symbols
         self._carry = carry
-        self._publish_telemetry()
-        return _outputs_to_symbols(outs)
+        self._telemetry = dict(
+            p_freq=float(p_freq), t_freq=float(t_freq),
+            locked=bool(locked), locked_once=bool(locked_once),
+            agc_gain=float(agc_gain))
+        return _outputs_to_symbols(outs_np)
 
     def finish(self) -> np.ndarray:
         """Process the remaining sub-block tail via the exact oracle."""

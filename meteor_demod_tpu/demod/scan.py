@@ -66,7 +66,7 @@ def _make_symbol_step(cfg: DemodConfig) -> Callable:
     sweep = _F32(C.SWEEP_STEP)
 
     def step(carry: DemodCarry, xs):
-        w_vals, w_idx = xs  # (W,) complex64, (W,) int32 (unclipped tick ids)
+        w_re, w_im, w_idx = xs  # (W,) f32, (W,) f32, (W,) int32 tick ids
 
         # ---- timing gate: consume ticks until the NCO fires ----------------
         # Iterated float32 adds, bit-identical to advance_timeslot
@@ -91,13 +91,15 @@ def _make_symbol_step(cfg: DemodConfig) -> Callable:
 
         # ---- select the fired tick's FIR output from the window ------------
         sel = jnp.logical_and(w_idx == tau, fired)
-        z = jnp.sum(jnp.where(sel, w_vals, jnp.zeros_like(w_vals)))
+        z_re = jnp.sum(jnp.where(sel, w_re, jnp.zeros_like(w_re)))
+        z_im = jnp.sum(jnp.where(sel, w_im, jnp.zeros_like(w_im)))
         miss = jnp.logical_and(fired, ~jnp.any(sel))
 
         # ---- AGC (agc.c:12-25) ---------------------------------------------
-        bias = carry.agc_bias * bias_keep + bias_pole * z
-        zc = (z - bias) * carry.agc_gain
-        zr, zi = jnp.real(zc), jnp.imag(zc)
+        bias_re = carry.agc_bias_re * bias_keep + bias_pole * z_re
+        bias_im = carry.agc_bias_im * bias_keep + bias_pole * z_im
+        zr = (z_re - bias_re) * carry.agc_gain
+        zi = (z_im - bias_im) * carry.agc_gain
         mag = jnp.sqrt(zr * zr + zi * zi)
         gain = carry.agc_gain + gain_pole * (agc_target - mag)
         gain = jnp.maximum(_F32(0.0), gain)
@@ -174,7 +176,8 @@ def _make_symbol_step(cfg: DemodConfig) -> Callable:
                                   carry.locked_once),
             updown=jnp.where(do_update, updown_upd, carry.updown),
             agc_gain=jnp.where(fired, gain, carry.agc_gain),
-            agc_bias=jnp.where(fired, bias, carry.agc_bias),
+            agc_bias_re=jnp.where(fired, bias_re, carry.agc_bias_re),
+            agc_bias_im=jnp.where(fired, bias_im, carry.agc_bias_im),
             inphase=inphase,
             slot=slot,
             tick=t,
@@ -184,7 +187,7 @@ def _make_symbol_step(cfg: DemodConfig) -> Callable:
         out = BlockOutput(
             sym_re=sym_re,
             sym_im=sym_im,
-            valid=do_update,
+            valid=do_update.astype(jnp.int32),
             locked_once=jnp.where(do_update, locked_once_upd,
                                   carry.locked_once),
         )
@@ -219,18 +222,21 @@ def make_block_demod(cfg: DemodConfig) -> Callable:
         thresh0 = lambda slot: jnp.full_like(slot, _TWO_PI, dtype=jnp.float32)
 
     def demod_block(carry: DemodCarry, x_block: jnp.ndarray):
+        """x_block: (L, 2) float32 re/im pairs."""
         F, new_tail = polyphase_fir_block(x_block, carry.fir_tail, banks)
-        F_flat = F.reshape(-1)                         # tick-ordered
+        F_flat = F.reshape(-1, 2)                      # (ticks, 2) tick-ordered
 
         # Predicted first fire tick from the carried NCO state.
         th0 = thresh0(carry.slot)
         tau0 = jnp.ceil((th0 - carry.t_phase) / carry.t_freq) - 1
         tau0 = jnp.maximum(0, tau0).astype(jnp.int32)
         idx = tau0 + offsets[:, None] - delta + win_range[None, :]  # (S, W)
-        w_vals = jnp.take(F_flat, jnp.clip(idx, 0, block_ticks - 1), axis=0)
+        cidx = jnp.clip(idx, 0, block_ticks - 1)
+        w_re = jnp.take(F_flat[:, 0], cidx, axis=0)
+        w_im = jnp.take(F_flat[:, 1], cidx, axis=0)
 
         carry0 = carry._replace(tick=jnp.zeros_like(carry.tick))
-        carry1, outs = jax.lax.scan(step, carry0, (w_vals, idx))
+        carry1, outs = jax.lax.scan(step, carry0, (w_re, w_im, idx))
 
         unconsumed = carry1.tick < block_ticks
         carry1 = carry1._replace(

@@ -6,8 +6,10 @@ Here the same quantities form an explicit pytree carried through lax.scan —
 which also makes a serialized carry a complete, free checkpoint of the
 demodulator (see SURVEY.md section 5, checkpoint/resume).
 
-All leaves are scalars (or a (taps-1,) complex64 FIR tail); a batched
-demodulator simply carries (B,)-shaped leaves via vmap.
+All leaves are float32/int32 scalars (or the (taps-1, 2) float32 FIR tail);
+IQ pairs are stored as separate re/im floats, never complex64 (see
+dsp/fir.py on the IQ layout). A batched demodulator simply carries
+(B,)-shaped leaves via vmap.
 """
 
 from __future__ import annotations
@@ -37,13 +39,14 @@ class DemodCarry(NamedTuple):
     updown: jnp.ndarray    # f32 +-1, acquisition sweep direction (pll.c:111)
     # AGC (agc.c:9-10)
     agc_gain: jnp.ndarray  # f32
-    agc_bias: jnp.ndarray  # complex64
+    agc_bias_re: jnp.ndarray  # f32, DC-bias tracker real part
+    agc_bias_im: jnp.ndarray  # f32, DC-bias tracker imag part
     # OQPSK half-symbol state (demod.c:54, timing.c:42)
     inphase: jnp.ndarray   # f32
     slot: jnp.ndarray      # int32 1/2, dual-timeslot NCO state
     # Block plumbing
     tick: jnp.ndarray      # int32, ticks consumed within the current block
-    fir_tail: jnp.ndarray  # complex64 (taps-1,), FIR delay-line carry
+    fir_tail: jnp.ndarray  # f32 (taps-1, 2), FIR delay-line carry
     flags: jnp.ndarray     # int32 bitmask, sticky across blocks
 
 
@@ -63,11 +66,12 @@ def init_carry(cfg) -> DemodCarry:
         locked_once=i32(0),
         updown=f32(1.0),
         agc_gain=f32(1.0),
-        agc_bias=jnp.asarray(0.0, dtype=jnp.complex64),
+        agc_bias_re=f32(0.0),
+        agc_bias_im=f32(0.0),
         inphase=f32(0.0),
         slot=i32(1),
         tick=i32(0),
-        fir_tail=jnp.zeros(cfg.taps - 1, dtype=jnp.complex64),
+        fir_tail=jnp.zeros((cfg.taps - 1, 2), dtype=jnp.float32),
         flags=i32(0),
     )
 
@@ -84,7 +88,7 @@ class BlockOutput(NamedTuple):
     """Per-scan-step outputs of one block, shapes (S,) (or (B, S) batched)."""
     sym_re: jnp.ndarray       # f32 soft symbol I (valid only where valid)
     sym_im: jnp.ndarray       # f32 soft symbol Q
-    valid: jnp.ndarray        # bool, True where a symbol was produced
+    valid: jnp.ndarray        # int32 0/1, 1 where a symbol was produced
     locked_once: jnp.ndarray  # int32, locked_once state after this symbol
 
 

@@ -25,8 +25,9 @@ _FORMAT_VERSION = 1
 
 def save_checkpoint(path: str, demod: StreamDemodulator) -> None:
     """Serialize a StreamDemodulator's complete state to `path` (.npz)."""
+    from ..demod.pipeline import egress
     carry = {f"carry_{k}": np.asarray(v)
-             for k, v in demod._carry._asdict().items()}
+             for k, v in egress(demod._carry)._asdict().items()}
     meta = dict(version=_FORMAT_VERSION,
                 cfg=dataclasses.asdict(demod.cfg),
                 symbols_out=demod.symbols_out,

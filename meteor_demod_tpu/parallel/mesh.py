@@ -30,8 +30,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..config import DemodConfig
+from ..demod.pipeline import egress
 from ..demod.scan import make_block_demod
 from ..demod.state import DemodCarry, init_carry
+from ..dsp.fir import iq_to_f32
 
 
 def make_mesh(devices: Sequence[jax.Device] | None = None,
@@ -55,7 +57,7 @@ def fleet_carry(cfg: DemodConfig, n_streams: int, mesh: Mesh,
 
 def shard_blocks(blocks: np.ndarray, mesh: Mesh,
                  axis_name: str = "streams") -> jax.Array:
-    """Place a (n_streams, block_len) sample batch on the mesh."""
+    """Place a (n_streams, block_len, 2) f32 sample batch on the mesh."""
     return jax.device_put(blocks, NamedSharding(mesh, P(axis_name)))
 
 
@@ -118,11 +120,16 @@ class FleetDemodulator:
         self.telemetry = None
 
     def process_blocks(self, blocks: np.ndarray):
-        """blocks: (n_streams, block_len) complex64 -> per-stream BlockOutput."""
-        if blocks.shape != (self.n_streams, self.cfg.block_len):
-            raise ValueError(f"expected {(self.n_streams, self.cfg.block_len)},"
-                             f" got {blocks.shape}")
-        x = shard_blocks(np.ascontiguousarray(blocks, dtype=np.complex64),
+        """blocks: (n_streams, block_len) complex64 (or (..., 2) float32)
+        -> per-stream BlockOutput (numpy, via egress)."""
+        if np.iscomplexobj(blocks):
+            blocks = iq_to_f32(blocks)
+        if blocks.shape != (self.n_streams, self.cfg.block_len, 2):
+            raise ValueError(
+                f"expected {(self.n_streams, self.cfg.block_len, 2)},"
+                f" got {blocks.shape}")
+        x = shard_blocks(np.ascontiguousarray(blocks, dtype=np.float32),
                          self.mesh, self.axis_name)
-        self.carry, outs, self.telemetry = self._fn(self.carry, x)
+        self.carry, outs, telemetry = self._fn(self.carry, x)
+        outs, self.telemetry = egress((outs, telemetry))
         return outs

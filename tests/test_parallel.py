@@ -46,11 +46,12 @@ def test_fleet_matches_unsharded(cfg):
         fleet_out.append(fleet.process_blocks(blk))
 
     # Unsharded reference: same vmapped program on one device.
+    from meteor_demod_tpu.dsp.fir import iq_to_f32
     fn = jit_batch_block_demod(cfg)
     carry = batch_carry(cfg, n_streams)
     ref_out = []
     for b in range(n_blocks):
-        blk = data[:, b * cfg.block_len:(b + 1) * cfg.block_len]
+        blk = iq_to_f32(data[:, b * cfg.block_len:(b + 1) * cfg.block_len])
         carry, outs = fn(carry, blk)
         ref_out.append(outs)
 

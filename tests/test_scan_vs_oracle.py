@@ -25,15 +25,18 @@ from meteor_demod_tpu.sim import synth_psk
 def oracle_with_conv_fir(cfg, x):
     """Run the scalar oracle block-by-block on conv-computed FIR outputs, so
     its inputs are bit-identical to what the scan consumes."""
-    banks = jnp.asarray(make_fir_banks(cfg))
+    from meteor_demod_tpu.dsp.fir import f32_to_iq, iq_to_f32
+    banks = make_fir_banks(cfg)
     st = scalar.initial_state(cfg)
-    tail = jnp.zeros(cfg.taps - 1, dtype=jnp.complex64)
+    tail = jnp.zeros((cfg.taps - 1, 2), dtype=jnp.float32)
     out = []
     L = cfg.block_len
     for i in range(0, len(x) - len(x) % L, L):
         block = x[i:i + L]
-        F, tail = polyphase_fir_block(jnp.asarray(block), tail, banks)
-        syms, st = scalar.demod_stream_np(cfg, block, st, F=np.asarray(F))
+        F, tail = polyphase_fir_block(jnp.asarray(iq_to_f32(block)), tail,
+                                      banks)
+        syms, st = scalar.demod_stream_np(cfg, block, st,
+                                          F=f32_to_iq(np.asarray(F)))
         out.append(syms)
     return np.concatenate(out), st
 
