@@ -141,6 +141,19 @@ class DemodConfig:
         return (w + 7) // 8 * 8
 
     @property
+    def window_delta_common(self) -> int:
+        """Half-width of the stream-independent candidate window (the Pallas
+        kernel path): the per-stream first-fire tick tau0 in [0, ticks_per_fire]
+        folds into the half-width, so one window base serves every lane and
+        the host-side window extraction is a static row-gather."""
+        return self.window_delta + int(math.ceil(self.ticks_per_fire)) + 1
+
+    @property
+    def window_common(self) -> int:
+        w = 2 * self.window_delta_common
+        return (w + 7) // 8 * 8
+
+    @property
     def window_offsets(self) -> np.ndarray:
         """Static per-step predicted fire-tick offsets, shape (S,), int32.
 

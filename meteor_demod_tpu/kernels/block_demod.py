@@ -1,0 +1,384 @@
+"""Pallas TPU kernel: the per-symbol demod recurrence for a block of streams.
+
+Why a kernel: the XLA `lax.scan` path (demod/scan.py) pays multiple
+microseconds of fixed overhead per scan step (loop machinery + one dispatch
+of ~200 tiny VPU ops per step), which caps throughput at a few Msamples/s
+per chip. This kernel runs the identical per-FIRE recurrence inside a single
+Mosaic program: states live in VMEM scratch, the candidate-window tiles
+stream HBM->VMEM through the automatic grid pipeline (double-buffered), and
+every step is a handful of fused VPU ops over a (W, B) tile plus (1, B)
+rows — with B independent streams occupying the 128 VPU lanes.
+
+Layout (see demod/scan.py for the algorithm itself, and the reference C
+citations there):
+  w_re, w_im      (S, W, B) f32   per-step candidate FIR outputs, HBM-resident
+  offsets         (S, 1)    i32   static predicted fire-tick offsets, SMEM
+  carry in/out    (NF, B) f32 + (NI, B) i32  packed DemodCarry leaves
+  outputs         (S, B) sym_re/sym_im f32, valid/locked_once i32
+
+The numeric recurrence is op-for-op the same as demod/scan.py's step; the
+decision structure (which ticks fire, lock transitions) is bit-identical,
+symbol values agree to float32-FMA tolerance.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import constants as C
+from ..config import DemodConfig
+from ..demod.state import (DemodCarry, BlockOutput, FLAG_WINDOW_MISS,
+                           FLAG_UNCONSUMED)
+from ..dsp.fir import make_fir_banks, polyphase_fir_block
+
+_F32 = np.float32
+_TWO_PI = _F32(2 * np.pi)
+_PI = _F32(np.pi)
+
+# Packed state rows. Float block:
+F_TPHASE, F_TFREQ, F_TPREV, F_PPHASE, F_PFREQ, F_PERR, F_UPDOWN, \
+    F_GAIN, F_BIASRE, F_BIASIM, F_INPHASE = range(11)
+NF = 16   # padded to a full sublane tile
+# Int block:
+I_LOCKED, I_LOCKED_ONCE, I_SLOT, I_TICK, I_FLAGS, I_TAU0 = range(6)
+NI = 8
+
+# fast_sin fixed point constants (dsp/sincos.py, sincos.c:18-19)
+_Q = 14
+_SC_A = 1 << _Q
+_SC_B = int((2 - 3.14159 / 4) * (1 << _Q))
+_SC_C = _SC_B - (1 << _Q)
+_PHASE_SCALE = _F32(65536.0 / (2 * np.pi))
+_INV_Q = _F32(1.0 / (1 << _Q))
+
+
+def _fast_sin_rows(fx):
+    """fast_sin on (1, B) f32 rows using i32 shift arithmetic only.
+
+    Identical to dsp/sincos.py but with the int16 wrap expressed as
+    (x << 16) >> 16 (arithmetic), avoiding narrow integer dtypes in Mosaic.
+    """
+    xi = (fx * _PHASE_SCALE).astype(jnp.int32)
+    x16 = jax.lax.shift_right_arithmetic(jax.lax.shift_left(xi, 16), 16)
+    sign = x16 < 0
+    x = (x16 & 0x7FFF) - (1 << _Q)
+    x2 = jax.lax.shift_right_arithmetic(x * x, _Q)
+    y = _SC_B - jax.lax.shift_right_arithmetic(x2 * _SC_C, _Q)
+    y = _SC_A - jax.lax.shift_right_arithmetic(x2 * y, _Q)
+    y = jnp.where(sign, -y, y)
+    return y.astype(jnp.float32) * _INV_Q
+
+
+def _lut_tanh_rows(v, table):
+    """Truncating tanh lookup (pll.c:153-159) on (1, B) rows.
+
+    table: (32,) numpy constant. Evaluated as a masked sum over the 32
+    entries — branch-free, lane-parallel, no gather.
+    """
+    idx = jnp.clip(jnp.trunc(v), -16.0, 15.0).astype(jnp.int32) + 16
+    out = jnp.zeros_like(v)
+    for k in range(32):
+        out = out + jnp.where(idx == k, _F32(table[k]), _F32(0.0))
+    return out
+
+
+def _make_kernel(cfg: DemodConfig, B: int, tanh_table: np.ndarray) -> Callable:
+    a_t, b_t = cfg.timing_gains
+    a_p, b_p = cfg.pll_gains
+    t_center = cfg.timing_freq
+    t_dev = cfg.timing_dev_max
+    fmax = cfg.pll_fmax
+    block_ticks = cfg.block_ticks
+    max_ticks = cfg.max_ticks_per_step
+    W = cfg.window_common
+    S = cfg.steps_per_block
+    oqpsk = cfg.oqpsk
+
+    bias_keep = _F32(1.0 - C.AGC_BIAS_POLE)
+    bias_pole = _F32(C.AGC_BIAS_POLE)
+    gain_pole = _F32(C.AGC_GAIN_POLE)
+    agc_target = _F32(C.AGC_TARGET)
+    err_keep = _F32(1.0 - C.ERR_POLE)
+    err_pole = _F32(C.ERR_POLE)
+    sweep = _F32(C.SWEEP_STEP)
+    half_pi = _F32(np.pi / 2)
+
+    def kernel(base_ref, wre_ref, wim_ref, fin_ref, iin_ref,
+               symre_ref, symim_ref, valid_ref, lout_ref,
+               fout_ref, iout_ref, fs_ref, is_ref):
+        s = pl.program_id(0)
+
+        @pl.when(s == 0)
+        def _():
+            fs_ref[:, :] = fin_ref[:, :]
+            is_ref[:, :] = iin_ref[:, :]
+
+        # ---- load states as (1, B) rows --------------------------------
+        tp = fs_ref[F_TPHASE:F_TPHASE + 1, :]
+        tf = fs_ref[F_TFREQ:F_TFREQ + 1, :]
+        t = is_ref[I_TICK:I_TICK + 1, :]
+        slot = is_ref[I_SLOT:I_SLOT + 1, :]
+
+        if oqpsk:
+            thresh = slot.astype(jnp.float32) * _PI
+        else:
+            thresh = jnp.full_like(tp, _TWO_PI)
+
+        # ---- timing gate (timing.c:31-57): iterated f32 adds ------------
+        fired = jnp.zeros(t.shape, dtype=jnp.bool_)
+        tau = jnp.zeros_like(t)
+        for _ in range(max_ticks):
+            alive = jnp.logical_and(~fired, t < block_ticks)
+            tp_new = tp + tf
+            fire_now = jnp.logical_and(alive, tp_new >= thresh)
+            tp = jnp.where(alive, tp_new, tp)
+            tau = jnp.where(fire_now, t, tau)
+            t = jnp.where(alive, t + 1, t)
+            fired = jnp.logical_or(fired, fire_now)
+
+        # ---- select fired tick from the (W, B) window tile --------------
+        # base[s, b] = tau0[b] + offsets[s] - delta, precomputed host-side so
+        # it matches the window gather indices bit-for-bit.
+        c = tau - base_ref[0]                            # (1, B) window coord
+        wcoord = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0)
+        sel = jnp.logical_and(wcoord == c, fired)        # (W, B)
+        z_re = jnp.sum(jnp.where(sel, wre_ref[0], _F32(0.0)), axis=0,
+                       keepdims=True)
+        z_im = jnp.sum(jnp.where(sel, wim_ref[0], _F32(0.0)), axis=0,
+                       keepdims=True)
+        miss = jnp.logical_and(fired,
+                               jnp.logical_or(c < 0, c >= W))
+
+        # ---- AGC (agc.c:12-25) ------------------------------------------
+        gain0 = fs_ref[F_GAIN:F_GAIN + 1, :]
+        bias_re = fs_ref[F_BIASRE:F_BIASRE + 1, :] * bias_keep + bias_pole * z_re
+        bias_im = fs_ref[F_BIASIM:F_BIASIM + 1, :] * bias_keep + bias_pole * z_im
+        zr = (z_re - bias_re) * gain0
+        zi = (z_im - bias_im) * gain0
+        mag = jnp.sqrt(zr * zr + zi * zi)
+        gain = jnp.maximum(_F32(0.0), gain0 + gain_pole * (agc_target - mag))
+
+        # ---- PLL mix (pll.c:50-97) --------------------------------------
+        pp0 = fs_ref[F_PPHASE:F_PPHASE + 1, :]
+        sn = _fast_sin_rows(-pp0)
+        cs = _fast_sin_rows(-pp0 + half_pi)
+        mre = zr * cs - zi * sn
+        mim = zr * sn + zi * cs
+        pp = pp0 + fs_ref[F_PFREQ:F_PFREQ + 1, :]
+        pp = jnp.where(pp >= _TWO_PI, pp - _TWO_PI, pp)
+
+        # ---- assemble symbol (OQPSK: demod.c:62-87) ---------------------
+        inphase0 = fs_ref[F_INPHASE:F_INPHASE + 1, :]
+        if oqpsk:
+            is1 = slot == 1
+            fire1 = jnp.logical_and(fired, is1)
+            do_update = jnp.logical_and(fired, ~is1)
+            inphase = jnp.where(fire1, mre, inphase0)
+            sym_re = inphase0
+            sym_im = mim
+            slot_new = jnp.where(fired, jnp.where(is1, 2, 1), slot)
+        else:
+            do_update = fired
+            inphase = inphase0
+            sym_re = mre
+            sym_im = mim
+            slot_new = slot
+
+        # ---- M&M retiming (timing.c:59-95) ------------------------------
+        prev = fs_ref[F_TPREV:F_TPREV + 1, :]
+        sgn_prev = jnp.where(prev < 0, _F32(-1.0), _F32(1.0))
+        sgn_cur = jnp.where(sym_im < 0, _F32(-1.0), _F32(1.0))
+        err_t = sgn_prev * sym_im - sgn_cur * prev
+        tp_upd = tp - (_TWO_PI + a_t * err_t)
+        fd = jnp.clip((tf - t_center) - b_t * err_t, -t_dev, t_dev)
+        tf_upd = t_center + fd
+        tp = jnp.where(do_update, tp_upd, tp)
+        tf = jnp.where(do_update, tf_upd, tf)
+        prev_new = jnp.where(do_update, sym_im, prev)
+
+        # ---- Costas update (pll.c:99-130) -------------------------------
+        e = (_lut_tanh_rows(sym_re, tanh_table) * sym_im
+             - _lut_tanh_rows(sym_im, tanh_table) * sym_re)
+        pp_upd = jnp.fmod(pp + a_p * e, _TWO_PI)
+        pf = fs_ref[F_PFREQ:F_PFREQ + 1, :] + b_p * e
+        perr0 = fs_ref[F_PERR:F_PERR + 1, :]
+        err_upd = perr0 * err_keep + jnp.abs(e) * err_pole
+        locked0 = is_ref[I_LOCKED:I_LOCKED + 1, :]
+        lock_now = jnp.logical_and(err_upd < _F32(C.LOCK_THRESH), locked0 == 0)
+        unlock_now = jnp.logical_and(err_upd > _F32(C.UNLOCK_THRESH),
+                                     locked0 == 1)
+        locked_upd = jnp.where(lock_now, 1, jnp.where(unlock_now, 0, locked0))
+        lonce0 = is_ref[I_LOCKED_ONCE:I_LOCKED_ONCE + 1, :]
+        lonce_upd = jnp.maximum(lonce0, lock_now.astype(jnp.int32))
+        updown0 = fs_ref[F_UPDOWN:F_UPDOWN + 1, :]
+        pf = jnp.where(locked_upd == 0, pf + sweep * updown0, pf)
+        updown_upd = jnp.where(pf >= fmax, _F32(-1.0),
+                               jnp.where(pf <= -fmax, _F32(1.0), updown0))
+        pf = jnp.clip(pf, -fmax, fmax)
+
+        # ---- gated state writeback --------------------------------------
+        fs_ref[F_TPHASE:F_TPHASE + 1, :] = tp
+        fs_ref[F_TFREQ:F_TFREQ + 1, :] = tf
+        fs_ref[F_TPREV:F_TPREV + 1, :] = prev_new
+        fs_ref[F_PPHASE:F_PPHASE + 1, :] = jnp.where(
+            do_update, pp_upd, jnp.where(fired, pp, pp0))
+        fs_ref[F_PFREQ:F_PFREQ + 1, :] = jnp.where(
+            do_update, pf, fs_ref[F_PFREQ:F_PFREQ + 1, :])
+        fs_ref[F_PERR:F_PERR + 1, :] = jnp.where(do_update, err_upd, perr0)
+        fs_ref[F_UPDOWN:F_UPDOWN + 1, :] = jnp.where(
+            do_update, updown_upd, updown0)
+        fs_ref[F_GAIN:F_GAIN + 1, :] = jnp.where(fired, gain, gain0)
+        fs_ref[F_BIASRE:F_BIASRE + 1, :] = jnp.where(
+            fired, bias_re, fs_ref[F_BIASRE:F_BIASRE + 1, :])
+        fs_ref[F_BIASIM:F_BIASIM + 1, :] = jnp.where(
+            fired, bias_im, fs_ref[F_BIASIM:F_BIASIM + 1, :])
+        fs_ref[F_INPHASE:F_INPHASE + 1, :] = inphase
+        is_ref[I_LOCKED:I_LOCKED + 1, :] = locked_upd
+        is_ref[I_LOCKED_ONCE:I_LOCKED_ONCE + 1, :] = lonce_upd
+        is_ref[I_SLOT:I_SLOT + 1, :] = slot_new
+        is_ref[I_TICK:I_TICK + 1, :] = t
+        is_ref[I_FLAGS:I_FLAGS + 1, :] = (
+            is_ref[I_FLAGS:I_FLAGS + 1, :]
+            | jnp.where(miss, FLAG_WINDOW_MISS, 0))
+
+        # ---- per-step outputs (blocks are (1, 1, B)) --------------------
+        symre_ref[0, 0, :] = sym_re[0]
+        symim_ref[0, 0, :] = sym_im[0]
+        valid_ref[0, 0, :] = do_update[0].astype(jnp.int32)
+        lout_ref[0, 0, :] = jnp.where(do_update, lonce_upd, lonce0)[0]
+
+        # ---- final step: flags for unconsumed ticks + carry out ---------
+        @pl.when(s == S - 1)
+        def _():
+            unconsumed = is_ref[I_TICK:I_TICK + 1, :] < block_ticks
+            is_ref[I_FLAGS:I_FLAGS + 1, :] = (
+                is_ref[I_FLAGS:I_FLAGS + 1, :]
+                | jnp.where(unconsumed, FLAG_UNCONSUMED, 0))
+            is_ref[I_TICK:I_TICK + 1, :] = jnp.zeros((1, B), jnp.int32)
+            fout_ref[:, :] = fs_ref[:, :]
+            iout_ref[:, :] = is_ref[:, :]
+
+    return kernel
+
+
+def _pack_carry(carry: DemodCarry):
+    """DemodCarry (leaves (B,)) -> ((NF, B) f32, (NI, B) i32)."""
+    B = carry.t_phase.shape[0]
+    zf = jnp.zeros((1, B), jnp.float32)
+    f = jnp.concatenate([
+        carry.t_phase[None], carry.t_freq[None], carry.t_prev[None],
+        carry.p_phase[None], carry.p_freq[None], carry.p_err[None],
+        carry.updown[None], carry.agc_gain[None],
+        carry.agc_bias_re[None], carry.agc_bias_im[None],
+        carry.inphase[None],
+    ] + [zf] * (NF - 11), axis=0)
+    zi = jnp.zeros((1, B), jnp.int32)
+    i = jnp.concatenate([
+        carry.locked[None], carry.locked_once[None], carry.slot[None],
+        carry.tick[None], carry.flags[None], zi,   # I_TAU0 filled later
+    ] + [zi] * (NI - 6), axis=0)
+    return f, i
+
+
+def _unpack_carry(f, i, fir_tail) -> DemodCarry:
+    return DemodCarry(
+        t_phase=f[F_TPHASE], t_freq=f[F_TFREQ], t_prev=f[F_TPREV],
+        p_phase=f[F_PPHASE], p_freq=f[F_PFREQ], p_err=f[F_PERR],
+        locked=i[I_LOCKED], locked_once=i[I_LOCKED_ONCE],
+        updown=f[F_UPDOWN], agc_gain=f[F_GAIN],
+        agc_bias_re=f[F_BIASRE], agc_bias_im=f[F_BIASIM],
+        inphase=f[F_INPHASE], slot=i[I_SLOT], tick=i[I_TICK],
+        fir_tail=fir_tail, flags=i[I_FLAGS])
+
+
+def make_pallas_batch_demod(cfg: DemodConfig, batch: int,
+                            interpret: bool = False) -> Callable:
+    """Batched block demodulator with the Pallas recurrence kernel.
+
+    Returns demod(carry, x) -> (carry', BlockOutput) where carry leaves have
+    a leading (batch,) axis and x is (batch, block_len, 2) float32 — the same
+    contract as jax.vmap(make_block_demod(cfg)).
+    """
+    cfg.validate()
+    from ..dsp.loops import TANH_TABLE
+    banks = make_fir_banks(cfg)
+    S, W, B = cfg.steps_per_block, cfg.window_common, batch
+    delta = cfg.window_delta_common
+    block_ticks = cfg.block_ticks
+    offsets = np.asarray(cfg.window_offsets, dtype=np.int32)      # (S,)
+    # Stream-independent window row indices into the (T, B) FIR array —
+    # static, so the extraction is a row-gather with constant indices.
+    row_idx = np.clip(offsets[:, None] - delta
+                      + np.arange(W, dtype=np.int32)[None, :],
+                      0, block_ticks - 1).reshape(-1)             # (S*W,)
+    base_np = (offsets - delta).astype(np.int32)                  # (S,)
+    kernel = _make_kernel(cfg, B, TANH_TABLE)
+
+    grid_spec = pl.GridSpec(
+        grid=(S,),
+        scratch_shapes=[
+            pltpu.VMEM((NF, B), jnp.float32),
+            pltpu.VMEM((NI, B), jnp.int32),
+        ],
+        in_specs=[
+            pl.BlockSpec((1, 1, B), lambda s: (s, 0, 0)),   # base
+            pl.BlockSpec((1, W, B), lambda s: (s, 0, 0)),   # w_re
+            pl.BlockSpec((1, W, B), lambda s: (s, 0, 0)),   # w_im
+            pl.BlockSpec((NF, B), lambda s: (0, 0)),
+            pl.BlockSpec((NI, B), lambda s: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, B), lambda s: (s, 0, 0)),
+            pl.BlockSpec((1, 1, B), lambda s: (s, 0, 0)),
+            pl.BlockSpec((1, 1, B), lambda s: (s, 0, 0)),
+            pl.BlockSpec((1, 1, B), lambda s: (s, 0, 0)),
+            pl.BlockSpec((NF, B), lambda s: (0, 0)),
+            pl.BlockSpec((NI, B), lambda s: (0, 0)),
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((S, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((S, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((S, 1, B), jnp.int32),
+            jax.ShapeDtypeStruct((S, 1, B), jnp.int32),
+            jax.ShapeDtypeStruct((NF, B), jnp.float32),
+            jax.ShapeDtypeStruct((NI, B), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+
+    fir = jax.vmap(lambda x, tail: polyphase_fir_block(x, tail, banks))
+
+    def demod(carry: DemodCarry, x: jnp.ndarray):
+        F, new_tail = fir(x, carry.fir_tail)       # (B, L, interp, 2)
+        Ft = F.reshape(B, -1, 2).transpose(1, 0, 2)     # (T, B, 2)
+        # Static row-gather: (S*W, B) windows, reshaped per step.
+        w_re = jnp.take(Ft[:, :, 0], row_idx, axis=0).reshape(S, W, B)
+        w_im = jnp.take(Ft[:, :, 1], row_idx, axis=0).reshape(S, W, B)
+
+        f_in, i_in = _pack_carry(carry._replace(
+            tick=jnp.zeros_like(carry.tick)))
+
+        # base[s] = offsets[s] - delta, common to all streams.
+        base = jnp.broadcast_to(jnp.asarray(base_np)[:, None, None],
+                                (S, 1, B))
+
+        sym_re, sym_im, valid, lonce, f_out, i_out = call(
+            base, w_re, w_im, f_in, i_in)
+
+        carry1 = _unpack_carry(f_out, i_out, new_tail)
+        outs = BlockOutput(sym_re=sym_re[:, 0].T, sym_im=sym_im[:, 0].T,
+                           valid=valid[:, 0].T, locked_once=lonce[:, 0].T)
+        return carry1, outs
+
+    return demod

@@ -1,0 +1,80 @@
+"""Pallas block-demod kernel vs the XLA scan path (interpret mode on CPU).
+
+The kernel (kernels/block_demod.py) must reproduce the scan path's decision
+structure exactly — same fire ticks, same symbol count, same lock
+transitions, same integer state — with symbol values and float state equal
+to float32-FMA tolerance (see tests/test_scan_vs_oracle.py for why values
+are not bit-compared)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from meteor_demod_tpu.config import DemodConfig
+from meteor_demod_tpu.demod.scan import make_block_demod
+from meteor_demod_tpu.demod.state import batch_carry
+from meteor_demod_tpu.dsp.fir import iq_to_f32
+from meteor_demod_tpu.kernels.block_demod import make_pallas_batch_demod
+from meteor_demod_tpu.sim import synth_psk
+
+
+@pytest.mark.parametrize("mode", ["qpsk", "oqpsk"])
+def test_pallas_matches_scan(mode):
+    oq = mode == "oqpsk"
+    cfg = DemodConfig(samplerate=230400, block_len=2048,
+                      symrate=80000.0 if oq else 72000.0, oqpsk=oq)
+    B = 4
+    x = np.stack([
+        synth_psk(900, cfg.samplerate, symrate=cfg.symrate, oqpsk=oq,
+                  carrier_hz=60.0 + 30 * b, amplitude=6000.0, snr_db=22.0,
+                  seed=b, dc_offset=25 - 10j)[0][:cfg.block_len]
+        for b in range(B)])
+    xf = iq_to_f32(x)
+
+    ref_fn = jax.jit(jax.vmap(make_block_demod(cfg)))
+    pal_fn = make_pallas_batch_demod(cfg, B, interpret=True)
+
+    rc, ro = ref_fn(batch_carry(cfg, B), xf)
+    pc, po = pal_fn(batch_carry(cfg, B), jnp.asarray(xf))
+
+    np.testing.assert_array_equal(np.asarray(ro.valid), np.asarray(po.valid))
+    np.testing.assert_array_equal(np.asarray(ro.locked_once),
+                                  np.asarray(po.locked_once))
+    m = np.asarray(ro.valid).astype(bool)
+    assert m.sum() > 100
+    np.testing.assert_allclose(np.asarray(po.sym_re)[m],
+                               np.asarray(ro.sym_re)[m], rtol=5e-4, atol=0.05)
+    np.testing.assert_allclose(np.asarray(po.sym_im)[m],
+                               np.asarray(ro.sym_im)[m], rtol=5e-4, atol=0.05)
+    for k in rc._fields:
+        a, b = np.asarray(getattr(rc, k)), np.asarray(getattr(pc, k))
+        if a.dtype.kind == "i":
+            np.testing.assert_array_equal(a, b, err_msg=k)
+        else:
+            np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-3, err_msg=k)
+    assert int(np.asarray(pc.flags).sum()) == 0
+
+
+def test_pallas_chains_across_blocks():
+    """Carry produced by the kernel feeds the next kernel call exactly."""
+    cfg = DemodConfig(samplerate=230400, block_len=2048)
+    B = 2
+    x = np.stack([
+        synth_psk(1800, cfg.samplerate, carrier_hz=80.0, amplitude=6000.0,
+                  snr_db=22.0, seed=9 + b)[0][:2 * cfg.block_len]
+        for b in range(B)])
+    xf = iq_to_f32(x)
+
+    ref_fn = jax.jit(jax.vmap(make_block_demod(cfg)))
+    pal_fn = make_pallas_batch_demod(cfg, B, interpret=True)
+
+    rc, po1 = ref_fn(batch_carry(cfg, B), xf[:, :cfg.block_len])
+    rc, ro2 = ref_fn(rc, xf[:, cfg.block_len:])
+    pcar, _ = pal_fn(batch_carry(cfg, B), jnp.asarray(xf[:, :cfg.block_len]))
+    pcar, po2 = pal_fn(pcar, jnp.asarray(xf[:, cfg.block_len:]))
+
+    np.testing.assert_array_equal(np.asarray(ro2.valid), np.asarray(po2.valid))
+    m = np.asarray(ro2.valid).astype(bool)
+    np.testing.assert_allclose(np.asarray(po2.sym_re)[m],
+                               np.asarray(ro2.sym_re)[m], rtol=5e-4, atol=0.1)
