@@ -35,6 +35,7 @@ from meteor_demod_tpu.demod.pipeline import egress
 from meteor_demod_tpu.demod.scan import make_block_demod
 from meteor_demod_tpu.demod.state import init_carry, batch_carry
 from meteor_demod_tpu.dsp.fir import iq_to_f32
+from meteor_demod_tpu.kernels.block_demod import make_pallas_batch_demod
 from meteor_demod_tpu.sim import synth_psk
 
 BASELINE_MSPS = 0.66
@@ -56,10 +57,25 @@ def _make_signal(cfg, n_samples, seed=0):
 
 
 def _bench(cfg, batch, seconds):
-    """Returns samples/sec through the chained block demod."""
-    demod = make_block_demod(cfg)
-    if batch:
-        demod = jax.vmap(demod)
+    """Returns samples/sec through the chained block demod.
+
+    On TPU the Pallas recurrence kernel is the product fast path; elsewhere
+    (CPU smoke runs) the XLA scan path is used."""
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
+        kernel = make_pallas_batch_demod(cfg, batch or 1)
+        if batch:
+            demod = kernel
+        else:
+            def demod(c, x):
+                c1 = jax.tree_util.tree_map(lambda a: a[None], c)
+                c2, o = kernel(c1, x[None])
+                return (jax.tree_util.tree_map(lambda a: a[0], c2),
+                        jax.tree_util.tree_map(lambda a: a[0], o))
+    else:
+        demod = make_block_demod(cfg)
+        if batch:
+            demod = jax.vmap(demod)
 
     def chained(carry, blocks):
         carry, outs = jax.lax.scan(demod, carry, blocks)
@@ -110,11 +126,19 @@ def _bench(cfg, batch, seconds):
 
 
 def main():
+    t_start = time.time()
     dev = jax.devices()[0]
     cfg = DemodConfig(samplerate=SAMPLERATE, block_len=BLOCK_LEN)
-    single_sps = _bench(cfg, batch=None, seconds=2.0)
     fleet_batch = 64
     fleet_sps = _bench(cfg, batch=fleet_batch, seconds=3.0)
+    # Single-stream is secondary; the remote compile service is erratic, so
+    # run it only if the headline left enough budget, and tolerate failure.
+    single_sps = None
+    if time.time() - t_start < 240:
+        try:
+            single_sps = _bench(cfg, batch=None, seconds=2.0)
+        except Exception as e:    # noqa: BLE001 - report partial results
+            log(f"single-stream bench failed: {e}")
 
     value = fleet_sps / 1e6
     print(json.dumps({
@@ -124,8 +148,10 @@ def main():
         "vs_baseline": round(value / BASELINE_MSPS, 1),
         "fleet_batch": fleet_batch,
         "fleet_realtime_x_per_chip": round(fleet_sps / REALTIME_SPS, 1),
-        "single_stream_msamples_per_s": round(single_sps / 1e6, 3),
-        "single_stream_realtime_x": round(single_sps / REALTIME_SPS, 1),
+        "single_stream_msamples_per_s":
+            round(single_sps / 1e6, 3) if single_sps else None,
+        "single_stream_realtime_x":
+            round(single_sps / REALTIME_SPS, 1) if single_sps else None,
         "device": str(dev.platform),
         "block_len": cfg.block_len,
         "chained_blocks_per_dispatch": CHAIN,
