@@ -1,0 +1,60 @@
+"""Recurrence-backend selection: Pallas kernel on TPU, XLA scan elsewhere.
+
+Both backends share the contract
+  demod(carry, x) -> (carry', BlockOutput)
+with a leading (batch,) axis on every carry leaf and x of shape
+(batch, block_len, 2) float32. `make_batch_demod` picks the fastest
+available implementation; callers can force one with `backend=`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+
+from ..config import DemodConfig
+from .scan import make_block_demod
+
+
+def default_backend() -> str:
+    return "pallas" if jax.devices()[0].platform == "tpu" else "scan"
+
+
+@functools.lru_cache(maxsize=32)
+def make_batch_demod(cfg: DemodConfig, batch: int,
+                     backend: str = "auto") -> Callable:
+    """Batched block demodulator; backend in {'auto', 'scan', 'pallas'}."""
+    if backend == "auto":
+        backend = default_backend()
+    if backend == "pallas":
+        from ..kernels.block_demod import make_pallas_batch_demod
+        return make_pallas_batch_demod(cfg, batch)
+    if backend == "scan":
+        return jax.vmap(make_block_demod(cfg))
+    raise ValueError(f"unknown backend {backend!r}")
+
+
+@functools.lru_cache(maxsize=32)
+def jit_batch_demod(cfg: DemodConfig, batch: int,
+                    backend: str = "auto") -> Callable:
+    return jax.jit(make_batch_demod(cfg, batch, backend))
+
+
+@functools.lru_cache(maxsize=32)
+def jit_single_demod(cfg: DemodConfig, backend: str = "auto") -> Callable:
+    """Single-stream (no batch axis) jitted block demodulator."""
+    if backend == "auto":
+        backend = default_backend()
+    if backend == "scan":
+        return jax.jit(make_block_demod(cfg))
+    batched = make_batch_demod(cfg, 1, backend)
+
+    def single(carry, x):
+        carry1 = jax.tree_util.tree_map(lambda a: a[None], carry)
+        carry2, outs = batched(carry1, x[None])
+        return (jax.tree_util.tree_map(lambda a: a[0], carry2),
+                jax.tree_util.tree_map(lambda a: a[0], outs))
+
+    return jax.jit(single)

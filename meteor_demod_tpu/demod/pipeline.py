@@ -17,7 +17,6 @@ import functools
 
 from ..config import DemodConfig
 from ..dsp.fir import f32_to_iq, iq_to_f32
-from .scan import jit_block_demod
 from .state import DemodCarry, init_carry
 from . import scalar
 
@@ -95,10 +94,11 @@ class StreamDemodulator:
     (pll.c:46-48, timing.c:29, agc.c:27-31).
     """
 
-    def __init__(self, cfg: DemodConfig):
+    def __init__(self, cfg: DemodConfig, backend: str = "auto"):
         cfg.validate()
         self.cfg = cfg
-        self._fn = jit_block_demod(cfg)
+        from .backend import jit_single_demod
+        self._fn = jit_single_demod(cfg, backend)
         self._carry = init_carry(cfg)
         self._pending = np.zeros(0, dtype=np.complex64)
         self.fallback_blocks = 0
@@ -210,7 +210,12 @@ def demod_array(cfg: DemodConfig, x: np.ndarray) -> np.ndarray:
 
 def quantize_symbols(symbols: np.ndarray) -> np.ndarray:
     """Soft symbols -> interleaved int8 bytes (main.c:305-306 semantics:
-    component/2, clamped to +-127, truncated toward zero)."""
+    component/2, clamped to +-127, truncated toward zero). Native fast path
+    in native/meteor_io.cc when built."""
+    from ..io import native
+    out = native.quantize_soft(symbols["re"], symbols["im"])
+    if out is not None:
+        return out
     out = np.empty(2 * len(symbols), dtype=np.int8)
     re = np.trunc(np.clip(symbols["re"] * np.float32(0.5), -127.0, 127.0))
     im = np.trunc(np.clip(symbols["im"] * np.float32(0.5), -127.0, 127.0))

@@ -57,7 +57,15 @@ def wav_parse(f: BinaryIO) -> Optional[WavInfo]:
 
 
 def decode_iq(raw: bytes, bps: int) -> np.ndarray:
-    """Interleaved I/Q bytes -> complex64, reference scaling (raw counts)."""
+    """Interleaved I/Q bytes -> complex64, reference scaling (raw counts).
+
+    Uses the native decoder (native/meteor_io.cc) when built; numpy
+    otherwise. Identical output either way (tests/test_native_io.py)."""
+    if bps in (8, 16, 32):
+        from . import native
+        pairs = native.decode_iq_f32(raw, bps)
+        if pairs is not None:
+            return pairs.view(np.complex64).reshape(len(pairs))
     if bps == 8:
         a = np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - np.float32(128)
     elif bps == 16:

@@ -63,7 +63,8 @@ def shard_blocks(blocks: np.ndarray, mesh: Mesh,
 
 @functools.lru_cache(maxsize=8)
 def make_fleet_demod(cfg: DemodConfig, mesh: Mesh,
-                     axis_name: str = "streams") -> Callable:
+                     axis_name: str = "streams",
+                     backend: str = "auto") -> Callable:
     """Build the jitted fleet step: (carry, blocks) -> (carry', outs, telemetry).
 
     carry leaves and blocks have a leading `streams` axis sharded over the
@@ -71,9 +72,12 @@ def make_fleet_demod(cfg: DemodConfig, mesh: Mesh,
     collective in the step, equivalent to the reference's cross-thread
     telemetry reads (main.c:231-237) but aggregated fleet-wide.
     """
-    demod = jax.vmap(make_block_demod(cfg))
+    from ..demod.backend import make_batch_demod
 
     def step(carry: DemodCarry, blocks: jnp.ndarray):
+        # Inside shard_map the step sees the per-device shard; its leading
+        # dim (n_streams / n_devices) picks the right batched builder.
+        demod = make_batch_demod(cfg, blocks.shape[0], backend)
         carry, outs = demod(carry, blocks)
         telemetry = {
             "locked_streams": jax.lax.psum(
@@ -105,7 +109,8 @@ class FleetDemodulator:
     """
 
     def __init__(self, cfg: DemodConfig, n_streams: int,
-                 mesh: Mesh | None = None, axis_name: str = "streams"):
+                 mesh: Mesh | None = None, axis_name: str = "streams",
+                 backend: str = "auto"):
         cfg.validate()
         self.cfg = cfg
         self.axis_name = axis_name
@@ -115,7 +120,7 @@ class FleetDemodulator:
             raise ValueError(
                 f"n_streams {n_streams} must be divisible by mesh size {n_dev}")
         self.n_streams = n_streams
-        self._fn = make_fleet_demod(cfg, self.mesh, axis_name)
+        self._fn = make_fleet_demod(cfg, self.mesh, axis_name, backend)
         self.carry = fleet_carry(cfg, n_streams, self.mesh, axis_name)
         self.telemetry = None
 
