@@ -88,3 +88,33 @@ def test_fleet_rejects_bad_shapes(cfg):
         fleet.process_blocks(np.zeros((4, cfg.block_len), dtype=np.complex64))
     with pytest.raises(ValueError):
         FleetDemodulator(cfg, 3)   # not divisible by 8 devices
+
+
+def test_time_sharded_fir_matches_single_device():
+    """Overlap-save FIR sharded along time with ppermute halos must equal
+    the one-device result exactly (SURVEY.md section 5 sequence-parallel
+    plan)."""
+    import jax.numpy as jnp
+    from meteor_demod_tpu.dsp.fir import (iq_to_f32, make_fir_banks,
+                                          polyphase_fir_block)
+    from meteor_demod_tpu.parallel.timeshard import make_sharded_fir, time_mesh
+    from meteor_demod_tpu.sim import synth_psk
+
+    cfg = DemodConfig(samplerate=230400, block_len=2048)
+    n_dev = len(jax.devices())
+    L = n_dev * cfg.block_len
+    x, _ = synth_psk(int(L * cfg.symrate / cfg.samplerate) + 64,
+                     cfg.samplerate, carrier_hz=120.0, amplitude=6000.0,
+                     snr_db=25.0, seed=77)
+    xf = iq_to_f32(x[:L])
+
+    mesh = time_mesh()
+    F_sharded = make_sharded_fir(cfg, mesh)(
+        jax.device_put(xf, jax.NamedSharding(mesh, jax.P("time"))))
+
+    banks = make_fir_banks(cfg)
+    tail = jnp.zeros((cfg.taps - 1, 2), dtype=jnp.float32)
+    F_single, _ = polyphase_fir_block(jnp.asarray(xf), tail, banks)
+
+    np.testing.assert_array_equal(np.asarray(F_sharded),
+                                  np.asarray(F_single))
