@@ -131,14 +131,28 @@ def main():
     cfg = DemodConfig(samplerate=SAMPLERATE, block_len=BLOCK_LEN)
     fleet_batch = 64
     fleet_sps = _bench(cfg, batch=fleet_batch, seconds=3.0)
-    # Single-stream is secondary; the remote compile service is erratic, so
-    # run it only if the headline left enough budget, and tolerate failure.
-    single_sps = None
-    if time.time() - t_start < 240:
+    # Secondary configs (BASELINE.json configs[1]/[3] and single-stream) run
+    # only while budget remains — the remote compile service is erratic — and
+    # tolerate failure without sinking the headline.
+    def maybe(name, cfg2, batch, budget_s):
+        if time.time() - t_start > budget_s:
+            log(f"skipping {name}: out of time budget")
+            return None
         try:
-            single_sps = _bench(cfg, batch=None, seconds=2.0)
+            return _bench(cfg2, batch=batch, seconds=2.0)
         except Exception as e:    # noqa: BLE001 - report partial results
-            log(f"single-stream bench failed: {e}")
+            log(f"{name} bench failed: {e}")
+            return None
+
+    single_sps = maybe("single-stream", cfg, None, 240)
+    oqpsk_sps = maybe(
+        "oqpsk-fleet",
+        DemodConfig(samplerate=SAMPLERATE, symrate=80000.0, oqpsk=True,
+                    block_len=BLOCK_LEN), fleet_batch, 330)
+    hifi_sps = maybe(
+        "hifi-fleet",
+        DemodConfig(samplerate=SAMPLERATE, rrc_order=64, interp=10,
+                    block_len=BLOCK_LEN), fleet_batch, 420)
 
     value = fleet_sps / 1e6
     print(json.dumps({
@@ -152,6 +166,10 @@ def main():
             round(single_sps / 1e6, 3) if single_sps else None,
         "single_stream_realtime_x":
             round(single_sps / REALTIME_SPS, 1) if single_sps else None,
+        "oqpsk_fleet_msamples_per_s":
+            round(oqpsk_sps / 1e6, 2) if oqpsk_sps else None,
+        "hifi_o64_x10_fleet_msamples_per_s":
+            round(hifi_sps / 1e6, 2) if hifi_sps else None,
         "device": str(dev.platform),
         "block_len": cfg.block_len,
         "chained_blocks_per_dispatch": CHAIN,

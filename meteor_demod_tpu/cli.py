@@ -274,20 +274,22 @@ def main(argv: list[str] | None = None) -> int:
               f"{'stdout' if opts.stdout_mode else opts.output_fname}",
               file=sys.stderr if opts.stdout_mode else sys.stdout)
 
-    worker = threading.Thread(target=runner.run, daemon=True)
-    worker.start()
+    from .profiling import maybe_trace
 
-    try:
-        if not opts.batch:
-            from .ui.tui import run_tui
-            run_tui(runner, opts.update_interval)
-        elif not opts.quiet:
-            _batch_status_loop(runner, opts)
-        else:
-            runner.done.wait()
-    except KeyboardInterrupt:
-        runner.stop.set()
-    worker.join()
+    worker = threading.Thread(target=runner.run, daemon=True)
+    with maybe_trace():
+        worker.start()
+        try:
+            if not opts.batch:
+                from .ui.tui import run_tui
+                run_tui(runner, opts.update_interval)
+            elif not opts.quiet:
+                _batch_status_loop(runner, opts)
+            else:
+                runner.done.wait()
+        except KeyboardInterrupt:
+            runner.stop.set()
+        worker.join()
 
     if not opts.stdout_mode:
         soft_file.close()

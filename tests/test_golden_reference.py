@@ -126,3 +126,18 @@ def test_golden_oqpsk(ref_binary, tmp_path):
     sign_agree, mad = score(ref, ours)
     assert sign_agree > 0.995, sign_agree
     assert mad < 1.0, mad
+
+
+def test_golden_qpsk_hifi(ref_binary, tmp_path):
+    """configs[3]: fir-order 64, oversamp 10 (kernel-bound stress shape)."""
+    x, _ = synth_psk(32000, 230400, carrier_hz=250.0, amplitude=6000.0,
+                     snr_db=20.0, seed=14)
+    wav = str(tmp_path / "g.wav")
+    write_wav(wav, x, 230400, 16)
+    ref = run_ref(ref_binary, ["-f", "64", "-O", "10", wav],
+                  str(tmp_path / "ref.s"))
+    ours = run_ours(DemodConfig(samplerate=230400, rrc_order=64, interp=10),
+                    wav, 16, str(tmp_path / "ours.s"))
+    sign_agree, mad = score(ref, ours)
+    assert sign_agree > 0.999, sign_agree
+    assert mad < 0.5, mad
