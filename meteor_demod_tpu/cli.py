@@ -17,13 +17,11 @@ from __future__ import annotations
 import getopt
 import sys
 import threading
-import time
 
 import numpy as np
 
 from . import __version__
 from .config import DemodConfig
-from .constants import SOFT_SCALE
 from .demod.pipeline import StreamDemodulator, quantize_symbols
 from .io.wav import open_input, read_sample_blocks
 from .io.writer import SymbolWriter

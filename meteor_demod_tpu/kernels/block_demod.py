@@ -23,7 +23,7 @@ symbol values agree to float32-FMA tolerance.
 
 from __future__ import annotations
 
-import functools
+
 from typing import Callable
 
 import numpy as np

@@ -31,7 +31,7 @@ from jax import shard_map
 
 from ..config import DemodConfig
 from ..demod.pipeline import egress
-from ..demod.scan import make_block_demod
+
 from ..demod.state import DemodCarry, init_carry
 from ..dsp.fir import iq_to_f32
 
