@@ -137,8 +137,10 @@ def parse_args(argv: list[str]) -> Options | int:
             sys.stderr.write(f"meteor_demod_tpu v{__version__}\n")
             return 0
 
-    # Hz -> rad/symbol (main.c:136); negative keeps the pll default.
-    opts.freq_max_delta = opts.freq_max_delta * 2 * np.pi / opts.symrate
+    # Hz -> rad/symbol (main.c:136); negative keeps the pll default. A zero
+    # symrate is caught later by DemodConfig.validate with a clean error.
+    if opts.symrate > 0:
+        opts.freq_max_delta = opts.freq_max_delta * 2 * np.pi / opts.symrate
 
     if not rest:
         usage(pname)
@@ -214,12 +216,13 @@ def main(argv: list[str] | None = None) -> int:
     if isinstance(opts, int):
         return opts
 
-    samples_file, info, is_stdin = open_input(opts.input_path)
-    if is_stdin:
-        opts.batch = True                      # main.c:155-157
-    if samples_file is None:
+    try:
+        samples_file, info, is_stdin = open_input(opts.input_path)
+    except OSError:
         sys.stderr.write("Could not open input file\n")
         return 1
+    if is_stdin:
+        opts.batch = True                      # main.c:155-157
     samplerate, bps = opts.samplerate, opts.bps
     if info is not None:
         samplerate, bps = info.samplerate, info.bps

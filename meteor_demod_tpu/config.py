@@ -165,6 +165,8 @@ class DemodConfig:
     def validate(self) -> None:
         if self.samplerate <= 0:
             raise ValueError("samplerate must be positive")
+        if self.symrate <= 0:
+            raise ValueError("symrate must be positive")
         if self.osf < 1.0:
             raise ValueError(
                 f"samplerate {self.samplerate} below symbol rate {self.symrate}")

@@ -16,9 +16,12 @@ TPU-native restructuring of the reference's per-sample pull pipeline
    scan inputs — the scan body then contains NO dynamic indexing: the fired
    tick is selected from the window by a compare-mask-sum.
 4. The NCO phase accumulator is advanced by iterated float32 additions, one
-   per tick, exactly like the reference (timing.c:31-38) — the tick at which
-   the gate fires is bit-identical to the C program's, which keeps the whole
-   loop trajectory aligned with the reference.
+   per tick, mirroring the reference (timing.c:31-38); the fire ticks are
+   bit-identical to this framework's scalar oracle (tests enforce it). The C
+   binary computes the retime subtraction in double (timing.c uses double
+   M_PI), so its trajectory can diverge from any float32 implementation near
+   a threshold — parity with the C program is within the SNR bound (golden
+   tests), not bit-exact.
 
 Every step of the scan body is a handful of float32/int32 scalar ops and is
 fully vectorizable over a batch axis with vmap (the batched demodulator puts
@@ -247,12 +250,6 @@ def make_block_demod(cfg: DemodConfig) -> Callable:
         return carry1, outs
 
     return demod_block
-
-
-@functools.lru_cache(maxsize=16)
-def jit_block_demod(cfg: DemodConfig) -> Callable:
-    """Cached single-stream jitted block demodulator."""
-    return jax.jit(make_block_demod(cfg))
 
 
 @functools.lru_cache(maxsize=16)

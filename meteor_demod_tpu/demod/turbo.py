@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import DemodConfig
-from ..dsp.fir import iq_to_f32
+from ..dsp.fir import f32_to_iq, iq_to_f32
 from .backend import make_batch_demod
 from .pipeline import egress, _SYM_DTYPE
 from .state import DemodCarry, batch_carry
@@ -49,6 +49,7 @@ class TurboResult:
     converged: bool              # bitwise carry fixpoint reached
     passes: int                  # passes executed
     max_residual: float          # largest |g' - g| float-leaf residual, last pass
+    fell_back: bool = False      # True if safety flags forced a sequential redo
 
 
 def _chunk_fn(cfg: DemodConfig, chunks: int, kb: int, backend: str):
@@ -82,21 +83,31 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
     L = cfg.block_len
     taps = cfg.taps
 
-    kb = max(1, math.ceil(N / (chunks * L)))
-    chunk_len = kb * L
-    total = chunks * chunk_len
-    pad = total - N
-    if pad:
-        xf = np.concatenate([xf, np.zeros((pad, 2), np.float32)])
+    def _sequential(tag_converged=True):
+        from .pipeline import StreamDemodulator
+        d = StreamDemodulator(cfg, backend=backend)
+        syms = np.concatenate([d.process(f32_to_iq(xf)), d.finish()])
+        return TurboResult(symbols=syms, converged=tag_converged, passes=0,
+                           max_residual=0.0, fell_back=True)
 
-    # (kb, C, L, 2): block k of chunk c = xf[c*chunk_len + k*L : ... + L]
+    # Turbo covers whole chunks only; the sub-multiple tail is demodulated
+    # sequentially from the (exact) final chunk carry — no zero padding, no
+    # spurious pad symbols.
+    kb = N // (chunks * L)
+    if kb == 0:
+        return _sequential()
+    chunk_len = kb * L
+    turbo_n = chunks * chunk_len
+    xt = xf[:turbo_n]
+
+    # (kb, C, L, 2): block k of chunk c = xt[c*chunk_len + k*L : ... + L]
     blocks = jnp.asarray(
-        xf.reshape(chunks, kb, L, 2).transpose(1, 0, 2, 3))
+        xt.reshape(chunks, kb, L, 2).transpose(1, 0, 2, 3))
 
     # Exact FIR tails at every chunk boundary, straight from the data.
     tails = np.zeros((chunks, taps - 1, 2), np.float32)
     for c in range(1, chunks):
-        tails[c] = xf[c * chunk_len - (taps - 1):c * chunk_len]
+        tails[c] = xt[c * chunk_len - (taps - 1):c * chunk_len]
     tails_j = jnp.asarray(tails)
 
     g = batch_carry(cfg, chunks)._replace(fir_tail=jnp.asarray(tails))
@@ -114,6 +125,7 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
     passes = 0
     max_residual = float("inf")
     outs = None
+    f = None
     for _ in range(max_passes):
         f, outs = run(g, blocks)
         g_new = shift(f)
@@ -136,6 +148,13 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
             break
         g = g_new
 
+    # Safety net: any flagged chunk invalidates the fast-path result for the
+    # affected stream positions — redo the whole recording sequentially (the
+    # sequential driver routes flagged blocks to the exact scalar oracle).
+    f_np = egress(f)
+    if int(np.asarray(f_np.flags).sum()) != 0:
+        return _sequential(tag_converged=False)
+
     # Assemble symbols in stream order from the final pass.
     o = egress(outs)
     sym_re = np.asarray(o.sym_re)        # (kb, C, S)
@@ -151,5 +170,15 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
         s["im"] = sym_im[:, c, :].reshape(-1)[m]
         s["locked_once"] = lonce[:, c, :].reshape(-1)[m]
         parts.append(s)
+
+    # Sequential tail from the last chunk's final carry (exact when the
+    # fixpoint converged; within loop noise otherwise).
+    if turbo_n < N:
+        from .pipeline import StreamDemodulator
+        d = StreamDemodulator(cfg, backend=backend)
+        d._carry = jax.tree_util.tree_map(lambda a: jnp.asarray(a[-1]), f_np)
+        parts.append(d.process(f32_to_iq(xf[turbo_n:])))
+        parts.append(d.finish())
+
     return TurboResult(symbols=np.concatenate(parts), converged=converged,
                       passes=passes, max_residual=max_residual)

@@ -47,7 +47,7 @@ F_TPHASE, F_TFREQ, F_TPREV, F_PPHASE, F_PFREQ, F_PERR, F_UPDOWN, \
     F_GAIN, F_BIASRE, F_BIASIM, F_INPHASE = range(11)
 NF = 16   # padded to a full sublane tile
 # Int block:
-I_LOCKED, I_LOCKED_ONCE, I_SLOT, I_TICK, I_FLAGS, I_TAU0 = range(6)
+I_LOCKED, I_LOCKED_ONCE, I_SLOT, I_TICK, I_FLAGS = range(5)
 NI = 8
 
 # fast_sin fixed point constants (dsp/sincos.py, sincos.c:18-19)
@@ -282,8 +282,8 @@ def _pack_carry(carry: DemodCarry):
     zi = jnp.zeros((1, B), jnp.int32)
     i = jnp.concatenate([
         carry.locked[None], carry.locked_once[None], carry.slot[None],
-        carry.tick[None], carry.flags[None], zi,   # I_TAU0 filled later
-    ] + [zi] * (NI - 6), axis=0)
+        carry.tick[None], carry.flags[None],
+    ] + [zi] * (NI - 5), axis=0)
     return f, i
 
 

@@ -123,6 +123,7 @@ class FleetDemodulator:
         self._fn = make_fleet_demod(cfg, self.mesh, axis_name, backend)
         self.carry = fleet_carry(cfg, n_streams, self.mesh, axis_name)
         self.telemetry = None
+        self.stream_flags = None
 
     def process_blocks(self, blocks: np.ndarray):
         """blocks: (n_streams, block_len) complex64 (or (..., 2) float32)
@@ -136,5 +137,17 @@ class FleetDemodulator:
         x = shard_blocks(np.ascontiguousarray(blocks, dtype=np.float32),
                          self.mesh, self.axis_name)
         self.carry, outs, telemetry = self._fn(self.carry, x)
-        outs, self.telemetry = egress((outs, telemetry))
+        outs, self.telemetry, self.stream_flags = egress(
+            (outs, telemetry, self.carry.flags))
         return outs
+
+    def flagged_streams(self) -> np.ndarray:
+        """Indices of streams whose carry holds a sticky safety flag.
+
+        A flagged stream's fast-path output is suspect from the flagged block
+        onward; recover it by re-demodulating that stream sequentially
+        (StreamDemodulator routes flagged blocks to the exact scalar oracle).
+        """
+        if self.stream_flags is None:
+            return np.zeros(0, dtype=np.int64)
+        return np.nonzero(np.asarray(self.stream_flags))[0]

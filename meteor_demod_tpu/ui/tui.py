@@ -131,8 +131,10 @@ class Tui:
         nr, nc = w.getmaxyx()
         w.erase()
         for i in range(0, len(dots) - 1, 2):
-            x = int(dots[i]) * nc // 255
-            y = int(dots[i + 1]) * nr // 255
+            # int() truncates toward zero like the C division (tui.c:176-178);
+            # floor division would displace negative-quadrant dots by a cell.
+            x = int(int(dots[i]) * nc / 255)
+            y = int(int(dots[i + 1]) * nr / 255)
             row, col = nr // 2 - y, x + nc // 2
             if not (0 <= row < nr and 0 <= col < nc):
                 continue
