@@ -118,6 +118,17 @@ class DemodConfig:
         return int(math.ceil((self.fire_spacing + 4.0) / f_min)) + 2
 
     @property
+    def gate_candidates(self) -> int:
+        """Candidate tick count K of the closed-form timing gate.
+
+        The gate fires at k* = min{k in [1, K] : fl(k*tf) >= fl(thresh - tp)}
+        — a vectorized f32 multiply/compare with NO multiply-add pattern, so
+        the result is bit-identical across numpy (scalar oracle), XLA (scan)
+        and Mosaic (kernel) regardless of FMA contraction. K is
+        max_ticks_per_step rounded up to a sublane tile."""
+        return -(-self.max_ticks_per_step // 8) * 8
+
+    @property
     def steps_per_block(self) -> int:
         """Scan steps per block: nominal fire count plus slack for timing
         frequency deviation (clamped to 2**-12 relative, timing.c:7) and the

@@ -1,17 +1,29 @@
-"""Sequential numpy oracle: per-tick, per-fire, float32-exact demodulation.
+"""Sequential numpy oracle: per-fire, float32-exact demodulation.
 
 This is the executable specification of the demodulator semantics
 (demod.c:23-91 and the dsp/ blocks), written to perform the *same float32
-operations in the same order* as demod/scan.py. It serves three purposes:
+operations in the same order* as demod/scan.py and the Pallas kernel. It
+serves three purposes:
 
-1. Differential testing: the vectorized scan must match this oracle
-   bit-for-bit when both consume the same FIR outputs.
-2. Exact fallback: if a block trips a safety flag (window miss / step
-   overflow — pathological inputs only), the stream driver recomputes that
-   block here and resumes the fast path with the corrected carry.
+1. Differential testing: the vectorized paths must match this oracle
+   bit-for-bit on decision structure when both consume the same FIR outputs.
+2. Exact fallback: if a block trips a safety flag (window miss — pathological
+   inputs only), the stream driver recomputes that block here and resumes the
+   fast path with the corrected carry.
 3. Documentation of the recurrence in its simplest form.
 
-It is deliberately slow (pure Python per tick); use it on test-sized inputs.
+Timing-gate semantics (shared by all three implementations): the gate fires
+at candidate k* = min{k in [1, K] : fl(k*tf) >= fl(thresh - tp)} with
+K = cfg.gate_candidates; the phase then advances by fl(k* * tf) in one
+multiply+add. Every operation is a plain IEEE f32 multiply, subtract, add or
+compare — no multiply-add pattern — so numpy, XLA and Mosaic agree bitwise
+(FMA contraction cannot occur). This deliberately differs from the C
+reference's per-tick `_phase += _freq` accumulation (timing.c:31-38) by
+bounded rounding (<= K ulp per symbol period); parity with the C binary is
+within the SNR bound (golden tests), as it must be for any float32
+implementation, since the C retime mixes double and float arithmetic.
+
+It is deliberately slow (pure Python per fire); use it on test-sized inputs.
 """
 
 from __future__ import annotations
@@ -40,6 +52,20 @@ def initial_state(cfg: DemodConfig) -> dict:
     )
 
 
+def gate_fire_np(tp, tf, thresh, rem, ks):
+    """Closed-form timing gate (see module docstring).
+
+    Returns (fired, k): k ticks are consumed; fired says whether tick
+    t+k-1 is a symbol sample. When not fired, k = min(rem, K).
+    """
+    diff = _F32(thresh - tp)
+    prod = (ks * tf).astype(_F32)
+    ok = np.logical_and(prod >= diff, ks <= _F32(rem))
+    if not ok.any():
+        return False, min(int(rem), len(ks))
+    return True, int(ok.argmax()) + 1
+
+
 def demod_stream_np(cfg: DemodConfig, x: np.ndarray, state: dict | None = None,
                     F: np.ndarray | None = None):
     """Demodulate x (complex64) sequentially.
@@ -60,6 +86,7 @@ def demod_stream_np(cfg: DemodConfig, x: np.ndarray, state: dict | None = None,
     banks = make_fir_banks(cfg)
     if F is None:
         F = fir_reference_np(x, st["fir_tail"], banks)
+    F_flat = np.ascontiguousarray(F).reshape(-1)
 
     a_t, b_t = cfg.timing_gains
     a_p, b_p = cfg.pll_gains
@@ -67,7 +94,7 @@ def demod_stream_np(cfg: DemodConfig, x: np.ndarray, state: dict | None = None,
     t_dev = cfg.timing_dev_max
     fmax = cfg.pll_fmax
     oqpsk = cfg.oqpsk
-    interp = cfg.interp
+    ks = np.arange(1, cfg.gate_candidates + 1, dtype=np.float32)
 
     bias_keep = _F32(1.0 - C.AGC_BIAS_POLE)
     bias_pole = _F32(C.AGC_BIAS_POLE)
@@ -86,72 +113,74 @@ def demod_stream_np(cfg: DemodConfig, x: np.ndarray, state: dict | None = None,
     inphase = st["inphase"]; slot = st["slot"]
 
     out_re, out_im, out_lo = [], [], []
-    N = len(x)
-    for s_idx in range(N):
-        for phase in range(interp):
-            # advance_timeslot / advance_timeslot_dual (timing.c:31-57)
-            tp = _F32(tp + tf)
-            thresh = _F32(slot) * _PI if oqpsk else _TWO_PI
-            if not (tp >= thresh):
-                continue
-            fire_slot = slot
-            if oqpsk:
-                slot = (slot % 2) + 1
+    T = len(F_flat)
+    t = 0
+    while t < T:
+        thresh = _F32(slot) * _PI if oqpsk else _TWO_PI
+        fired, k = gate_fire_np(tp, tf, thresh, T - t, ks)
+        tp = _F32(tp + _F32(_F32(k) * tf))
+        t += k
+        if not fired:
+            continue
+        tau = t - 1
+        fire_slot = slot
+        if oqpsk:
+            slot = (slot % 2) + 1
 
-            z = F[s_idx, phase]
+        z = F_flat[tau]
 
-            # AGC (agc.c:12-25)
-            bias = np.complex64(bias * bias_keep + bias_pole * z)
-            zc = np.complex64((z - bias) * gain)
-            zr = _F32(zc.real); zi = _F32(zc.imag)
-            mag = _F32(np.sqrt(_F32(zr * zr + zi * zi)))
-            gain = _F32(gain + gain_pole * (agc_target - mag))
-            gain = max(_F32(0.0), gain)
+        # AGC (agc.c:12-25)
+        bias = np.complex64(bias * bias_keep + bias_pole * z)
+        zc = np.complex64((z - bias) * gain)
+        zr = _F32(zc.real); zi = _F32(zc.imag)
+        mag = _F32(np.sqrt(_F32(zr * zr + zi * zi)))
+        gain = _F32(gain + gain_pole * (agc_target - mag))
+        gain = max(_F32(0.0), gain)
 
-            # PLL mix (pll.c:50-97)
-            sn = fast_sin_np(_F32(-pp))
-            cn = fast_cos_np(_F32(-pp))
-            mre = _F32(zr * cn - zi * sn)
-            mim = _F32(zr * sn + zi * cn)
-            pp = _F32(pp + pf)
-            if pp >= _TWO_PI:
-                pp = _F32(pp - _TWO_PI)
+        # PLL mix (pll.c:50-97)
+        sn = fast_sin_np(_F32(-pp))
+        cn = fast_cos_np(_F32(-pp))
+        mre = _F32(zr * cn - zi * sn)
+        mim = _F32(zr * sn + zi * cn)
+        pp = _F32(pp + pf)
+        if pp >= _TWO_PI:
+            pp = _F32(pp - _TWO_PI)
 
-            if oqpsk and fire_slot == 1:
-                inphase = mre
-                continue
-            if oqpsk:
-                sym_re, sym_im = inphase, mim
-            else:
-                sym_re, sym_im = mre, mim
+        if oqpsk and fire_slot == 1:
+            inphase = mre
+            continue
+        if oqpsk:
+            sym_re, sym_im = inphase, mim
+        else:
+            sym_re, sym_im = mre, mim
 
-            # M&M retiming (timing.c:59-95)
-            err_t = mm_error_np(prev, sym_im)
-            prev = sym_im
-            tp = _F32(tp - _F32(_TWO_PI + _F32(a_t * err_t)))
-            fd = _F32(_F32(tf - t_center) - _F32(b_t * err_t))
-            fd = max(-t_dev, min(t_dev, fd))
-            tf = _F32(t_center + fd)
+        # M&M retiming (timing.c:59-95)
+        err_t = mm_error_np(prev, sym_im)
+        prev = sym_im
+        tp = _F32(tp - _F32(_TWO_PI + _F32(a_t * err_t)))
+        fd = _F32(_F32(tf - t_center) - _F32(b_t * err_t))
+        fd = max(-t_dev, min(t_dev, fd))
+        tf = _F32(t_center + fd)
 
-            # Costas update (pll.c:99-130)
-            e = costas_error_np(sym_re, sym_im)
-            pp = _F32(np.fmod(_F32(pp + _F32(a_p * e)), _TWO_PI))
-            pf = _F32(pf + b_p * e)
-            perr = _F32(perr * err_keep + _F32(abs(e)) * err_pole)
-            if perr < lock_th and not locked:
-                locked = 1
-                locked_once = 1
-            elif perr > unlock_th and locked:
-                locked = 0
-            if not locked:
-                pf = _F32(pf + sweep * updown)
-            updown = _F32(-1.0) if pf >= fmax else (_F32(1.0) if pf <= -fmax
-                                                    else updown)
-            pf = max(-fmax, min(fmax, pf))
+        # Costas update (pll.c:99-130)
+        e = costas_error_np(sym_re, sym_im)
+        pp = _F32(np.fmod(_F32(pp + _F32(a_p * e)), _TWO_PI))
+        pf = _F32(pf + b_p * e)
+        perr = _F32(perr * err_keep + _F32(abs(e)) * err_pole)
+        if perr < lock_th and not locked:
+            locked = 1
+            locked_once = 1
+        elif perr > unlock_th and locked:
+            locked = 0
+        if not locked:
+            pf = _F32(pf + sweep * updown)
+        updown = _F32(-1.0) if pf >= fmax else (_F32(1.0) if pf <= -fmax
+                                                else updown)
+        pf = max(-fmax, min(fmax, pf))
 
-            out_re.append(sym_re)
-            out_im.append(sym_im)
-            out_lo.append(locked_once)
+        out_re.append(sym_re)
+        out_im.append(sym_im)
+        out_lo.append(locked_once)
 
     taps = cfg.taps
     xin = np.concatenate([st["fir_tail"], x.astype(np.complex64)])

@@ -15,13 +15,16 @@ TPU-native restructuring of the reference's per-sample pull pipeline
    tau0_hat + round(k * ticks_per_fire). We prematerialize those windows as
    scan inputs — the scan body then contains NO dynamic indexing: the fired
    tick is selected from the window by a compare-mask-sum.
-4. The NCO phase accumulator is advanced by iterated float32 additions, one
-   per tick, mirroring the reference (timing.c:31-38); the fire ticks are
-   bit-identical to this framework's scalar oracle (tests enforce it). The C
-   binary computes the retime subtraction in double (timing.c uses double
-   M_PI), so its trajectory can diverge from any float32 implementation near
-   a threshold — parity with the C program is within the SNR bound (golden
-   tests), not bit-exact.
+4. The timing gate is evaluated in closed form: fire at candidate
+   k* = min{k in [1, K] : fl(k*tf) >= fl(thresh - tp)} and advance the phase
+   by the SELECTED precomputed product fl(k* * tf) (see
+   config.gate_candidates and demod/scalar.py's module docstring). Every op
+   is a bare IEEE multiply/subtract/compare/add — no multiply-add pattern —
+   so the fire ticks are bit-identical across the numpy oracle, this scan,
+   and the Mosaic kernel regardless of FMA contraction. The C binary's
+   per-tick accumulation (and double-precision retime) differs by bounded
+   rounding; parity with the C program is within the SNR bound (golden
+   tests), as for any float32 implementation.
 
 Every step of the scan body is a handful of float32/int32 scalar ops and is
 fully vectorizable over a batch axis with vmap (the batched demodulator puts
@@ -57,7 +60,9 @@ def _make_symbol_step(cfg: DemodConfig) -> Callable:
     t_dev = cfg.timing_dev_max
     fmax = cfg.pll_fmax
     block_ticks = cfg.block_ticks
-    max_ticks = cfg.max_ticks_per_step
+    K = cfg.gate_candidates
+    ks = np.arange(1, K + 1, dtype=np.float32)     # (K,)
+    kiota = np.arange(K, dtype=np.int32)           # (K,)
     oqpsk = cfg.oqpsk
 
     bias_keep = _F32(1.0 - C.AGC_BIAS_POLE)
@@ -71,9 +76,7 @@ def _make_symbol_step(cfg: DemodConfig) -> Callable:
     def step(carry: DemodCarry, xs):
         w_re, w_im, w_idx = xs  # (W,) f32, (W,) f32, (W,) int32 tick ids
 
-        # ---- timing gate: consume ticks until the NCO fires ----------------
-        # Iterated float32 adds, bit-identical to advance_timeslot
-        # (timing.c:31-38) / advance_timeslot_dual (timing.c:40-57).
+        # ---- closed-form timing gate (see module docstring item 4) ---------
         t = carry.tick
         tp = carry.t_phase
         tf = carry.t_freq
@@ -81,16 +84,20 @@ def _make_symbol_step(cfg: DemodConfig) -> Callable:
             thresh = carry.slot.astype(jnp.float32) * _PI
         else:
             thresh = _TWO_PI
-        fired = jnp.zeros_like(tp, dtype=jnp.bool_)
-        tau = jnp.zeros_like(t)
-        for _ in range(max_ticks):
-            alive = jnp.logical_and(~fired, t < block_ticks)
-            tp_new = tp + tf
-            fire_now = jnp.logical_and(alive, tp_new >= thresh)
-            tp = jnp.where(alive, tp_new, tp)
-            tau = jnp.where(fire_now, t, tau)
-            t = jnp.where(alive, t + 1, t)
-            fired = jnp.logical_or(fired, fire_now)
+        diff = thresh - tp
+        rem = block_ticks - t
+        prod = ks * tf                                  # (K,)
+        ok = jnp.logical_and(prod >= diff,
+                             ks <= rem.astype(jnp.float32))
+        fired = jnp.any(ok)
+        k_idx = jnp.where(fired, jnp.argmax(ok).astype(jnp.int32),
+                          jnp.minimum(rem, K) - 1)
+        # Phase advances by the SELECTED product — never a fresh mul+add,
+        # so no FMA can change the rounding.
+        prod_sel = jnp.sum(jnp.where(kiota == k_idx, prod, _F32(0.0)))
+        tau = t + k_idx
+        tp = tp + prod_sel
+        t = t + k_idx + 1
 
         # ---- select the fired tick's FIR output from the window ------------
         sel = jnp.logical_and(w_idx == tau, fired)

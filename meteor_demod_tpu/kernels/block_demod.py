@@ -80,25 +80,39 @@ def _lut_tanh_rows(v, table):
     """Truncating tanh lookup (pll.c:153-159) on (1, B) rows.
 
     table: (32,) numpy constant. Evaluated as a masked sum over the 32
-    entries — branch-free, lane-parallel, no gather.
+    entries — branch-free, lane-parallel, no gather. The terms are reduced
+    as a binary tree: exactly one term is nonzero, so any association is
+    bit-exact (x + 0 never rounds), and the dependency chain is log-depth.
     """
     idx = jnp.clip(jnp.trunc(v), -16.0, 15.0).astype(jnp.int32) + 16
-    out = jnp.zeros_like(v)
-    for k in range(32):
-        out = out + jnp.where(idx == k, _F32(table[k]), _F32(0.0))
-    return out
+    terms = [jnp.where(idx == k, _F32(table[k]), _F32(0.0))
+             for k in range(32)]
+    while len(terms) > 1:
+        terms = [a + b for a, b in zip(terms[0::2], terms[1::2])]
+    return terms[0]
 
 
-def _make_kernel(cfg: DemodConfig, B: int, tanh_table: np.ndarray) -> Callable:
+def _make_kernel(cfg: DemodConfig, B: int, G: int,
+                 tanh_table: np.ndarray) -> Callable:
+    """Kernel processing G symbol steps per grid iteration.
+
+    Grouping amortizes the per-grid-step costs (window-tile DMA issue,
+    output-block bookkeeping) that dominate over the arithmetic; loop states
+    live in registers across the G inner steps and touch VMEM scratch once
+    per grid iteration. Grid steps past S pad the grid to a multiple of G
+    and are dead (`live` masks every effect), so the decision trajectory is
+    identical to the per-step scan path.
+    """
     a_t, b_t = cfg.timing_gains
     a_p, b_p = cfg.pll_gains
     t_center = cfg.timing_freq
     t_dev = cfg.timing_dev_max
     fmax = cfg.pll_fmax
     block_ticks = cfg.block_ticks
-    max_ticks = cfg.max_ticks_per_step
+    K = cfg.gate_candidates
     W = cfg.window_common
     S = cfg.steps_per_block
+    S_pad = -(-S // G) * G
     oqpsk = cfg.oqpsk
 
     bias_keep = _F32(1.0 - C.AGC_BIAS_POLE)
@@ -120,142 +134,163 @@ def _make_kernel(cfg: DemodConfig, B: int, tanh_table: np.ndarray) -> Callable:
             fs_ref[:, :] = fin_ref[:, :]
             is_ref[:, :] = iin_ref[:, :]
 
-        # ---- load states as (1, B) rows --------------------------------
+        # ---- load states into registers, once per grid iteration ---------
         tp = fs_ref[F_TPHASE:F_TPHASE + 1, :]
         tf = fs_ref[F_TFREQ:F_TFREQ + 1, :]
-        t = is_ref[I_TICK:I_TICK + 1, :]
-        slot = is_ref[I_SLOT:I_SLOT + 1, :]
-
-        if oqpsk:
-            thresh = slot.astype(jnp.float32) * _PI
-        else:
-            thresh = jnp.full_like(tp, _TWO_PI)
-
-        # ---- timing gate (timing.c:31-57): iterated f32 adds ------------
-        fired = jnp.zeros(t.shape, dtype=jnp.bool_)
-        tau = jnp.zeros_like(t)
-        for _ in range(max_ticks):
-            alive = jnp.logical_and(~fired, t < block_ticks)
-            tp_new = tp + tf
-            fire_now = jnp.logical_and(alive, tp_new >= thresh)
-            tp = jnp.where(alive, tp_new, tp)
-            tau = jnp.where(fire_now, t, tau)
-            t = jnp.where(alive, t + 1, t)
-            fired = jnp.logical_or(fired, fire_now)
-
-        # ---- select fired tick from the (W, B) window tile --------------
-        # base[s, b] = tau0[b] + offsets[s] - delta, precomputed host-side so
-        # it matches the window gather indices bit-for-bit.
-        c = tau - base_ref[0]                            # (1, B) window coord
-        wcoord = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0)
-        sel = jnp.logical_and(wcoord == c, fired)        # (W, B)
-        z_re = jnp.sum(jnp.where(sel, wre_ref[0], _F32(0.0)), axis=0,
-                       keepdims=True)
-        z_im = jnp.sum(jnp.where(sel, wim_ref[0], _F32(0.0)), axis=0,
-                       keepdims=True)
-        miss = jnp.logical_and(fired,
-                               jnp.logical_or(c < 0, c >= W))
-
-        # ---- AGC (agc.c:12-25) ------------------------------------------
-        gain0 = fs_ref[F_GAIN:F_GAIN + 1, :]
-        bias_re = fs_ref[F_BIASRE:F_BIASRE + 1, :] * bias_keep + bias_pole * z_re
-        bias_im = fs_ref[F_BIASIM:F_BIASIM + 1, :] * bias_keep + bias_pole * z_im
-        zr = (z_re - bias_re) * gain0
-        zi = (z_im - bias_im) * gain0
-        mag = jnp.sqrt(zr * zr + zi * zi)
-        gain = jnp.maximum(_F32(0.0), gain0 + gain_pole * (agc_target - mag))
-
-        # ---- PLL mix (pll.c:50-97) --------------------------------------
-        pp0 = fs_ref[F_PPHASE:F_PPHASE + 1, :]
-        sn = _fast_sin_rows(-pp0)
-        cs = _fast_sin_rows(-pp0 + half_pi)
-        mre = zr * cs - zi * sn
-        mim = zr * sn + zi * cs
-        pp = pp0 + fs_ref[F_PFREQ:F_PFREQ + 1, :]
-        pp = jnp.where(pp >= _TWO_PI, pp - _TWO_PI, pp)
-
-        # ---- assemble symbol (OQPSK: demod.c:62-87) ---------------------
-        inphase0 = fs_ref[F_INPHASE:F_INPHASE + 1, :]
-        if oqpsk:
-            is1 = slot == 1
-            fire1 = jnp.logical_and(fired, is1)
-            do_update = jnp.logical_and(fired, ~is1)
-            inphase = jnp.where(fire1, mre, inphase0)
-            sym_re = inphase0
-            sym_im = mim
-            slot_new = jnp.where(fired, jnp.where(is1, 2, 1), slot)
-        else:
-            do_update = fired
-            inphase = inphase0
-            sym_re = mre
-            sym_im = mim
-            slot_new = slot
-
-        # ---- M&M retiming (timing.c:59-95) ------------------------------
         prev = fs_ref[F_TPREV:F_TPREV + 1, :]
-        sgn_prev = jnp.where(prev < 0, _F32(-1.0), _F32(1.0))
-        sgn_cur = jnp.where(sym_im < 0, _F32(-1.0), _F32(1.0))
-        err_t = sgn_prev * sym_im - sgn_cur * prev
-        tp_upd = tp - (_TWO_PI + a_t * err_t)
-        fd = jnp.clip((tf - t_center) - b_t * err_t, -t_dev, t_dev)
-        tf_upd = t_center + fd
-        tp = jnp.where(do_update, tp_upd, tp)
-        tf = jnp.where(do_update, tf_upd, tf)
-        prev_new = jnp.where(do_update, sym_im, prev)
+        pp = fs_ref[F_PPHASE:F_PPHASE + 1, :]
+        pf = fs_ref[F_PFREQ:F_PFREQ + 1, :]
+        perr = fs_ref[F_PERR:F_PERR + 1, :]
+        updown = fs_ref[F_UPDOWN:F_UPDOWN + 1, :]
+        gain = fs_ref[F_GAIN:F_GAIN + 1, :]
+        bias_re = fs_ref[F_BIASRE:F_BIASRE + 1, :]
+        bias_im = fs_ref[F_BIASIM:F_BIASIM + 1, :]
+        inphase = fs_ref[F_INPHASE:F_INPHASE + 1, :]
+        locked = is_ref[I_LOCKED:I_LOCKED + 1, :]
+        lonce = is_ref[I_LOCKED_ONCE:I_LOCKED_ONCE + 1, :]
+        slot = is_ref[I_SLOT:I_SLOT + 1, :]
+        t = is_ref[I_TICK:I_TICK + 1, :]
+        flags = is_ref[I_FLAGS:I_FLAGS + 1, :]
 
-        # ---- Costas update (pll.c:99-130) -------------------------------
-        e = (_lut_tanh_rows(sym_re, tanh_table) * sym_im
-             - _lut_tanh_rows(sym_im, tanh_table) * sym_re)
-        pp_upd = jnp.fmod(pp + a_p * e, _TWO_PI)
-        pf = fs_ref[F_PFREQ:F_PFREQ + 1, :] + b_p * e
-        perr0 = fs_ref[F_PERR:F_PERR + 1, :]
-        err_upd = perr0 * err_keep + jnp.abs(e) * err_pole
-        locked0 = is_ref[I_LOCKED:I_LOCKED + 1, :]
-        lock_now = jnp.logical_and(err_upd < _F32(C.LOCK_THRESH), locked0 == 0)
-        unlock_now = jnp.logical_and(err_upd > _F32(C.UNLOCK_THRESH),
-                                     locked0 == 1)
-        locked_upd = jnp.where(lock_now, 1, jnp.where(unlock_now, 0, locked0))
-        lonce0 = is_ref[I_LOCKED_ONCE:I_LOCKED_ONCE + 1, :]
-        lonce_upd = jnp.maximum(lonce0, lock_now.astype(jnp.int32))
-        updown0 = fs_ref[F_UPDOWN:F_UPDOWN + 1, :]
-        pf = jnp.where(locked_upd == 0, pf + sweep * updown0, pf)
-        updown_upd = jnp.where(pf >= fmax, _F32(-1.0),
-                               jnp.where(pf <= -fmax, _F32(1.0), updown0))
-        pf = jnp.clip(pf, -fmax, fmax)
+        wc = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0)
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (K, B), 0)     # (K, B)
+        ksB = (kiota + 1).astype(jnp.float32)
 
-        # ---- gated state writeback --------------------------------------
+        for j in range(G):
+            live = (s * G + j) < S
+
+            if oqpsk:
+                thresh = slot.astype(jnp.float32) * _PI
+            else:
+                thresh = jnp.full_like(tp, _TWO_PI)
+
+            # ---- closed-form timing gate (scan.py docstring item 4) ------
+            diff = thresh - tp                          # (1, B)
+            rem = block_ticks - t                       # (1, B) i32
+            prod = ksB * tf                             # (K, B)
+            ok = jnp.logical_and(prod >= diff,
+                                 ksB <= rem.astype(jnp.float32))
+            kcand = jnp.where(ok, kiota, K)
+            k_min = jnp.min(kcand, axis=0, keepdims=True)
+            fired = jnp.logical_and(k_min < K, live)
+            k_idx = jnp.where(fired, k_min, jnp.minimum(rem, K) - 1)
+            k_idx = jnp.where(live, k_idx, -1)
+            # Selected precomputed product: add is never fused with the mul.
+            prod_sel = jnp.sum(jnp.where(kiota == k_idx, prod, _F32(0.0)),
+                               axis=0, keepdims=True)
+            tau = t + k_idx
+            tp = tp + prod_sel
+            t = t + k_idx + 1
+
+            # ---- select fired tick from the (W, B) window tile -----------
+            # base[s*G+j, b] = tau-origin of window row j (host-precomputed).
+            c = tau - base_ref[j]                      # (1, B) window coord
+            sel = jnp.logical_and(wc == c, fired)      # (W, B)
+            z_re = jnp.sum(jnp.where(sel, wre_ref[j], _F32(0.0)), axis=0,
+                           keepdims=True)
+            z_im = jnp.sum(jnp.where(sel, wim_ref[j], _F32(0.0)), axis=0,
+                           keepdims=True)
+            miss = jnp.logical_and(fired, jnp.logical_or(c < 0, c >= W))
+
+            # ---- AGC (agc.c:12-25) ---------------------------------------
+            bias_re_n = bias_re * bias_keep + bias_pole * z_re
+            bias_im_n = bias_im * bias_keep + bias_pole * z_im
+            zr = (z_re - bias_re_n) * gain
+            zi = (z_im - bias_im_n) * gain
+            mag = jnp.sqrt(zr * zr + zi * zi)
+            gain_n = jnp.maximum(_F32(0.0),
+                                 gain + gain_pole * (agc_target - mag))
+
+            # ---- PLL mix (pll.c:50-97) -----------------------------------
+            sn = _fast_sin_rows(-pp)
+            cs = _fast_sin_rows(-pp + half_pi)
+            mre = zr * cs - zi * sn
+            mim = zr * sn + zi * cs
+            pp_adv = pp + pf
+            pp_adv = jnp.where(pp_adv >= _TWO_PI, pp_adv - _TWO_PI, pp_adv)
+
+            # ---- assemble symbol (OQPSK: demod.c:62-87) ------------------
+            if oqpsk:
+                is1 = slot == 1
+                fire1 = jnp.logical_and(fired, is1)
+                do_update = jnp.logical_and(fired, ~is1)
+                sym_re = inphase                   # previous half-symbol I
+                sym_im = mim
+                inphase = jnp.where(fire1, mre, inphase)
+                slot = jnp.where(fired, jnp.where(is1, 2, 1), slot)
+            else:
+                do_update = fired
+                sym_re = mre
+                sym_im = mim
+
+            # ---- M&M retiming (timing.c:59-95) ---------------------------
+            sgn_prev = jnp.where(prev < 0, _F32(-1.0), _F32(1.0))
+            sgn_cur = jnp.where(sym_im < 0, _F32(-1.0), _F32(1.0))
+            err_t = sgn_prev * sym_im - sgn_cur * prev
+            tp = jnp.where(do_update, tp - (_TWO_PI + a_t * err_t), tp)
+            fd = jnp.clip((tf - t_center) - b_t * err_t, -t_dev, t_dev)
+            tf = jnp.where(do_update, t_center + fd, tf)
+            prev = jnp.where(do_update, sym_im, prev)
+
+            # ---- Costas update (pll.c:99-130) ----------------------------
+            e = (_lut_tanh_rows(sym_re, tanh_table) * sym_im
+                 - _lut_tanh_rows(sym_im, tanh_table) * sym_re)
+            pp_upd = jnp.fmod(pp_adv + a_p * e, _TWO_PI)
+            pf_upd = pf + b_p * e
+            err_upd = perr * err_keep + jnp.abs(e) * err_pole
+            lock_now = jnp.logical_and(err_upd < _F32(C.LOCK_THRESH),
+                                       locked == 0)
+            unlock_now = jnp.logical_and(err_upd > _F32(C.UNLOCK_THRESH),
+                                         locked == 1)
+            locked_upd = jnp.where(lock_now, 1,
+                                   jnp.where(unlock_now, 0, locked))
+            lonce_upd = jnp.maximum(lonce, lock_now.astype(jnp.int32))
+            pf_upd = jnp.where(locked_upd == 0, pf_upd + sweep * updown,
+                               pf_upd)
+            updown_upd = jnp.where(pf_upd >= fmax, _F32(-1.0),
+                                   jnp.where(pf_upd <= -fmax, _F32(1.0),
+                                             updown))
+            pf_upd = jnp.clip(pf_upd, -fmax, fmax)
+
+            # ---- gated register updates ----------------------------------
+            pp = jnp.where(do_update, pp_upd, jnp.where(fired, pp_adv, pp))
+            pf = jnp.where(do_update, pf_upd, pf)
+            perr = jnp.where(do_update, err_upd, perr)
+            locked = jnp.where(do_update, locked_upd, locked)
+            lonce_out = jnp.where(do_update, lonce_upd, lonce)
+            lonce = lonce_out
+            updown = jnp.where(do_update, updown_upd, updown)
+            gain = jnp.where(fired, gain_n, gain)
+            bias_re = jnp.where(fired, bias_re_n, bias_re)
+            bias_im = jnp.where(fired, bias_im_n, bias_im)
+            flags = flags | jnp.where(miss, FLAG_WINDOW_MISS, 0)
+
+            # ---- per-step outputs (blocks are (G, 1, B)) -----------------
+            symre_ref[j, 0, :] = sym_re[0]
+            symim_ref[j, 0, :] = sym_im[0]
+            valid_ref[j, 0, :] = do_update[0].astype(jnp.int32)
+            lout_ref[j, 0, :] = lonce_out[0]
+
+        # ---- write registers back to scratch -----------------------------
         fs_ref[F_TPHASE:F_TPHASE + 1, :] = tp
         fs_ref[F_TFREQ:F_TFREQ + 1, :] = tf
-        fs_ref[F_TPREV:F_TPREV + 1, :] = prev_new
-        fs_ref[F_PPHASE:F_PPHASE + 1, :] = jnp.where(
-            do_update, pp_upd, jnp.where(fired, pp, pp0))
-        fs_ref[F_PFREQ:F_PFREQ + 1, :] = jnp.where(
-            do_update, pf, fs_ref[F_PFREQ:F_PFREQ + 1, :])
-        fs_ref[F_PERR:F_PERR + 1, :] = jnp.where(do_update, err_upd, perr0)
-        fs_ref[F_UPDOWN:F_UPDOWN + 1, :] = jnp.where(
-            do_update, updown_upd, updown0)
-        fs_ref[F_GAIN:F_GAIN + 1, :] = jnp.where(fired, gain, gain0)
-        fs_ref[F_BIASRE:F_BIASRE + 1, :] = jnp.where(
-            fired, bias_re, fs_ref[F_BIASRE:F_BIASRE + 1, :])
-        fs_ref[F_BIASIM:F_BIASIM + 1, :] = jnp.where(
-            fired, bias_im, fs_ref[F_BIASIM:F_BIASIM + 1, :])
+        fs_ref[F_TPREV:F_TPREV + 1, :] = prev
+        fs_ref[F_PPHASE:F_PPHASE + 1, :] = pp
+        fs_ref[F_PFREQ:F_PFREQ + 1, :] = pf
+        fs_ref[F_PERR:F_PERR + 1, :] = perr
+        fs_ref[F_UPDOWN:F_UPDOWN + 1, :] = updown
+        fs_ref[F_GAIN:F_GAIN + 1, :] = gain
+        fs_ref[F_BIASRE:F_BIASRE + 1, :] = bias_re
+        fs_ref[F_BIASIM:F_BIASIM + 1, :] = bias_im
         fs_ref[F_INPHASE:F_INPHASE + 1, :] = inphase
-        is_ref[I_LOCKED:I_LOCKED + 1, :] = locked_upd
-        is_ref[I_LOCKED_ONCE:I_LOCKED_ONCE + 1, :] = lonce_upd
-        is_ref[I_SLOT:I_SLOT + 1, :] = slot_new
+        is_ref[I_LOCKED:I_LOCKED + 1, :] = locked
+        is_ref[I_LOCKED_ONCE:I_LOCKED_ONCE + 1, :] = lonce
+        is_ref[I_SLOT:I_SLOT + 1, :] = slot
         is_ref[I_TICK:I_TICK + 1, :] = t
-        is_ref[I_FLAGS:I_FLAGS + 1, :] = (
-            is_ref[I_FLAGS:I_FLAGS + 1, :]
-            | jnp.where(miss, FLAG_WINDOW_MISS, 0))
+        is_ref[I_FLAGS:I_FLAGS + 1, :] = flags
 
-        # ---- per-step outputs (blocks are (1, 1, B)) --------------------
-        symre_ref[0, 0, :] = sym_re[0]
-        symim_ref[0, 0, :] = sym_im[0]
-        valid_ref[0, 0, :] = do_update[0].astype(jnp.int32)
-        lout_ref[0, 0, :] = jnp.where(do_update, lonce_upd, lonce0)[0]
-
-        # ---- final step: flags for unconsumed ticks + carry out ---------
-        @pl.when(s == S - 1)
+        # ---- final iteration: unconsumed-tick flags + carry out ----------
+        @pl.when(s == (S_pad // G) - 1)
         def _():
             unconsumed = is_ref[I_TICK:I_TICK + 1, :] < block_ticks
             is_ref[I_FLAGS:I_FLAGS + 1, :] = (
@@ -299,46 +334,51 @@ def _unpack_carry(f, i, fir_tail) -> DemodCarry:
 
 
 def make_pallas_batch_demod(cfg: DemodConfig, batch: int,
-                            interpret: bool = False) -> Callable:
+                            interpret: bool = False,
+                            group: int = 8) -> Callable:
     """Batched block demodulator with the Pallas recurrence kernel.
 
     Returns demod(carry, x) -> (carry', BlockOutput) where carry leaves have
     a leading (batch,) axis and x is (batch, block_len, 2) float32 — the same
-    contract as jax.vmap(make_block_demod(cfg)).
+    contract as jax.vmap(make_block_demod(cfg)). `group` symbol steps run
+    per grid iteration (see _make_kernel).
     """
     cfg.validate()
     from ..dsp.loops import TANH_TABLE
     banks = make_fir_banks(cfg)
-    S, W, B = cfg.steps_per_block, cfg.window_common, batch
+    S, W, B, G = cfg.steps_per_block, cfg.window_common, batch, group
+    S_pad = -(-S // G) * G
     delta = cfg.window_delta_common
     block_ticks = cfg.block_ticks
     offsets = np.asarray(cfg.window_offsets, dtype=np.int32)      # (S,)
+    offsets_pad = np.concatenate(
+        [offsets, np.full(S_pad - S, offsets[-1], np.int32)])     # (S_pad,)
     # Stream-independent window row indices into the (T, B) FIR array —
     # static, so the extraction is a row-gather with constant indices.
-    row_idx = np.clip(offsets[:, None] - delta
+    row_idx = np.clip(offsets_pad[:, None] - delta
                       + np.arange(W, dtype=np.int32)[None, :],
-                      0, block_ticks - 1).reshape(-1)             # (S*W,)
-    base_np = (offsets - delta).astype(np.int32)                  # (S,)
-    kernel = _make_kernel(cfg, B, TANH_TABLE)
+                      0, block_ticks - 1).reshape(-1)             # (S_pad*W,)
+    base_np = (offsets_pad - delta).astype(np.int32)              # (S_pad,)
+    kernel = _make_kernel(cfg, B, G, TANH_TABLE)
 
     grid_spec = pl.GridSpec(
-        grid=(S,),
+        grid=(S_pad // G,),
         scratch_shapes=[
             pltpu.VMEM((NF, B), jnp.float32),
             pltpu.VMEM((NI, B), jnp.int32),
         ],
         in_specs=[
-            pl.BlockSpec((1, 1, B), lambda s: (s, 0, 0)),   # base
-            pl.BlockSpec((1, W, B), lambda s: (s, 0, 0)),   # w_re
-            pl.BlockSpec((1, W, B), lambda s: (s, 0, 0)),   # w_im
+            pl.BlockSpec((G, 1, B), lambda s: (s, 0, 0)),   # base
+            pl.BlockSpec((G, W, B), lambda s: (s, 0, 0)),   # w_re
+            pl.BlockSpec((G, W, B), lambda s: (s, 0, 0)),   # w_im
             pl.BlockSpec((NF, B), lambda s: (0, 0)),
             pl.BlockSpec((NI, B), lambda s: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, B), lambda s: (s, 0, 0)),
-            pl.BlockSpec((1, 1, B), lambda s: (s, 0, 0)),
-            pl.BlockSpec((1, 1, B), lambda s: (s, 0, 0)),
-            pl.BlockSpec((1, 1, B), lambda s: (s, 0, 0)),
+            pl.BlockSpec((G, 1, B), lambda s: (s, 0, 0)),
+            pl.BlockSpec((G, 1, B), lambda s: (s, 0, 0)),
+            pl.BlockSpec((G, 1, B), lambda s: (s, 0, 0)),
+            pl.BlockSpec((G, 1, B), lambda s: (s, 0, 0)),
             pl.BlockSpec((NF, B), lambda s: (0, 0)),
             pl.BlockSpec((NI, B), lambda s: (0, 0)),
         ],
@@ -347,10 +387,10 @@ def make_pallas_batch_demod(cfg: DemodConfig, batch: int,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((S, 1, B), jnp.float32),
-            jax.ShapeDtypeStruct((S, 1, B), jnp.float32),
-            jax.ShapeDtypeStruct((S, 1, B), jnp.int32),
-            jax.ShapeDtypeStruct((S, 1, B), jnp.int32),
+            jax.ShapeDtypeStruct((S_pad, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((S_pad, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((S_pad, 1, B), jnp.int32),
+            jax.ShapeDtypeStruct((S_pad, 1, B), jnp.int32),
             jax.ShapeDtypeStruct((NF, B), jnp.float32),
             jax.ShapeDtypeStruct((NI, B), jnp.int32),
         ],
@@ -362,23 +402,23 @@ def make_pallas_batch_demod(cfg: DemodConfig, batch: int,
     def demod(carry: DemodCarry, x: jnp.ndarray):
         F, new_tail = fir(x, carry.fir_tail)       # (B, L, interp, 2)
         Ft = F.reshape(B, -1, 2).transpose(1, 0, 2)     # (T, B, 2)
-        # Static row-gather: (S*W, B) windows, reshaped per step.
-        w_re = jnp.take(Ft[:, :, 0], row_idx, axis=0).reshape(S, W, B)
-        w_im = jnp.take(Ft[:, :, 1], row_idx, axis=0).reshape(S, W, B)
+        # Static row-gather: (S_pad*W, B) windows, reshaped per step.
+        w_re = jnp.take(Ft[:, :, 0], row_idx, axis=0).reshape(S_pad, W, B)
+        w_im = jnp.take(Ft[:, :, 1], row_idx, axis=0).reshape(S_pad, W, B)
 
         f_in, i_in = _pack_carry(carry._replace(
             tick=jnp.zeros_like(carry.tick)))
 
         # base[s] = offsets[s] - delta, common to all streams.
         base = jnp.broadcast_to(jnp.asarray(base_np)[:, None, None],
-                                (S, 1, B))
+                                (S_pad, 1, B))
 
         sym_re, sym_im, valid, lonce, f_out, i_out = call(
             base, w_re, w_im, f_in, i_in)
 
         carry1 = _unpack_carry(f_out, i_out, new_tail)
-        outs = BlockOutput(sym_re=sym_re[:, 0].T, sym_im=sym_im[:, 0].T,
-                           valid=valid[:, 0].T, locked_once=lonce[:, 0].T)
+        outs = BlockOutput(sym_re=sym_re[:S, 0].T, sym_im=sym_im[:S, 0].T,
+                           valid=valid[:S, 0].T, locked_once=lonce[:S, 0].T)
         return carry1, outs
 
     return demod

@@ -22,18 +22,20 @@ from meteor_demod_tpu.sim import synth_psk
 @pytest.mark.parametrize("mode", ["qpsk", "oqpsk"])
 def test_pallas_matches_scan(mode):
     oq = mode == "oqpsk"
-    cfg = DemodConfig(samplerate=230400, block_len=2048,
+    # Small block keeps interpret-mode runtime sane; group=4 does not divide
+    # steps_per_block, so the dead-step grid padding is exercised too.
+    cfg = DemodConfig(samplerate=230400, block_len=1024,
                       symrate=80000.0 if oq else 72000.0, oqpsk=oq)
     B = 4
     x = np.stack([
-        synth_psk(900, cfg.samplerate, symrate=cfg.symrate, oqpsk=oq,
+        synth_psk(500, cfg.samplerate, symrate=cfg.symrate, oqpsk=oq,
                   carrier_hz=60.0 + 30 * b, amplitude=6000.0, snr_db=22.0,
                   seed=b, dc_offset=25 - 10j)[0][:cfg.block_len]
         for b in range(B)])
     xf = iq_to_f32(x)
 
     ref_fn = jax.jit(jax.vmap(make_block_demod(cfg)))
-    pal_fn = make_pallas_batch_demod(cfg, B, interpret=True)
+    pal_fn = make_pallas_batch_demod(cfg, B, interpret=True, group=4)
 
     rc, ro = ref_fn(batch_carry(cfg, B), xf)
     pc, po = pal_fn(batch_carry(cfg, B), jnp.asarray(xf))
@@ -42,7 +44,7 @@ def test_pallas_matches_scan(mode):
     np.testing.assert_array_equal(np.asarray(ro.locked_once),
                                   np.asarray(po.locked_once))
     m = np.asarray(ro.valid).astype(bool)
-    assert m.sum() > 100
+    assert m.sum() > 50
     np.testing.assert_allclose(np.asarray(po.sym_re)[m],
                                np.asarray(ro.sym_re)[m], rtol=5e-4, atol=0.05)
     np.testing.assert_allclose(np.asarray(po.sym_im)[m],
@@ -58,16 +60,16 @@ def test_pallas_matches_scan(mode):
 
 def test_pallas_chains_across_blocks():
     """Carry produced by the kernel feeds the next kernel call exactly."""
-    cfg = DemodConfig(samplerate=230400, block_len=2048)
+    cfg = DemodConfig(samplerate=230400, block_len=1024)
     B = 2
     x = np.stack([
-        synth_psk(1800, cfg.samplerate, carrier_hz=80.0, amplitude=6000.0,
+        synth_psk(1200, cfg.samplerate, carrier_hz=80.0, amplitude=6000.0,
                   snr_db=22.0, seed=9 + b)[0][:2 * cfg.block_len]
         for b in range(B)])
     xf = iq_to_f32(x)
 
     ref_fn = jax.jit(jax.vmap(make_block_demod(cfg)))
-    pal_fn = make_pallas_batch_demod(cfg, B, interpret=True)
+    pal_fn = make_pallas_batch_demod(cfg, B, interpret=True, group=4)
 
     rc, po1 = ref_fn(batch_carry(cfg, B), xf[:, :cfg.block_len])
     rc, ro2 = ref_fn(rc, xf[:, cfg.block_len:])
