@@ -3,7 +3,7 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Msamples/s", "vs_baseline": N, ...}
 
-Headline: fleet throughput per chip — 64 concurrent streams (BASELINE.json
+Headline: fleet throughput per chip — 128 concurrent streams (BASELINE.json
 configs[4]), the production serving shape. Extra fields report single-stream
 throughput (configs[0]) and real-time multiples at 230 ksps.
 
@@ -129,7 +129,7 @@ def main():
     t_start = time.time()
     dev = jax.devices()[0]
     cfg = DemodConfig(samplerate=SAMPLERATE, block_len=BLOCK_LEN)
-    fleet_batch = 64
+    fleet_batch = 128
     fleet_sps = _bench(cfg, batch=fleet_batch, seconds=3.0)
     # Secondary configs (BASELINE.json configs[1]/[3] and single-stream) run
     # only while budget remains — the remote compile service is erratic — and
@@ -156,7 +156,7 @@ def main():
 
     value = fleet_sps / 1e6
     print(json.dumps({
-        "metric": "iq_demod_Msamples_per_s_per_chip_230ksps_qpsk_64stream_fleet",
+        "metric": "iq_demod_Msamples_per_s_per_chip_230ksps_qpsk_128stream_fleet",
         "value": round(value, 2),
         "unit": "Msamples/s",
         "vs_baseline": round(value / BASELINE_MSPS, 1),

@@ -14,8 +14,10 @@ __version__ = "0.1.0"
 from .config import DemodConfig
 from .constants import SYM_RATE, RRC_ALPHA, RRC_ORDER, INTERP_FACTOR, PLL_BW, SYM_BW
 from .demod.pipeline import StreamDemodulator, demod_array, quantize_symbols
+from .demod.turbo import demod_array_turbo
 
 __all__ = [
-    "DemodConfig", "StreamDemodulator", "demod_array", "quantize_symbols",
+    "DemodConfig", "StreamDemodulator", "demod_array", "demod_array_turbo",
+    "quantize_symbols",
     "SYM_RATE", "RRC_ALPHA", "RRC_ORDER", "INTERP_FACTOR", "PLL_BW", "SYM_BW",
 ]

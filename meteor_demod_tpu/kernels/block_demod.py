@@ -10,15 +10,17 @@ every step is a handful of fused VPU ops over a (W, B) tile plus (1, B)
 rows — with B independent streams occupying the 128 VPU lanes.
 
 Layout (see demod/scan.py for the algorithm itself, and the reference C
-citations there):
-  w_re, w_im      (S, W, B) f32   per-step candidate FIR outputs, HBM-resident
-  offsets         (S, 1)    i32   static predicted fire-tick offsets, SMEM
+citations there; S_pad = steps padded to a multiple of the group size G):
+  w_re, w_im      (S_pad, W, B) f32  per-step candidate FIR windows, streamed
+                                     as (G, W, B) tiles by the grid pipeline
+  base            (S_pad, 1, B) i32  window tick origin per step
   carry in/out    (NF, B) f32 + (NI, B) i32  packed DemodCarry leaves
-  outputs         (S, B) sym_re/sym_im f32, valid/locked_once i32
+  outputs         (S_pad, 1, B) sym_re/sym_im f32, valid/locked_once i32
 
-The numeric recurrence is op-for-op the same as demod/scan.py's step; the
-decision structure (which ticks fire, lock transitions) is bit-identical,
-symbol values agree to float32-FMA tolerance.
+The numeric recurrence is op-for-op the same as demod/scan.py's step
+(including the closed-form FMA-proof timing gate); the decision structure
+(which ticks fire, lock transitions) is bit-identical, symbol values agree
+to float32-FMA tolerance.
 """
 
 from __future__ import annotations

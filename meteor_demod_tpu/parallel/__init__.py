@@ -1,5 +1,6 @@
 from .mesh import (FleetDemodulator, fleet_carry, make_fleet_demod, make_mesh,
                    shard_blocks)
+from .timeshard import make_sharded_fir, time_mesh
 
 __all__ = ["FleetDemodulator", "fleet_carry", "make_fleet_demod", "make_mesh",
-           "shard_blocks"]
+           "shard_blocks", "make_sharded_fir", "time_mesh"]

@@ -110,3 +110,40 @@ class TestLoops:
         # utils.h:26: sgn(0) = +1
         assert mm_error_np(np.float32(0.0), np.float32(2.0)) == np.float32(2.0)
         assert mm_error_np(np.float32(-1.0), np.float32(2.0)) == np.float32(-1.0)
+
+
+class TestClosedFormGate:
+    """Edge cases of the closed-form timing gate (demod/scalar.py)."""
+
+    def _ks(self, K=32):
+        return np.arange(1, K + 1, dtype=np.float32)
+
+    def test_fires_next_tick_when_past_threshold(self):
+        from meteor_demod_tpu.demod.scalar import gate_fire_np
+        # tp already beyond threshold (retime overshoot): fires on tick 1.
+        fired, k = gate_fire_np(np.float32(7.0), np.float32(0.39),
+                                np.float32(2 * np.pi), 1000, self._ks())
+        assert fired and k == 1
+
+    def test_nominal_symbol_period(self):
+        from meteor_demod_tpu.demod.scalar import gate_fire_np
+        tf = np.float32(2 * np.pi / 16)
+        fired, k = gate_fire_np(np.float32(0.0), tf, np.float32(2 * np.pi),
+                                1000, self._ks())
+        assert fired and k == 16
+
+    def test_block_exhaustion_consumes_remainder(self):
+        from meteor_demod_tpu.demod.scalar import gate_fire_np
+        tf = np.float32(2 * np.pi / 16)
+        fired, k = gate_fire_np(np.float32(0.0), tf, np.float32(2 * np.pi),
+                                5, self._ks())
+        assert not fired and k == 5
+
+    def test_stall_consumes_K_and_continues(self):
+        from meteor_demod_tpu.demod.scalar import gate_fire_np
+        # Gap larger than K candidates: consume K, no fire (next step
+        # continues) — mirrors the scan/kernel continuation semantics.
+        tf = np.float32(0.05)
+        fired, k = gate_fire_np(np.float32(0.0), tf, np.float32(2 * np.pi),
+                                1000, self._ks())
+        assert not fired and k == 32
