@@ -27,11 +27,11 @@ from .io.wav import open_input, read_sample_blocks
 from .io.writer import SymbolWriter
 from .utils import gen_fname, human_to_float
 
-SHORTOPTS = "Bb:d:f:hm:o:O:qR:r:s:S:v"
+SHORTOPTS = "Bb:d:f:hm:o:O:qR:r:s:S:T:v"
 LONGOPTS = [
     "batch", "pll-bw=", "freq-delta=", "fir-order=", "help", "mode=",
     "output=", "oversamp=", "quiet", "refresh-rate=", "symrate=", "stdout",
-    "samplerate=", "bps=", "version",
+    "samplerate=", "bps=", "version", "turbo=",
 ]
 
 USAGE = """Usage: {pname} [options] file_in
@@ -53,6 +53,10 @@ Advanced options:
    -d, --freq-delta <freq> Set the maximum carrier deviation to <freq> (default: +-3.5kHz)
    -f, --fir-order <ord>   Set the RRC filter order to <ord> (default: 32)
    -O, --oversamp <mult>   Set the interpolation factor to <mult> (default: 5)
+
+TPU extensions (not in the reference):
+   -T, --turbo <chunks>    Offline chunk-parallel demodulation of the whole
+                           file across <chunks> batch lanes (file input only)
 """
 
 
@@ -91,6 +95,7 @@ class Options:
         self.stdout_mode = False
         self.output_fname = None
         self.input_path = None
+        self.turbo_chunks = 0
 
 
 def parse_args(argv: list[str]) -> Options | int:
@@ -133,6 +138,8 @@ def parse_args(argv: list[str]) -> Options | int:
             opts.samplerate = int(human_to_float(val))
         elif flag in ("-S", "--bps"):
             opts.bps = _atoi(val)
+        elif flag in ("-T", "--turbo"):
+            opts.turbo_chunks = _atoi(val)
         elif flag in ("-v", "--version"):
             sys.stderr.write(f"meteor_demod_tpu v{__version__}\n")
             return 0
@@ -255,6 +262,13 @@ def main(argv: list[str] | None = None) -> int:
     except ValueError as e:
         sys.stderr.write(f"Invalid configuration: {e}\n")
         return 1
+
+    if opts.turbo_chunks > 0:
+        if is_stdin:
+            sys.stderr.write("--turbo requires a file input\n")
+            return 1
+        return _run_turbo(opts, cfg, samples_file, soft_file, bps)
+
     demod = StreamDemodulator(cfg)
 
     # File length probe (main.c:190-193).
@@ -296,6 +310,31 @@ def main(argv: list[str] | None = None) -> int:
         soft_file.close()
     if not is_stdin:
         samples_file.close()
+    return 0
+
+
+def _run_turbo(opts: Options, cfg: DemodConfig, samples_file, soft_file,
+               bps: int) -> int:
+    """Offline chunk-parallel demodulation of the whole file (-T <chunks>).
+
+    Reads all samples, runs demod_array_turbo across the batch lanes, and
+    writes the usual lock-gated int8 soft-symbol stream."""
+    from .demod.turbo import demod_array_turbo
+    from .io.wav import decode_iq
+
+    raw = samples_file.read()
+    x = decode_iq(raw, bps)
+    if not opts.quiet:
+        print(f"Turbo: {len(x)} samples across {opts.turbo_chunks} lanes",
+              file=sys.stderr if opts.stdout_mode else sys.stdout)
+    res = demod_array_turbo(cfg, x, chunks=opts.turbo_chunks)
+    w = SymbolWriter(soft_file)
+    w.feed(quantize_symbols(res.symbols), res.symbols["locked_once"])
+    w.flush_partial()
+    if not opts.quiet:
+        print(f"Turbo: {len(res.symbols)} symbols, passes={res.passes}, "
+              f"converged={res.converged}",
+              file=sys.stderr if opts.stdout_mode else sys.stdout)
     return 0
 
 

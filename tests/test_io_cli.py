@@ -211,3 +211,23 @@ def test_cli_end_to_end_stdout(tmp_path):
     assert len(syms) > 2000
     # Locked output: soft magnitudes around AGC target / 2 / 2.
     assert 30 < np.mean(np.abs(syms.astype(np.float32))) < 110
+
+
+def test_cli_turbo_flag(tmp_path):
+    """-T <chunks>: offline chunk-parallel demod through the CLI."""
+    x, _ = synth_psk(16000, 230400, carrier_hz=300.0, amplitude=6000.0,
+                     snr_db=20.0, seed=4)
+    wav = str(tmp_path / "t.wav")
+    out = str(tmp_path / "t.s")
+    from meteor_demod_tpu.sim import write_wav
+    write_wav(wav, x, 230400, 16)
+    env = dict(os.environ, METEOR_DEMOD_PLATFORM="cpu")
+    proc = subprocess.run(
+        [sys.executable, "-m", "meteor_demod_tpu", "-B", "-q",
+         "-T", "4", "-o", out, wav],
+        capture_output=True, timeout=300, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr.decode()[-400:]
+    syms = np.fromfile(out, dtype=np.int8)
+    assert len(syms) > 2000
+    assert parse_args(["md", "-T", "8", "x"]).turbo_chunks == 8
