@@ -141,3 +141,34 @@ def test_golden_qpsk_hifi(ref_binary, tmp_path):
     sign_agree, mad = score(ref, ours)
     assert sign_agree > 0.999, sign_agree
     assert mad < 0.5, mad
+
+
+def test_golden_qpsk_float32(ref_binary, tmp_path):
+    """32-bit float WAV samples (wavfile.c:66-68)."""
+    x, _ = synth_psk(32000, 230400, carrier_hz=350.0, amplitude=5000.0,
+                     snr_db=20.0, seed=15)
+    wav = str(tmp_path / "g.wav")
+    write_wav(wav, x, 230400, 32)
+    ref = run_ref(ref_binary, [wav], str(tmp_path / "ref.s"))
+    ours = run_ours(DemodConfig(samplerate=230400), wav, 32,
+                    str(tmp_path / "ours.s"))
+    sign_agree, mad = score(ref, ours)
+    assert sign_agree > 0.999, sign_agree
+    assert mad < 0.5, mad
+
+
+def test_golden_freq_delta_and_pll_bw(ref_binary, tmp_path):
+    """-d (max carrier deviation, Hz->rad/sym) and -b (PLL bandwidth):
+    both demodulators under non-default loop settings."""
+    x, _ = synth_psk(32000, 230400, carrier_hz=500.0, amplitude=6000.0,
+                     snr_db=20.0, seed=16)
+    wav = str(tmp_path / "g.wav")
+    write_wav(wav, x, 230400, 16)
+    ref = run_ref(ref_binary, ["-d", "2k", "-b", "2", wav],
+                  str(tmp_path / "ref.s"))
+    ours = run_ours(DemodConfig(samplerate=230400, pll_bw=2.0,
+                                freq_max=2000 * 2 * np.pi / 72000.0),
+                    wav, 16, str(tmp_path / "ours.s"))
+    sign_agree, mad = score(ref, ours)
+    assert sign_agree > 0.999, sign_agree
+    assert mad < 0.5, mad
