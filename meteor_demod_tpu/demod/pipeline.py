@@ -103,6 +103,13 @@ class StreamDemodulator:
         self._pending = np.zeros(0, dtype=np.complex64)
         self.fallback_blocks = 0
         self.symbols_out = 0
+        # Dispatch pipeline: up to `lookahead` blocks are in flight before
+        # their results are fetched, hiding the device->host round trip
+        # behind the next block's compute (the host link is high-latency on
+        # tunneled setups). Entries: (prev_carry, block_np, carry, outs).
+        self.lookahead = 2
+        self._inflight = []
+        self._backlog = []
         # Host-side telemetry snapshot, refreshed by the processing thread
         # after each block. UI threads read these plain floats — no
         # device->host transfers off the worker thread (PJRT clients need
@@ -156,7 +163,7 @@ class StreamDemodulator:
         self._pending = np.concatenate(
             [self._pending, np.asarray(samples, dtype=np.complex64)])
         L = self.cfg.block_len
-        chunks = []
+        chunks, self._backlog = self._backlog, []
         while len(self._pending) >= L:
             block, self._pending = self._pending[:L], self._pending[L:]
             chunks.append(self._run_block(block))
@@ -169,36 +176,66 @@ class StreamDemodulator:
     def _run_block(self, block: np.ndarray) -> np.ndarray:
         prev_carry = self._carry
         carry, outs = self._fn(prev_carry, jnp.asarray(iq_to_f32(block)))
-        # One egress fetch per block: safety flags, UI telemetry, symbols.
+        self._inflight.append((prev_carry, block, carry, outs))
+        self._carry = carry
+        if len(self._inflight) > self.lookahead:
+            return self._drain_one()
+        return np.zeros(0, dtype=_SYM_DTYPE)
+
+    def _drain_one(self) -> np.ndarray:
+        """Fetch the oldest in-flight block's results (flags, telemetry,
+        symbols); on a safety flag, recompute it with the scalar oracle and
+        replay every younger in-flight block from the corrected carry."""
+        prev_carry, block, carry, outs = self._inflight.pop(0)
         flags, p_freq, t_freq, locked, locked_once, agc_gain, outs_np = egress(
             (carry.flags, carry.p_freq, carry.t_freq, carry.locked,
              carry.locked_once, carry.agc_gain, outs))
         if int(flags) != 0:
-            # Safety net: recompute the block exactly with the scalar oracle.
+            # Safety net: the flagged block invalidates everything dispatched
+            # after it. Recompute it exactly with the scalar oracle, then
+            # re-dispatch the younger blocks from the corrected carry.
             self.fallback_blocks += 1
             st = carry_to_scalar_state(self.cfg, prev_carry)
             symbols, st = scalar.demod_stream_np(self.cfg, block, st)
             self._carry = scalar_state_to_carry(self.cfg, st)
+            replay = [b for (_, b, _, _) in self._inflight]
+            self._inflight = []
+            for b in replay:
+                pc = self._carry
+                c2, o2 = self._fn(pc, jnp.asarray(iq_to_f32(b)))
+                self._inflight.append((pc, b, c2, o2))
+                self._carry = c2
             self._publish_telemetry()
             return symbols
-        self._carry = carry
         self._telemetry = dict(
             p_freq=float(p_freq), t_freq=float(t_freq),
             locked=bool(locked), locked_once=bool(locked_once),
             agc_gain=float(agc_gain))
         return _outputs_to_symbols(outs_np)
 
+    def sync(self) -> None:
+        """Drain the dispatch pipeline, buffering its symbols for the next
+        process()/finish() return. Leaves _carry/_pending authoritative —
+        call before serializing state (io/checkpoint.py does)."""
+        while self._inflight:
+            self._backlog.append(self._drain_one())
+
     def finish(self) -> np.ndarray:
-        """Process the remaining sub-block tail via the exact oracle."""
-        if len(self._pending) == 0:
-            return np.zeros(0, dtype=_SYM_DTYPE)
-        st = carry_to_scalar_state(self.cfg, self._carry)
-        symbols, st = scalar.demod_stream_np(self.cfg, self._pending, st)
-        self._carry = scalar_state_to_carry(self.cfg, st)
-        self._pending = np.zeros(0, dtype=np.complex64)
-        self.symbols_out += len(symbols)
-        self._publish_telemetry()
-        return symbols
+        """Drain the dispatch pipeline, then process the remaining sub-block
+        tail via the exact oracle."""
+        self.sync()
+        chunks, self._backlog = self._backlog, []
+        if len(self._pending):
+            st = carry_to_scalar_state(self.cfg, self._carry)
+            symbols, st = scalar.demod_stream_np(self.cfg, self._pending, st)
+            self._carry = scalar_state_to_carry(self.cfg, st)
+            self._pending = np.zeros(0, dtype=np.complex64)
+            self._publish_telemetry()
+            chunks.append(symbols)
+        out = (np.concatenate(chunks) if chunks
+               else np.zeros(0, dtype=_SYM_DTYPE))
+        self.symbols_out += len(out)
+        return out
 
 
 def demod_array(cfg: DemodConfig, x: np.ndarray) -> np.ndarray:

@@ -24,10 +24,17 @@ _FORMAT_VERSION = 1
 
 
 def save_checkpoint(path: str, demod: StreamDemodulator) -> None:
-    """Serialize a StreamDemodulator's complete state to `path` (.npz)."""
-    from ..demod.pipeline import egress
+    """Serialize a StreamDemodulator's complete state to `path` (.npz).
+
+    Drains the dispatch pipeline first (demod.sync()) so the carry is
+    flag-verified and the in-flight blocks' symbols are not lost — they are
+    returned by the next process()/finish() call."""
+    from ..demod.pipeline import egress, _SYM_DTYPE
+    demod.sync()
     carry = {f"carry_{k}": np.asarray(v)
              for k, v in egress(demod._carry)._asdict().items()}
+    backlog = (np.concatenate(demod._backlog) if demod._backlog
+               else np.zeros(0, dtype=_SYM_DTYPE))
     meta = dict(version=_FORMAT_VERSION,
                 cfg=dataclasses.asdict(demod.cfg),
                 symbols_out=demod.symbols_out,
@@ -35,6 +42,8 @@ def save_checkpoint(path: str, demod: StreamDemodulator) -> None:
     np.savez(path,
              meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
              pending=demod._pending,
+             backlog_re=backlog["re"], backlog_im=backlog["im"],
+             backlog_lo=backlog["locked_once"],
              **carry)
 
 
@@ -52,6 +61,13 @@ def load_checkpoint(path: str) -> StreamDemodulator:
                   for k in z.files if k.startswith("carry_")}
         d._carry = DemodCarry(**leaves)
         d._pending = np.asarray(z["pending"], dtype=np.complex64)
+        if "backlog_re" in z.files and len(z["backlog_re"]):
+            from ..demod.pipeline import _SYM_DTYPE
+            backlog = np.zeros(len(z["backlog_re"]), dtype=_SYM_DTYPE)
+            backlog["re"] = z["backlog_re"]
+            backlog["im"] = z["backlog_im"]
+            backlog["locked_once"] = z["backlog_lo"]
+            d._backlog = [backlog]
         d.symbols_out = int(meta["symbols_out"])
         d.fallback_blocks = int(meta["fallback_blocks"])
         d._publish_telemetry()

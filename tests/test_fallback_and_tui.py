@@ -36,7 +36,7 @@ def test_flagged_block_falls_back_to_oracle():
             flags=carry.flags | FLAG_WINDOW_MISS), outs
 
     d._fn = poisoned
-    got = d.process(x)
+    got = np.concatenate([d.process(x), d.finish()])
     assert d.fallback_blocks == 2          # every block flagged -> oracle
 
     ref, _ = scalar.demod_stream_np(cfg, x)

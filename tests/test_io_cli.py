@@ -231,3 +231,28 @@ def test_cli_turbo_flag(tmp_path):
     syms = np.fromfile(out, dtype=np.int8)
     assert len(syms) > 2000
     assert parse_args(["md", "-T", "8", "x"]).turbo_chunks == 8
+
+
+def test_checkpoint_mid_flight_preserves_symbols(tmp_path):
+    """Checkpointing while blocks are still in the dispatch pipeline must not
+    lose their symbols: they are persisted as backlog and delivered by the
+    resumed demodulator."""
+    cfg = DemodConfig(samplerate=230400, block_len=2048)
+    x, _ = synth_psk(8000, 230400, carrier_hz=200.0, amplitude=6000.0,
+                     snr_db=22.0, seed=8)
+    x = x[:3 * cfg.block_len]
+
+    d1 = StreamDemodulator(cfg)
+    full = np.concatenate([d1.process(x), d1.finish()])
+
+    d2 = StreamDemodulator(cfg)
+    part1 = d2.process(x[:cfg.block_len])          # 1 block, still in flight
+    assert len(part1) == 0                         # lookahead > in-flight
+    ckpt = str(tmp_path / "c.npz")
+    save_checkpoint(ckpt, d2)
+    d3 = load_checkpoint(ckpt)
+    part2 = np.concatenate([d3.process(x[cfg.block_len:]), d3.finish()])
+
+    got = np.concatenate([part1, part2])
+    np.testing.assert_array_equal(got["re"], full["re"])
+    np.testing.assert_array_equal(got["im"], full["im"])

@@ -58,7 +58,7 @@ def test_scan_matches_oracle_bitexact(mode, qpsk_cfg, oqpsk_cfg):
     ref_syms, ref_state = oracle_with_conv_fir(cfg, x)
 
     d = StreamDemodulator(cfg)
-    got = d.process(x)
+    got = np.concatenate([d.process(x), d.finish()])
     assert d.fallback_blocks == 0
 
     # Decision structure: same symbol count (same fire ticks), same lock

@@ -26,7 +26,7 @@ def test_turbo_equals_sequential():
     x = x[:n]
 
     d = StreamDemodulator(cfg)
-    seq = d.process(x)
+    seq = np.concatenate([d.process(x), d.finish()])
 
     res = demod_array_turbo(cfg, x, chunks=chunks, max_passes=chunks + 1)
     assert res.converged, res.max_residual
@@ -55,7 +55,8 @@ def test_turbo_pads_non_multiple_lengths():
                      snr_db=22.0, seed=22)
     x = x[:n]
 
-    seq = StreamDemodulator(cfg).process(x)
+    d = StreamDemodulator(cfg)
+    seq = np.concatenate([d.process(x), d.finish()])
     res = demod_array_turbo(cfg, x, chunks=chunks, max_passes=chunks + 1)
     assert res.converged
     # Padding adds trailing near-zero symbols; the common prefix must agree.
