@@ -181,12 +181,25 @@ class DemodRunner:
         self.stop = threading.Event()
 
     def run(self) -> None:
+        # Accumulate input chunks up to one chained-dispatch span before
+        # handing them to the demodulator, so the stream driver's multi-block
+        # fast path engages (~0.3 s of buffering at 230 ksps — on the order
+        # of the reference's own 32 KiB read buffering).
+        span = self.demod.cfg.block_len * self.demod.chain_blocks
+        buf = []
+        buffered = 0
         try:
             for chunk in read_sample_blocks(self.samples_file, self.bps):
                 if self.stop.is_set():
                     break
                 self.bytes_read += len(chunk) * 2 * self.bps // 8
-                self._emit(self.demod.process(chunk))
+                buf.append(chunk)
+                buffered += len(chunk)
+                if buffered >= span:
+                    self._emit(self.demod.process(np.concatenate(buf)))
+                    buf, buffered = [], 0
+            if buf:
+                self._emit(self.demod.process(np.concatenate(buf)))
             self._emit(self.demod.finish())
             self.writer.flush_partial()
         finally:
@@ -215,10 +228,20 @@ def main(argv: list[str] | None = None) -> int:
     # a TPU). Applied through the config API because some environments pin
     # jax_platforms at interpreter start, overriding the JAX_PLATFORMS env.
     import os
+    import jax
     platform = os.environ.get("METEOR_DEMOD_PLATFORM")
     if platform:
-        import jax
         jax.config.update("jax_platforms", platform)
+    # Persistent compilation cache: demod programs are identical across
+    # invocations, and (remote) TPU compiles can take minutes.
+    if not jax.config.jax_compilation_cache_dir:
+        cache = os.environ.get(
+            "METEOR_DEMOD_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "meteor_demod_tpu", "jax"))
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     opts = parse_args(argv)
     if isinstance(opts, int):
         return opts

@@ -23,6 +23,27 @@ from . import scalar
 _SYM_DTYPE = [("re", np.float32), ("im", np.float32), ("locked_once", np.int32)]
 
 
+@functools.lru_cache(maxsize=16)
+def _jit_chained_single(cfg: DemodConfig, k: int, backend: str):
+    """Jitted chain of k single-stream blocks per dispatch: one upload, one
+    carry hand-off on device, one result fetch — amortizes the host link
+    round trips that dominate per-block dispatch on tunneled setups."""
+    from .backend import make_batch_demod, default_backend
+    if backend == "auto":
+        backend = default_backend()
+    batched = make_batch_demod(cfg, 1, backend)
+
+    def run(carry, blocks):            # blocks: (k, L, 2)
+        def step(c, x):
+            c1 = jax.tree_util.tree_map(lambda a: a[None], c)
+            c2, o = batched(c1, x[None])
+            return (jax.tree_util.tree_map(lambda a: a[0], c2),
+                    jax.tree_util.tree_map(lambda a: a[0], o))
+        return jax.lax.scan(step, carry, blocks)
+
+    return jax.jit(run)
+
+
 @functools.lru_cache(maxsize=4)
 def _egress_fn():
     """Jitted shallow copy: rematerializes buffers through a trivial
@@ -99,6 +120,7 @@ class StreamDemodulator:
         self.cfg = cfg
         from .backend import jit_single_demod
         self._fn = jit_single_demod(cfg, backend)
+        self._backend = backend
         self._carry = init_carry(cfg)
         self._pending = np.zeros(0, dtype=np.complex64)
         self.fallback_blocks = 0
@@ -110,6 +132,10 @@ class StreamDemodulator:
         self.lookahead = 2
         self._inflight = []
         self._backlog = []
+        # When this many blocks are buffered, they are dispatched as ONE
+        # chained device call (one upload, one fetch) — the fast path for
+        # file inputs and bursty streams.
+        self.chain_blocks = 8
         # Host-side telemetry snapshot, refreshed by the processing thread
         # after each block. UI threads read these plain floats — no
         # device->host transfers off the worker thread (PJRT clients need
@@ -164,6 +190,11 @@ class StreamDemodulator:
             [self._pending, np.asarray(samples, dtype=np.complex64)])
         L = self.cfg.block_len
         chunks, self._backlog = self._backlog, []
+        while len(self._pending) >= self.chain_blocks * L:
+            self.sync()                       # preserve block order
+            span = self._pending[:self.chain_blocks * L]
+            self._pending = self._pending[self.chain_blocks * L:]
+            chunks.append(self._run_chained(span))
         while len(self._pending) >= L:
             block, self._pending = self._pending[:L], self._pending[L:]
             chunks.append(self._run_block(block))
@@ -172,6 +203,33 @@ class StreamDemodulator:
             self.symbols_out += len(out)
             return out
         return np.zeros(0, dtype=_SYM_DTYPE)
+
+    def _run_chained(self, span: np.ndarray) -> np.ndarray:
+        """Demodulate chain_blocks consecutive blocks in one dispatch."""
+        k = self.chain_blocks
+        L = self.cfg.block_len
+        fn = _jit_chained_single(self.cfg, k, self._backend)
+        prev_carry = self._carry
+        blocks = jnp.asarray(iq_to_f32(span).reshape(k, L, 2))
+        carry, outs = fn(prev_carry, blocks)
+        flags, p_freq, t_freq, locked, locked_once, agc_gain, outs_np = egress(
+            (carry.flags, carry.p_freq, carry.t_freq, carry.locked,
+             carry.locked_once, carry.agc_gain, outs))
+        if int(flags) != 0:
+            # Safety net: recompute the whole span with the scalar oracle.
+            self.fallback_blocks += k
+            st = carry_to_scalar_state(self.cfg, prev_carry)
+            symbols, st = scalar.demod_stream_np(self.cfg, span, st)
+            self._carry = scalar_state_to_carry(self.cfg, st)
+            self._publish_telemetry()
+            return symbols
+        self._carry = carry
+        self._telemetry = dict(
+            p_freq=float(p_freq), t_freq=float(t_freq),
+            locked=bool(locked), locked_once=bool(locked_once),
+            agc_gain=float(agc_gain))
+        # outs leaves are (k, S); row-major flattening is chronological.
+        return _outputs_to_symbols(outs_np)
 
     def _run_block(self, block: np.ndarray) -> np.ndarray:
         prev_carry = self._carry
