@@ -181,11 +181,15 @@ class DemodRunner:
         self.stop = threading.Event()
 
     def run(self) -> None:
-        # Accumulate input chunks up to one chained-dispatch span before
-        # handing them to the demodulator, so the stream driver's multi-block
-        # fast path engages (~0.3 s of buffering at 230 ksps — on the order
-        # of the reference's own 32 KiB read buffering).
-        span = self.demod.cfg.block_len * self.demod.chain_blocks
+        # File input: accumulate chunks up to one chained-dispatch span so
+        # the stream driver's multi-block fast path engages. Live stdin keeps
+        # per-chunk delivery — batching would add ~0.3 s of latency to the
+        # symbol stream and telemetry (the reference's own buffering is one
+        # 32 KiB read, ~36 ms).
+        if self.opts.input_path == "-":
+            span = 1
+        else:
+            span = self.demod.cfg.block_len * self.demod.chain_blocks
         buf = []
         buffered = 0
         try:
@@ -239,9 +243,13 @@ def main(argv: list[str] | None = None) -> int:
             "METEOR_DEMOD_CACHE",
             os.path.join(os.path.expanduser("~"), ".cache",
                          "meteor_demod_tpu", "jax"))
-        os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        try:
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except OSError:
+            pass        # unwritable HOME: run without the persistent cache
     opts = parse_args(argv)
     if isinstance(opts, int):
         return opts

@@ -42,13 +42,12 @@ def jit_batch_demod(cfg: DemodConfig, batch: int,
     return jax.jit(make_batch_demod(cfg, batch, backend))
 
 
-@functools.lru_cache(maxsize=32)
-def jit_single_demod(cfg: DemodConfig, backend: str = "auto") -> Callable:
-    """Single-stream (no batch axis) jitted block demodulator."""
+def make_single_demod(cfg: DemodConfig, backend: str = "auto") -> Callable:
+    """Single-stream (no batch axis) block demodulator, unjitted."""
     if backend == "auto":
         backend = default_backend()
     if backend == "scan":
-        return jax.jit(make_block_demod(cfg))
+        return make_block_demod(cfg)
     batched = make_batch_demod(cfg, 1, backend)
 
     def single(carry, x):
@@ -57,4 +56,10 @@ def jit_single_demod(cfg: DemodConfig, backend: str = "auto") -> Callable:
         return (jax.tree_util.tree_map(lambda a: a[0], carry2),
                 jax.tree_util.tree_map(lambda a: a[0], outs))
 
-    return jax.jit(single)
+    return single
+
+
+@functools.lru_cache(maxsize=32)
+def jit_single_demod(cfg: DemodConfig, backend: str = "auto") -> Callable:
+    """Single-stream (no batch axis) jitted block demodulator."""
+    return jax.jit(make_single_demod(cfg, backend))

@@ -28,17 +28,10 @@ def _jit_chained_single(cfg: DemodConfig, k: int, backend: str):
     """Jitted chain of k single-stream blocks per dispatch: one upload, one
     carry hand-off on device, one result fetch — amortizes the host link
     round trips that dominate per-block dispatch on tunneled setups."""
-    from .backend import make_batch_demod, default_backend
-    if backend == "auto":
-        backend = default_backend()
-    batched = make_batch_demod(cfg, 1, backend)
+    from .backend import make_single_demod
+    step = make_single_demod(cfg, backend)
 
     def run(carry, blocks):            # blocks: (k, L, 2)
-        def step(c, x):
-            c1 = jax.tree_util.tree_map(lambda a: a[None], c)
-            c2, o = batched(c1, x[None])
-            return (jax.tree_util.tree_map(lambda a: a[0], c2),
-                    jax.tree_util.tree_map(lambda a: a[0], o))
         return jax.lax.scan(step, carry, blocks)
 
     return jax.jit(run)
@@ -144,13 +137,17 @@ class StreamDemodulator:
             p_freq=0.0, t_freq=float(cfg.timing_freq), locked=False,
             locked_once=False, agc_gain=1.0)
 
+    def _set_telemetry(self, p_freq, t_freq, locked, locked_once,
+                       agc_gain) -> None:
+        self._telemetry = dict(
+            p_freq=float(p_freq), t_freq=float(t_freq),
+            locked=bool(locked), locked_once=bool(locked_once),
+            agc_gain=float(agc_gain))
+
     def _publish_telemetry(self) -> None:
         c = self._carry
         vals = egress((c.p_freq, c.t_freq, c.locked, c.locked_once, c.agc_gain))
-        self._telemetry = dict(
-            p_freq=float(vals[0]), t_freq=float(vals[1]),
-            locked=bool(vals[2]), locked_once=bool(vals[3]),
-            agc_gain=float(vals[4]))
+        self._set_telemetry(*vals)
 
     # -- telemetry (reference getter parity) --------------------------------
     @property
@@ -191,7 +188,11 @@ class StreamDemodulator:
         L = self.cfg.block_len
         chunks, self._backlog = self._backlog, []
         while len(self._pending) >= self.chain_blocks * L:
-            self.sync()                       # preserve block order
+            # Drain in-flight singles first and FLUSH their symbols into the
+            # output now — emitting them later would reorder the stream.
+            self.sync()
+            chunks.extend(self._backlog)
+            self._backlog = []
             span = self._pending[:self.chain_blocks * L]
             self._pending = self._pending[self.chain_blocks * L:]
             chunks.append(self._run_chained(span))
@@ -217,6 +218,8 @@ class StreamDemodulator:
              carry.locked_once, carry.agc_gain, outs))
         if int(flags) != 0:
             # Safety net: recompute the whole span with the scalar oracle.
+            # (Flags are pathological-input-only; per-block granularity is
+            # not worth the complexity here — the per-block path has it.)
             self.fallback_blocks += k
             st = carry_to_scalar_state(self.cfg, prev_carry)
             symbols, st = scalar.demod_stream_np(self.cfg, span, st)
@@ -224,10 +227,7 @@ class StreamDemodulator:
             self._publish_telemetry()
             return symbols
         self._carry = carry
-        self._telemetry = dict(
-            p_freq=float(p_freq), t_freq=float(t_freq),
-            locked=bool(locked), locked_once=bool(locked_once),
-            agc_gain=float(agc_gain))
+        self._set_telemetry(p_freq, t_freq, locked, locked_once, agc_gain)
         # outs leaves are (k, S); row-major flattening is chronological.
         return _outputs_to_symbols(outs_np)
 
@@ -265,10 +265,7 @@ class StreamDemodulator:
                 self._carry = c2
             self._publish_telemetry()
             return symbols
-        self._telemetry = dict(
-            p_freq=float(p_freq), t_freq=float(t_freq),
-            locked=bool(locked), locked_once=bool(locked_once),
-            agc_gain=float(agc_gain))
+        self._set_telemetry(p_freq, t_freq, locked, locked_once, agc_gain)
         return _outputs_to_symbols(outs_np)
 
     def sync(self) -> None:

@@ -129,3 +129,33 @@ def test_demod_locks_on_clean_signal(qpsk_cfg):
     assert abs(d.carrier_freq_hz() - 50.0) < 25.0
     # Symbol rate estimate near 72k.
     assert abs(d.symbol_rate_hz() - cfg.symrate) < 50.0
+
+
+def test_chunk_invariance_with_chained_path(qpsk_cfg):
+    """A small chunk (leaving blocks in flight) followed by a chained-span
+    chunk must keep the symbol stream in order (regression: sync() inside
+    process() once deferred in-flight symbols BEHIND the chained span's)."""
+    cfg = qpsk_cfg
+    chain = 8
+    n = (3 + 2 * chain) * cfg.block_len + 777
+    x = _signal(cfg, n, seed=5)
+
+    d1 = StreamDemodulator(cfg)
+    one_shot = np.concatenate([d1.process(x), d1.finish()])
+
+    d2 = StreamDemodulator(cfg)
+    parts = [d2.process(x[:3 * cfg.block_len]),          # leaves 2 in flight
+             d2.process(x[3 * cfg.block_len:]),          # triggers chaining
+             d2.finish()]
+    mixed = np.concatenate(parts)
+
+    assert len(mixed) == len(one_shot)
+    # Order must match; values may differ between the chained and per-block
+    # programs by FMA-ordering noise only.
+    skip = len(one_shot) // 4
+    np.testing.assert_array_equal(np.sign(mixed["re"][skip:]),
+                                  np.sign(one_shot["re"][skip:]))
+    np.testing.assert_array_equal(np.sign(mixed["im"][skip:]),
+                                  np.sign(one_shot["im"][skip:]))
+    mad = np.mean(np.abs(mixed["re"][skip:] - one_shot["re"][skip:]))
+    assert mad < 1.0, mad
