@@ -51,6 +51,21 @@ def rrc_coeffs(taps: int, osf: float, alpha: float) -> np.ndarray:
     # 0/0 singularity at the center tap (filter.c:82-84)
     center_val = _F32(norm * (_F32(1) - alpha + _F32(4) * alpha / pi))
     out[stage == order] = center_val
+
+    # Second removable singularity at t = 1/(4*alpha) (1 - (4*alpha*t)^2 = 0),
+    # which the reference does NOT handle — its default configs never land an
+    # integer stage there, but e.g. osf*interp = 24 with alpha = 0.6 does,
+    # and the C code would emit inf taps. Evaluate the limit numerically from
+    # a nudged t instead (float64, then rounded to f32 like everything else).
+    bad = ~np.isfinite(out)
+    if bad.any():
+        t64 = np.abs(order - stage).astype(np.float64) / float(osf) + 1e-6
+        c64 = (np.sin(np.pi * t64 * (1 - float(alpha)))
+               + 4 * float(alpha) * t64 * np.cos(np.pi * t64
+                                                 * (1 + float(alpha))))
+        i64 = np.pi * t64 * (1 - (4 * float(alpha) * t64) ** 2)
+        out[bad] = (c64[bad] / i64[bad] * w.astype(np.float64)[bad]
+                    * float(norm)).astype(_F32)
     return out
 
 

@@ -80,6 +80,9 @@ def test_fleet_telemetry_psum(cfg):
     assert tel["symbols"] == int(np.asarray(outs.valid).sum())
     assert tel["flags"] == 0
     assert 0 <= tel["locked_streams"] <= n_streams
+    # Per-stream safety flags exposed for recovery routing.
+    assert fleet.stream_flags.shape == (n_streams,)
+    assert fleet.flagged_streams().size == 0
 
 
 def test_fleet_rejects_bad_shapes(cfg):

@@ -64,3 +64,25 @@ def test_turbo_pads_non_multiple_lengths():
     skip = m // 4
     np.testing.assert_array_equal(np.sign(res.symbols["re"][skip:m]),
                                   np.sign(seq["re"][skip:m]))
+
+
+def test_turbo_oqpsk():
+    """OQPSK turbo: the dual-slot state machine's parity is part of the
+    carry, so the fixpoint handles it like any other loop state."""
+    cfg = DemodConfig(samplerate=240000, symrate=80000.0, oqpsk=True,
+                      block_len=2048)
+    chunks = 4
+    n = chunks * 2 * cfg.block_len
+    x, _ = synth_psk(int(n * cfg.symrate / cfg.samplerate) + 64,
+                     cfg.samplerate, symrate=cfg.symrate, oqpsk=True,
+                     carrier_hz=120.0, amplitude=6000.0, snr_db=22.0, seed=23)
+    x = x[:n]
+
+    d = StreamDemodulator(cfg)
+    seq = np.concatenate([d.process(x), d.finish()])
+    res = demod_array_turbo(cfg, x, chunks=chunks, max_passes=chunks + 1)
+    assert res.converged
+    assert len(res.symbols) == len(seq)
+    skip = len(seq) // 4
+    np.testing.assert_array_equal(np.sign(res.symbols["im"][skip:]),
+                                  np.sign(seq["im"][skip:]))
