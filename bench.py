@@ -9,8 +9,9 @@ throughput (configs[0]) and real-time multiples at 230 ksps.
 
 Methodology: the block demodulator is chained K blocks per dispatch with an
 outer lax.scan, so the measurement sees device throughput, not host/tunnel
-round-trip latency. The carry is donated; only the safety flags are fetched
-at the end (through the egress copy, see demod/pipeline.py).
+round-trip latency. No buffer donation (donation wedges the tunneled PJRT
+backend — see CLAUDE.md); only the safety flags are fetched at the end
+(through the egress copy, see demod/pipeline.py) as the dispatch fence.
 
 Baseline: the reference's implied full-load single-core throughput,
 ~0.66 Msamples/s (BASELINE.md, derived from README.md:71-76: real-time

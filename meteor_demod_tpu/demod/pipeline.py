@@ -217,12 +217,17 @@ class StreamDemodulator:
             (carry.flags, carry.p_freq, carry.t_freq, carry.locked,
              carry.locked_once, carry.agc_gain, outs))
         if int(flags) != 0:
-            # Safety net: recompute the whole span with the scalar oracle.
-            # (Flags are pathological-input-only; per-block granularity is
-            # not worth the complexity here — the per-block path has it.)
+            # Safety net: recompute the span with the scalar oracle, block by
+            # block, so the timing-gate rounding at internal block boundaries
+            # matches the per-block path (_drain_one) bit-for-bit.
             self.fallback_blocks += k
             st = carry_to_scalar_state(self.cfg, prev_carry)
-            symbols, st = scalar.demod_stream_np(self.cfg, span, st)
+            parts = []
+            for i in range(k):
+                sym, st = scalar.demod_stream_np(
+                    self.cfg, span[i * L:(i + 1) * L], st)
+                parts.append(sym)
+            symbols = np.concatenate(parts)
             self._carry = scalar_state_to_carry(self.cfg, st)
             self._publish_telemetry()
             return symbols

@@ -44,9 +44,10 @@ def test_turbo_equals_sequential():
     assert mad < 2.0, mad
 
 
-def test_turbo_pads_non_multiple_lengths():
-    """Input shorter than chunks*chunk_len is zero-padded; the signal-region
-    symbols must still match the sequential demod's decisions."""
+def test_turbo_sequential_tail_non_multiple_lengths():
+    """The sub-multiple tail is demodulated sequentially from the final
+    chunk's carry (demod/turbo.py: no zero padding, no pad symbols); the
+    symbol decisions must match the sequential demod's."""
     cfg = DemodConfig(samplerate=230400, block_len=2048)
     chunks = 4
     n = chunks * 2 * cfg.block_len - 3000
@@ -59,7 +60,7 @@ def test_turbo_pads_non_multiple_lengths():
     seq = np.concatenate([d.process(x), d.finish()])
     res = demod_array_turbo(cfg, x, chunks=chunks, max_passes=chunks + 1)
     assert res.converged
-    # Padding adds trailing near-zero symbols; the common prefix must agree.
+    # No pad symbols: same count, and decisions agree past acquisition.
     m = min(len(seq), len(res.symbols))
     skip = m // 4
     np.testing.assert_array_equal(np.sign(res.symbols["re"][skip:m]),
