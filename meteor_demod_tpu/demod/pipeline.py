@@ -51,8 +51,8 @@ def egress(tree):
     return jax.tree_util.tree_map(np.asarray, jax.device_get(_egress_fn()(tree)))
 
 
-def carry_to_scalar_state(cfg: DemodConfig, carry: DemodCarry) -> dict:
-    c = egress(carry)._asdict()
+def numpy_carry_to_scalar_state(cfg: DemodConfig, c: dict) -> dict:
+    """Already-egressed numpy carry leaves (unbatched) -> scalar oracle state."""
     return dict(
         t_phase=np.float32(c["t_phase"]), t_freq=np.float32(c["t_freq"]),
         t_prev=np.float32(c["t_prev"]),
@@ -64,6 +64,29 @@ def carry_to_scalar_state(cfg: DemodConfig, carry: DemodCarry) -> dict:
         agc_bias=np.complex64(complex(c["agc_bias_re"], c["agc_bias_im"])),
         inphase=np.float32(c["inphase"]), slot=int(c["slot"]),
         fir_tail=f32_to_iq(np.asarray(c["fir_tail"], dtype=np.float32)),
+    )
+
+
+def carry_to_scalar_state(cfg: DemodConfig, carry: DemodCarry) -> dict:
+    return numpy_carry_to_scalar_state(cfg, egress(carry)._asdict())
+
+
+def scalar_state_to_numpy_carry(cfg: DemodConfig, st: dict) -> dict:
+    """Scalar oracle state -> dict of unbatched numpy DemodCarry leaves
+    (tick reset, flags cleared — the oracle result is exact)."""
+    bias = np.complex64(st["agc_bias"])
+    return dict(
+        t_phase=np.float32(st["t_phase"]), t_freq=np.float32(st["t_freq"]),
+        t_prev=np.float32(st["t_prev"]),
+        p_phase=np.float32(st["p_phase"]), p_freq=np.float32(st["p_freq"]),
+        p_err=np.float32(st["p_err"]),
+        locked=np.int32(st["locked"]), locked_once=np.int32(st["locked_once"]),
+        updown=np.float32(st["updown"]), agc_gain=np.float32(st["agc_gain"]),
+        agc_bias_re=np.float32(bias.real), agc_bias_im=np.float32(bias.imag),
+        inphase=np.float32(st["inphase"]), slot=np.int32(st["slot"]),
+        tick=np.int32(0),
+        fir_tail=iq_to_f32(np.asarray(st["fir_tail"], dtype=np.complex64)),
+        flags=np.int32(0),
     )
 
 

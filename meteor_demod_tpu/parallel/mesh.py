@@ -110,7 +110,7 @@ class FleetDemodulator:
 
     def __init__(self, cfg: DemodConfig, n_streams: int,
                  mesh: Mesh | None = None, axis_name: str = "streams",
-                 backend: str = "auto"):
+                 backend: str = "auto", recover_flagged: bool = True):
         cfg.validate()
         self.cfg = cfg
         self.axis_name = axis_name
@@ -124,6 +124,13 @@ class FleetDemodulator:
         self.carry = fleet_carry(cfg, n_streams, self.mesh, axis_name)
         self.telemetry = None
         self.stream_flags = None
+        # When True (default), any stream whose block trips a safety flag is
+        # re-demodulated through the exact scalar oracle from its pre-block
+        # carry and its outputs/carry are spliced back — the fleet then has
+        # the same always-exact contract as StreamDemodulator (the reference
+        # per-sample path is always exact, demod.c:23-48).
+        self.recover_flagged = recover_flagged
+        self.recovered_streams = 0
 
     def process_blocks(self, blocks: np.ndarray):
         """blocks: (n_streams, block_len) complex64 (or (..., 2) float32)
@@ -134,20 +141,76 @@ class FleetDemodulator:
             raise ValueError(
                 f"expected {(self.n_streams, self.cfg.block_len, 2)},"
                 f" got {blocks.shape}")
-        x = shard_blocks(np.ascontiguousarray(blocks, dtype=np.float32),
-                         self.mesh, self.axis_name)
+        blocks = np.ascontiguousarray(blocks, dtype=np.float32)
+        prev_carry = self.carry
+        x = shard_blocks(blocks, self.mesh, self.axis_name)
         self.carry, outs, telemetry = self._fn(self.carry, x)
         outs, self.telemetry, self.stream_flags = egress(
             (outs, telemetry, self.carry.flags))
+        if self.recover_flagged and np.any(self.stream_flags):
+            outs = self._recover(prev_carry, blocks, outs)
+        return outs
+
+    def _recover(self, prev_carry: DemodCarry, blocks: np.ndarray, outs):
+        """Re-demodulate every flagged stream's block with the exact scalar
+        oracle (from the pre-block carry), splice the corrected symbols into
+        `outs` (left-justified in the step slots — chronological order, which
+        is all BlockOutput consumers rely on), and write the corrected carry
+        back to the device mesh. Flags are cleared: a nonzero stream_flags
+        entry always refers to the block just processed."""
+        from ..demod import scalar
+        from ..demod.pipeline import (numpy_carry_to_scalar_state,
+                                      scalar_state_to_numpy_carry)
+        from ..dsp.fir import f32_to_iq
+
+        flagged = np.nonzero(np.asarray(self.stream_flags))[0]
+        prev_np = egress(prev_carry)._asdict()
+        cur = {k: np.array(v) for k, v in egress(self.carry)._asdict().items()}
+        outs = outs.__class__(*(np.array(v) for v in outs))
+        S = outs.sym_re.shape[1]
+        for i in flagged:
+            st = numpy_carry_to_scalar_state(
+                self.cfg, {k: v[i] for k, v in prev_np.items()})
+            sym, st = scalar.demod_stream_np(
+                self.cfg, f32_to_iq(blocks[i]), st)
+            n = len(sym)
+            if n > S:
+                raise RuntimeError(
+                    f"stream {i}: oracle produced {n} symbols > {S} slots")
+            for k, v in scalar_state_to_numpy_carry(self.cfg, st).items():
+                cur[k][i] = v
+            outs.sym_re[i] = 0.0
+            outs.sym_im[i] = 0.0
+            outs.valid[i] = 0
+            outs.sym_re[i, :n] = sym["re"]
+            outs.sym_im[i, :n] = sym["im"]
+            outs.valid[i, :n] = 1
+            outs.locked_once[i, :n] = sym["locked_once"]
+            outs.locked_once[i, n:] = st["locked_once"]
+        self.recovered_streams += len(flagged)
+
+        sharding = NamedSharding(self.mesh, P(self.axis_name))
+        self.carry = DemodCarry(
+            **{k: jax.device_put(v, sharding) for k, v in cur.items()})
+        # Re-derive the fleet telemetry from the corrected host state (the
+        # psum values were computed before the splice).
+        self.telemetry = {
+            "locked_streams": np.int32(cur["locked"].sum()),
+            "locked_once_streams": np.int32(cur["locked_once"].sum()),
+            "symbols": np.int32(outs.valid.sum()),
+            "mean_agc_gain": np.float32(cur["agc_gain"].mean()),
+            "flags": np.int32(0),
+        }
         return outs
 
     def flagged_streams(self) -> np.ndarray:
-        """Indices of streams whose carry holds a sticky safety flag.
+        """Indices of streams that tripped a safety flag in the last block.
 
-        A flagged stream's fast-path output is suspect from the flagged block
-        onward; recover it by re-demodulating that stream sequentially
-        (StreamDemodulator routes flagged blocks to the exact scalar oracle).
-        """
+        With recover_flagged (the default) these streams have already been
+        re-demodulated exactly and their carry/output corrected — the indices
+        are reported for observability. With recover_flagged=False the flags
+        are sticky and the stream's fast-path output is suspect from the
+        flagged block onward."""
         if self.stream_flags is None:
             return np.zeros(0, dtype=np.int64)
         return np.nonzero(np.asarray(self.stream_flags))[0]

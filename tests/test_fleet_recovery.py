@@ -1,0 +1,107 @@
+"""Fleet flagged-stream recovery: the always-exact contract on the mesh.
+
+The reference's per-sample path is always exact (demod.c:23-48); the fleet
+fast path prematerializes candidate windows, so a pathological stream trips
+FLAG_WINDOW_MISS on the REAL signal path — no poisoned internals. The trip
+case: three blocks of silence (the AGC gain integrates up by
+AGC_GAIN_POLE * AGC_TARGET per fire with no signal, agc.c:21), then an
+absurd-amplitude float tone at HALF the symbol rate appearing at full
+power: its Q component alternates sign every symbol, so consecutive M&M
+errors reinforce while the boosted gain makes |err| ~ 2e5, retarding the
+timing NCO by ~alpha_t*|err| > 8 rad — beyond the 4-rad jitter budget the
+candidate window is sized for (config.py max_ticks_per_step) — and a fire
+lands outside the window. FleetDemodulator must then re-demodulate that
+stream's block through the exact scalar oracle and splice the corrected
+symbols and carry back, ending bit-identical to StreamDemodulator on every
+stream.
+"""
+
+import numpy as np
+
+from meteor_demod_tpu.config import DemodConfig
+from meteor_demod_tpu.demod.pipeline import StreamDemodulator
+from meteor_demod_tpu.parallel.mesh import FleetDemodulator
+from meteor_demod_tpu.sim import synth_psk
+
+HUGE_AMP = 2.0e6
+FLAGGED = 3
+QUIET_BLOCKS = 3      # silence first, so the AGC gain integrates up to ~19
+FLAG_BLOCK = QUIET_BLOCKS  # ... and the tone-onset block trips the window
+
+
+def _mixed_fleet(cfg, n_streams, n_blocks):
+    xs = []
+    for i in range(n_streams):
+        n = n_blocks * cfg.block_len
+        if i == FLAGGED:
+            quiet = QUIET_BLOCKS * cfg.block_len
+            t = np.arange(n - quiet)
+            tone = (HUGE_AMP * np.exp(
+                1j * 2 * np.pi * (cfg.symrate / 2) / cfg.samplerate * t)
+            ).astype(np.complex64)
+            x = np.concatenate([np.zeros(quiet, np.complex64), tone])
+        else:
+            x, _ = synth_psk(
+                int(n * cfg.symrate / cfg.samplerate) + 64,
+                cfg.samplerate, carrier_hz=60.0 + 35.0 * i, amplitude=6000.0,
+                snr_db=22.0, seed=90 + i)
+        xs.append(x[:n])
+    return np.stack(xs)
+
+
+def test_fleet_recovers_flagged_stream_exactly():
+    cfg = DemodConfig(samplerate=230400, block_len=2048)
+    n_streams, n_blocks = 8, 5
+    data = _mixed_fleet(cfg, n_streams, n_blocks)
+
+    fleet = FleetDemodulator(cfg, n_streams)
+    fleet_syms = [[] for _ in range(n_streams)]
+    flagged_per_block = []
+    for b in range(n_blocks):
+        outs = fleet.process_blocks(
+            data[:, b * cfg.block_len:(b + 1) * cfg.block_len])
+        flagged_per_block.append(fleet.flagged_streams().tolist())
+        valid = np.asarray(outs.valid).astype(bool)
+        for i in range(n_streams):
+            m = valid[i]
+            fleet_syms[i].append(np.stack(
+                [np.asarray(outs.sym_re)[i][m],
+                 np.asarray(outs.sym_im)[i][m]], axis=-1))
+
+    # The pathological stream flags on the tone-onset block (AGC transient),
+    # then its corrected carry keeps the fast path exact afterwards.
+    expect = [[FLAGGED] if b == FLAG_BLOCK else [] for b in range(n_blocks)]
+    assert flagged_per_block == expect, flagged_per_block
+    assert fleet.recovered_streams == 1
+    # Post-recovery telemetry reflects the corrected state.
+    assert int(fleet.telemetry["flags"]) == 0
+
+    # Every stream, flagged or not, must end bit-identical to the sequential
+    # StreamDemodulator (whose own safety net routes the same flagged block
+    # to the same oracle from the same pre-block carry).
+    for i in range(n_streams):
+        d = StreamDemodulator(cfg)
+        seq = np.concatenate(
+            [d.process(data[i]), d.finish()])
+        expected_fallback = 1 if i == FLAGGED else 0
+        assert d.fallback_blocks == expected_fallback, i
+        got = np.concatenate(fleet_syms[i])
+        assert got.shape[0] == len(seq), i
+        np.testing.assert_array_equal(got[:, 0], seq["re"], err_msg=f"s{i}")
+        np.testing.assert_array_equal(got[:, 1], seq["im"], err_msg=f"s{i}")
+
+
+def test_fleet_sticky_flags_without_recovery():
+    """recover_flagged=False preserves the report-only behavior: flags stay
+    sticky and the stream remains suspect."""
+    cfg = DemodConfig(samplerate=230400, block_len=2048)
+    n_streams, n_blocks = 8, 5
+    data = _mixed_fleet(cfg, n_streams, n_blocks)
+    fleet = FleetDemodulator(cfg, n_streams, recover_flagged=False)
+    for b in range(n_blocks):
+        fleet.process_blocks(
+            data[:, b * cfg.block_len:(b + 1) * cfg.block_len])
+        expect = [FLAGGED] if b >= FLAG_BLOCK else []   # sticky once tripped
+        assert fleet.flagged_streams().tolist() == expect, b
+    assert fleet.recovered_streams == 0
+    assert int(fleet.telemetry["flags"]) != 0

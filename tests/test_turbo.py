@@ -87,3 +87,63 @@ def test_turbo_oqpsk():
     skip = len(seq) // 4
     np.testing.assert_array_equal(np.sign(res.symbols["im"][skip:]),
                                   np.sign(seq["im"][skip:]))
+
+
+def test_turbo_non_convergence_reported():
+    """max_passes too low for the boundary carries to propagate: the result
+    must report converged=False with a nonzero residual, while the symbols
+    remain a valid demodulation. (With a single pass every chunk past the
+    first acquires cold, so each may lock in a different Costas quadrant —
+    the QPSK phase ambiguity — which is exactly why callers get a
+    `converged` flag to act on.)"""
+    cfg = DemodConfig(samplerate=230400, block_len=2048)
+    chunks = 4
+    # Chunks long enough that even a cold-started chunk re-locks within the
+    # chunk (the p_err EMA needs ~3300 fires to fall from 1000 to the lock
+    # threshold at pole 0.001 — pll.c:7,36,117).
+    n = chunks * 8 * cfg.block_len
+    x, _ = synth_psk(int(n * cfg.symrate / cfg.samplerate) + 64,
+                     cfg.samplerate, carrier_hz=150.0, amplitude=6000.0,
+                     snr_db=18.0, seed=31)
+    x = x[:n]
+
+    res = demod_array_turbo(cfg, x, chunks=chunks, max_passes=1)
+    assert not res.converged
+    assert res.passes == 1
+    assert res.max_residual > 0.0
+    assert not res.fell_back
+
+    d = StreamDemodulator(cfg)
+    seq = np.concatenate([d.process(x), d.finish()])
+    # Cold-started chunk boundaries may add/drop a few fires relative to the
+    # sequential pass; counts stay close, the stream still ends locked, and
+    # the soft symbols sit at the AGC-settled constellation magnitude.
+    assert abs(len(res.symbols) - len(seq)) <= 2 * chunks
+    assert res.symbols["locked_once"][-1] == 1
+    tail_mag = np.hypot(res.symbols["re"], res.symbols["im"])[-500:]
+    assert 100.0 < float(np.median(tail_mag)) < 300.0
+
+
+def test_turbo_flagged_chunk_falls_back_sequential():
+    """A recording whose signal onset trips the candidate window (silence
+    boosts the AGC gain, then a half-symrate tone lands a >8 rad timing
+    correction — see tests/test_adversarial.py) must flag inside turbo's
+    batched pass and trigger the sequential fallback, ending identical to
+    StreamDemodulator (whose own safety net handles the same block)."""
+    cfg = DemodConfig(samplerate=230400, block_len=2048)
+    L = cfg.block_len
+    quiet = 3 * L
+    t = np.arange(5 * L)
+    tone = (2.0e6 * np.exp(
+        1j * 2 * np.pi * (cfg.symrate / 2) / cfg.samplerate * t)
+    ).astype(np.complex64)
+    x = np.concatenate([np.zeros(quiet, np.complex64), tone])
+
+    res = demod_array_turbo(cfg, x, chunks=4, max_passes=5)
+    assert res.fell_back
+
+    d = StreamDemodulator(cfg)
+    seq = np.concatenate([d.process(x), d.finish()])
+    assert d.fallback_blocks >= 1
+    np.testing.assert_array_equal(res.symbols["re"], seq["re"])
+    np.testing.assert_array_equal(res.symbols["im"], seq["im"])
