@@ -348,8 +348,10 @@ def _run_turbo(opts: Options, cfg: DemodConfig, samples_file, soft_file,
                bps: int) -> int:
     """Offline chunk-parallel demodulation of the whole file (-T <chunks>).
 
-    Reads all samples, runs demod_array_turbo across the batch lanes, and
-    writes the usual lock-gated int8 soft-symbol stream."""
+    Reads all samples, runs demod_array_turbo across the batch lanes of
+    every local device (chunk axis sharded over the mesh when more than one
+    device is present), and writes the usual lock-gated int8 soft-symbol
+    stream."""
     from .demod.turbo import demod_array_turbo
     from .io.wav import decode_iq
 
@@ -358,7 +360,7 @@ def _run_turbo(opts: Options, cfg: DemodConfig, samples_file, soft_file,
     if not opts.quiet:
         print(f"Turbo: {len(x)} samples across {opts.turbo_chunks} lanes",
               file=sys.stderr if opts.stdout_mode else sys.stdout)
-    res = demod_array_turbo(cfg, x, chunks=opts.turbo_chunks)
+    res = demod_array_turbo(cfg, x, chunks=opts.turbo_chunks, mesh="auto")
     w = SymbolWriter(soft_file)
     w.feed(quantize_symbols(res.symbols), res.symbols["locked_once"])
     w.flush_partial()

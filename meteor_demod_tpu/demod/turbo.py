@@ -29,6 +29,7 @@ bit-exactness can keep iterating or fall back to StreamDemodulator.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 
 
@@ -43,6 +44,13 @@ from .pipeline import egress, _SYM_DTYPE
 from .state import DemodCarry, batch_carry
 
 
+def make_chunk_mesh(devices=None, axis_name: str = "chunks"):
+    """1-D mesh over which demod_array_turbo shards the chunk axis."""
+    from jax.sharding import Mesh
+    devs = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devs), (axis_name,))
+
+
 @dataclasses.dataclass
 class TurboResult:
     symbols: np.ndarray          # structured (re, im, locked_once)
@@ -52,18 +60,45 @@ class TurboResult:
     fell_back: bool = False      # True if safety flags forced a sequential redo
 
 
-def _chunk_fn(cfg: DemodConfig, chunks: int, kb: int, backend: str):
-    demod = make_batch_demod(cfg, chunks, backend)
+@functools.lru_cache(maxsize=16)
+def _chunk_fn(cfg: DemodConfig, chunks: int, kb: int, backend: str,
+              mesh=None, axis_name: str = "chunks"):
+    """Jitted (carry, blocks) -> (carry', outs) over all chunks.
 
-    def run(carry, blocks):      # blocks: (kb, C, L, 2)
+    Single device: the batched block demodulator under an outer lax.scan.
+    With a mesh: the chunk axis is sharded over the devices with shard_map —
+    ONE recording then uses the whole slice, the TPU-native answer to the
+    reference's strictly sequential sample loop (demod.c:23-48). Each device
+    runs the same per-shard program on chunks/n_dev lanes; there is no
+    cross-device traffic inside a pass (the carry hand-off between
+    neighboring chunks happens in the host-side shift between passes)."""
+    if mesh is None:
+        demod = make_batch_demod(cfg, chunks, backend)
+
+        def run(carry, blocks):      # blocks: (kb, C, L, 2)
+            return jax.lax.scan(demod, carry, blocks)
+
+        return jax.jit(run)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    n_dev = mesh.devices.size
+    demod = make_batch_demod(cfg, chunks // n_dev, backend)
+
+    def run_local(carry, blocks):    # per-shard: (kb, C/n_dev, L, 2)
         return jax.lax.scan(demod, carry, blocks)
 
-    return jax.jit(run)
+    sharded = shard_map(run_local, mesh=mesh,
+                        in_specs=(P(axis_name), P(None, axis_name)),
+                        out_specs=(P(axis_name), P(None, axis_name)),
+                        check_vma=False)
+    return jax.jit(sharded)
 
 
 def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
                       max_passes: int = 4,
-                      backend: str = "auto") -> TurboResult:
+                      backend: str = "auto",
+                      mesh=None) -> TurboResult:
     """Demodulate a full recording with chunk-parallel fixpoint iteration.
 
     Args:
@@ -73,8 +108,19 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
       max_passes: fixpoint iteration cap; worst-case cost is
         max_passes * (N / chunks) block-demod work.
       backend: recurrence backend ('auto' picks Pallas on TPU).
+      mesh: None for single-device; "auto" shards the chunk axis over all
+        local devices (when >1 and chunks divides evenly); or an explicit
+        1-D jax.sharding.Mesh. N-device output is bit-identical to
+        1-device output (tests/test_turbo_mesh.py).
     """
     cfg.validate()
+    if mesh == "auto":
+        devs = jax.devices()
+        mesh = (make_chunk_mesh(devs)
+                if len(devs) > 1 and chunks % len(devs) == 0 else None)
+    if mesh is not None and chunks % mesh.devices.size != 0:
+        raise ValueError(f"chunks {chunks} not divisible by mesh size "
+                         f"{mesh.devices.size}")
     if np.iscomplexobj(x):
         xf = iq_to_f32(np.asarray(x, dtype=np.complex64))
     else:
@@ -101,40 +147,54 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
     xt = xf[:turbo_n]
 
     # (kb, C, L, 2): block k of chunk c = xt[c*chunk_len + k*L : ... + L]
-    blocks = jnp.asarray(
-        xt.reshape(chunks, kb, L, 2).transpose(1, 0, 2, 3))
+    blocks_np = xt.reshape(chunks, kb, L, 2).transpose(1, 0, 2, 3)
 
     # Exact FIR tails at every chunk boundary, straight from the data.
     tails = np.zeros((chunks, taps - 1, 2), np.float32)
     for c in range(1, chunks):
         tails[c] = xt[c * chunk_len - (taps - 1):c * chunk_len]
-    tails_j = jnp.asarray(tails)
 
-    g = batch_carry(cfg, chunks)._replace(fir_tail=jnp.asarray(tails))
-    run = _chunk_fn(cfg, chunks, kb, backend)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axis = mesh.axis_names[0]
+        c_shard = NamedSharding(mesh, P(axis))
+        b_shard = NamedSharding(mesh, P(None, axis))
+        put_carry = lambda t: jax.tree_util.tree_map(
+            lambda a: jax.device_put(np.asarray(a), c_shard), t)
+        blocks = jax.device_put(blocks_np, b_shard)
+    else:
+        put_carry = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+        blocks = jnp.asarray(blocks_np)
 
-    def shift(f: DemodCarry) -> DemodCarry:
-        """g'[0] = exact initial, g'[i+1] = f[i]; tails stay data-exact."""
-        init0 = batch_carry(cfg, 1)
+    init_np = jax.tree_util.tree_map(np.asarray, batch_carry(cfg, 1))
+    g_np = jax.tree_util.tree_map(
+        np.array, batch_carry(cfg, chunks)._replace(fir_tail=tails))
+    run = _chunk_fn(cfg, chunks, kb, backend, mesh)
+
+    def shift_np(f: DemodCarry) -> DemodCarry:
+        """g'[0] = exact initial, g'[i+1] = f[i]; tails stay data-exact.
+        Pure host numpy: the per-pass convergence check already round-trips
+        the (tiny) carry, so the neighbor hand-off costs nothing extra and
+        needs no cross-device collective."""
         shifted = jax.tree_util.tree_map(
-            lambda a0, a: jnp.concatenate([a0, a[:-1]], axis=0), init0, f)
-        return shifted._replace(fir_tail=tails_j,
-                                tick=jnp.zeros_like(shifted.tick))
+            lambda a0, a: np.concatenate([a0, a[:-1]], axis=0), init_np, f)
+        return shifted._replace(fir_tail=tails,
+                                tick=np.zeros_like(shifted.tick))
 
     converged = False
     passes = 0
     max_residual = float("inf")
     outs = None
-    f = None
+    f_np = None
     for _ in range(max_passes):
-        f, outs = run(g, blocks)
-        g_new = shift(f)
+        f, outs = run(put_carry(g_np), blocks)
+        f_np = egress(f)
+        g_new = shift_np(f_np)
         passes += 1
-        g_np, gn_np = egress((g, g_new))
         residual = 0.0
         same = True
         for a, b in zip(jax.tree_util.tree_leaves(g_np),
-                        jax.tree_util.tree_leaves(gn_np)):
+                        jax.tree_util.tree_leaves(g_new)):
             if not np.array_equal(a, b):
                 same = False
                 if np.issubdtype(a.dtype, np.floating):
@@ -146,12 +206,11 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
         if same:
             converged = True
             break
-        g = g_new
+        g_np = g_new
 
     # Safety net: any flagged chunk invalidates the fast-path result for the
     # affected stream positions — redo the whole recording sequentially (the
     # sequential driver routes flagged blocks to the exact scalar oracle).
-    f_np = egress(f)
     if int(np.asarray(f_np.flags).sum()) != 0:
         return _sequential(tag_converged=False)
 

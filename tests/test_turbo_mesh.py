@@ -1,0 +1,55 @@
+"""Mesh-sharded turbo: ONE recording across N devices == 1 device, bitwise.
+
+demod_array_turbo with a mesh shards the chunk axis over devices via
+shard_map (demod/turbo.py _chunk_fn). Chunks are independent within a pass
+and the boundary hand-off happens in the host-side shift, so sharding must
+not change a single bit of the result — same convergence trajectory, same
+symbols. This is the sequence-parallel analogue of
+tests/test_parallel.py::test_fleet_matches_unsharded.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from meteor_demod_tpu.config import DemodConfig
+from meteor_demod_tpu.demod.turbo import demod_array_turbo, make_chunk_mesh
+from meteor_demod_tpu.sim import synth_psk
+
+
+@pytest.fixture(scope="module")
+def recording():
+    cfg = DemodConfig(samplerate=230400, block_len=2048)
+    chunks = 8
+    n = chunks * 2 * cfg.block_len
+    x, _ = synth_psk(int(n * cfg.symrate / cfg.samplerate) + 64,
+                     cfg.samplerate, carrier_hz=180.0, amplitude=6000.0,
+                     snr_db=22.0, seed=51)
+    return cfg, chunks, x[:n]
+
+
+def test_mesh_turbo_equals_single_device(recording):
+    cfg, chunks, x = recording
+    assert len(jax.devices()) == 8, "conftest must force 8 virtual devices"
+
+    single = demod_array_turbo(cfg, x, chunks=chunks, max_passes=chunks + 1)
+    meshed = demod_array_turbo(cfg, x, chunks=chunks, max_passes=chunks + 1,
+                               mesh=make_chunk_mesh())
+
+    assert single.converged and meshed.converged
+    assert single.passes == meshed.passes
+    np.testing.assert_array_equal(meshed.symbols["re"], single.symbols["re"])
+    np.testing.assert_array_equal(meshed.symbols["im"], single.symbols["im"])
+    np.testing.assert_array_equal(meshed.symbols["locked_once"],
+                                  single.symbols["locked_once"])
+
+
+def test_mesh_turbo_auto_and_validation(recording):
+    cfg, chunks, x = recording
+    # "auto" picks the full local mesh when chunks divide evenly ...
+    auto = demod_array_turbo(cfg, x, chunks=chunks, max_passes=chunks + 1,
+                             mesh="auto")
+    assert auto.converged
+    # ... and an explicit mesh that does not divide the chunks is rejected.
+    with pytest.raises(ValueError):
+        demod_array_turbo(cfg, x, chunks=6, mesh=make_chunk_mesh())
