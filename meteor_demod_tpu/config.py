@@ -108,14 +108,17 @@ class DemodConfig:
     def max_ticks_per_step(self) -> int:
         """Static bound on ticks consumed per scan step.
 
-        Worst case: the M&M phase correction alpha*err retards the NCO by up
-        to ~4 rad during the AGC transient (|err| <= 2*|sample|*gain with
-        16-bit input before the gain settles), after which the gate needs
-        (spacing + 4)/f_min ticks to refire. Steps that hit the bound without
-        firing simply continue in the next step — exactness is preserved.
+        Sized for steady state plus a 1-rad M&M correction margin: the gate
+        then fires every step in normal operation. Steps that hit the bound
+        without firing simply continue in the next step — exactness is
+        preserved — so a transient retard beyond the margin (the AGC
+        transient can reach ~4.5 rad, tests/test_adversarial.py) merely
+        costs one extra scan step out of steps_per_block's slack. Keeping
+        the bound tight keeps the gate's (K, B) candidate tile — serial
+        per-step work in every backend — small.
         """
         f_min = float(self.timing_freq) * (1 - 2.0 ** -C.FREQ_DEV_EXP)
-        return int(math.ceil((self.fire_spacing + 4.0) / f_min)) + 2
+        return int(math.ceil((self.fire_spacing + 1.0) / f_min)) + 2
 
     @property
     def gate_candidates(self) -> int:

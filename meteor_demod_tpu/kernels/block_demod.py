@@ -78,20 +78,22 @@ def _fast_sin_rows(fx):
     return y.astype(jnp.float32) * _INV_Q
 
 
-def _lut_tanh_rows(v, table):
+def _lut_tanh_rows(v, iota32, table_col):
     """Truncating tanh lookup (pll.c:153-159) on (1, B) rows.
 
-    table: (32,) numpy constant. Evaluated as a masked sum over the 32
-    entries — branch-free, lane-parallel, no gather. The terms are reduced
-    as a binary tree: exactly one term is nonzero, so any association is
-    bit-exact (x + 0 never rounds), and the dependency chain is log-depth.
+    iota32/table_col: (32, B) loop-invariant tiles (the numpy tanh table
+    enters the kernel as an input block — Pallas kernels cannot capture
+    array constants). Evaluated as a masked
+    sum over one (32, B) tile — 4 vregs of compare/select/add instead of
+    the 63 full-width row ops of an unrolled per-entry tree (each (1, B)
+    row op occupies a whole vreg, so the tile form is ~4.5x fewer issued
+    ops on the serial chain). Exactly one row is selected, so the sum is
+    bit-exact (x + 0 never rounds) — same value as a scalar table lookup.
     """
     idx = jnp.clip(jnp.trunc(v), -16.0, 15.0).astype(jnp.int32) + 16
-    terms = [jnp.where(idx == k, _F32(table[k]), _F32(0.0))
-             for k in range(32)]
-    while len(terms) > 1:
-        terms = [a + b for a, b in zip(terms[0::2], terms[1::2])]
-    return terms[0]
+    sel = iota32 == idx                       # (32, B), idx broadcast
+    return jnp.sum(jnp.where(sel, table_col, _F32(0.0)), axis=0,
+                   keepdims=True)
 
 
 def _make_kernel(cfg: DemodConfig, B: int, G: int,
@@ -126,7 +128,7 @@ def _make_kernel(cfg: DemodConfig, B: int, G: int,
     sweep = _F32(C.SWEEP_STEP)
     half_pi = _F32(np.pi / 2)
 
-    def kernel(base_ref, wre_ref, wim_ref, fin_ref, iin_ref,
+    def kernel(base_ref, wre_ref, wim_ref, fin_ref, iin_ref, table_ref,
                symre_ref, symim_ref, valid_ref, lout_ref,
                fout_ref, iout_ref, fs_ref, is_ref):
         s = pl.program_id(0)
@@ -157,6 +159,9 @@ def _make_kernel(cfg: DemodConfig, B: int, G: int,
         wc = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0)
         kiota = jax.lax.broadcasted_iota(jnp.int32, (K, B), 0)     # (K, B)
         ksB = (kiota + 1).astype(jnp.float32)
+        # Loop-invariant tanh-LUT tiles (see _lut_tanh_rows).
+        iota32 = jax.lax.broadcasted_iota(jnp.int32, (32, B), 0)
+        table_col = table_ref[:, :]
 
         for j in range(G):
             live = (s * G + j) < S
@@ -235,8 +240,8 @@ def _make_kernel(cfg: DemodConfig, B: int, G: int,
             prev = jnp.where(do_update, sym_im, prev)
 
             # ---- Costas update (pll.c:99-130) ----------------------------
-            e = (_lut_tanh_rows(sym_re, tanh_table) * sym_im
-                 - _lut_tanh_rows(sym_im, tanh_table) * sym_re)
+            e = (_lut_tanh_rows(sym_re, iota32, table_col) * sym_im
+                 - _lut_tanh_rows(sym_im, iota32, table_col) * sym_re)
             pp_upd = jnp.fmod(pp_adv + a_p * e, _TWO_PI)
             pf_upd = pf + b_p * e
             err_upd = perr * err_keep + jnp.abs(e) * err_pole
@@ -375,6 +380,7 @@ def make_pallas_batch_demod(cfg: DemodConfig, batch: int,
             pl.BlockSpec((G, W, B), lambda s: (s, 0, 0)),   # w_im
             pl.BlockSpec((NF, B), lambda s: (0, 0)),
             pl.BlockSpec((NI, B), lambda s: (0, 0)),
+            pl.BlockSpec((32, B), lambda s: (0, 0)),   # tanh LUT column
         ],
         out_specs=[
             pl.BlockSpec((G, 1, B), lambda s: (s, 0, 0)),
@@ -400,6 +406,8 @@ def make_pallas_batch_demod(cfg: DemodConfig, batch: int,
     )
 
     fir = jax.vmap(lambda x, tail: polyphase_fir_block(x, tail, banks))
+    table_np = np.broadcast_to(
+        np.asarray(TANH_TABLE, dtype=np.float32)[:, None], (32, B)).copy()
 
     def demod(carry: DemodCarry, x: jnp.ndarray):
         F, new_tail = fir(x, carry.fir_tail)       # (B, L, interp, 2)
@@ -416,7 +424,7 @@ def make_pallas_batch_demod(cfg: DemodConfig, batch: int,
                                 (S_pad, 1, B))
 
         sym_re, sym_im, valid, lonce, f_out, i_out = call(
-            base, w_re, w_im, f_in, i_in)
+            base, w_re, w_im, f_in, i_in, jnp.asarray(table_np))
 
         carry1 = _unpack_carry(f_out, i_out, new_tail)
         outs = BlockOutput(sym_re=sym_re[:S, 0].T, sym_im=sym_im[:S, 0].T,

@@ -85,7 +85,7 @@ def test_16bit_signal_onset_after_silence_flags_and_recovers():
     output remains sample-exact end-to-end."""
     cfg = DemodConfig(samplerate=230400, block_len=2048)
     L = cfg.block_len
-    quiet = 3 * L
+    quiet = 5 * L
     t = np.arange(2 * L)
     # Half-symbol-rate tone: Q alternates sign every symbol, so consecutive
     # M&M errors reinforce instead of cancelling — worst case for the gate.

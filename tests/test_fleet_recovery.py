@@ -3,7 +3,7 @@
 The reference's per-sample path is always exact (demod.c:23-48); the fleet
 fast path prematerializes candidate windows, so a pathological stream trips
 FLAG_WINDOW_MISS on the REAL signal path — no poisoned internals. The trip
-case: three blocks of silence (the AGC gain integrates up by
+case: five blocks of silence (the AGC gain integrates up by
 AGC_GAIN_POLE * AGC_TARGET per fire with no signal, agc.c:21), then an
 absurd-amplitude float tone at HALF the symbol rate appearing at full
 power: its Q component alternates sign every symbol, so consecutive M&M
@@ -25,7 +25,7 @@ from meteor_demod_tpu.sim import synth_psk
 
 HUGE_AMP = 2.0e6
 FLAGGED = 3
-QUIET_BLOCKS = 3      # silence first, so the AGC gain integrates up to ~19
+QUIET_BLOCKS = 5      # silence first, so the AGC gain integrates up to ~31
 FLAG_BLOCK = QUIET_BLOCKS  # ... and the tone-onset block trips the window
 
 
@@ -51,7 +51,7 @@ def _mixed_fleet(cfg, n_streams, n_blocks):
 
 def test_fleet_recovers_flagged_stream_exactly():
     cfg = DemodConfig(samplerate=230400, block_len=2048)
-    n_streams, n_blocks = 8, 5
+    n_streams, n_blocks = 8, 7
     data = _mixed_fleet(cfg, n_streams, n_blocks)
 
     fleet = FleetDemodulator(cfg, n_streams)
@@ -95,7 +95,7 @@ def test_fleet_sticky_flags_without_recovery():
     """recover_flagged=False preserves the report-only behavior: flags stay
     sticky and the stream remains suspect."""
     cfg = DemodConfig(samplerate=230400, block_len=2048)
-    n_streams, n_blocks = 8, 5
+    n_streams, n_blocks = 8, 7
     data = _mixed_fleet(cfg, n_streams, n_blocks)
     fleet = FleetDemodulator(cfg, n_streams, recover_flagged=False)
     for b in range(n_blocks):
