@@ -4,14 +4,24 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Msamples/s", "vs_baseline": N, ...}
 
 Headline: fleet throughput per chip — 128 concurrent streams (BASELINE.json
-configs[4]), the production serving shape. Extra fields report single-stream
-throughput (configs[0]) and real-time multiples at 230 ksps.
+configs[4]), the production serving shape. Extra fields:
+  - single_stream_*: one live stream through the chained block demod
+    (configs[0]).
+  - turbo_single_recording_*: ONE recording demodulated chunk-parallel
+    across the batch lanes with the fixpoint iteration (demod/turbo.py) —
+    the BASELINE north-star workload (>=100x real-time for one 230 ksps
+    recording, i.e. the job of /root/reference/main.c:284-329). Reuses the
+    headline's compiled program; only two scalars cross the host link per
+    pass (make_device_shift_cmp).
+  - oqpsk_fleet / hifi fleet stress configs (configs[1]/[3]).
 
-Methodology: the block demodulator is chained K blocks per dispatch with an
-outer lax.scan, so the measurement sees device throughput, not host/tunnel
-round-trip latency. No buffer donation (donation wedges the tunneled PJRT
-backend — see CLAUDE.md); only the safety flags are fetched at the end
-(through the egress copy, see demod/pipeline.py) as the dispatch fence.
+Methodology: the block demodulator is chained CHAIN blocks per dispatch
+with an outer lax.scan, so the measurement sees device throughput, not
+host/tunnel round-trip latency. No buffer donation (donation wedges the
+tunneled PJRT backend — see CLAUDE.md); a device->host readback of the
+safety flags is the only honest dispatch fence. Sample data is
+device-resident: the relay link (~MB/s) is not representative of a
+production NIC, and the reference's own number is compute-, not I/O-bound.
 
 Baseline: the reference's implied full-load single-core throughput,
 ~0.66 Msamples/s (BASELINE.md, derived from README.md:71-76: real-time
@@ -44,6 +54,7 @@ SAMPLERATE = 230400
 REALTIME_SPS = 230400.0
 BLOCK_LEN = 8192
 CHAIN = 16            # blocks per dispatch
+FLEET_BATCH = 128
 
 
 def log(msg):
@@ -57,11 +68,15 @@ def _make_signal(cfg, n_samples, seed=0):
     return x[:n_samples]
 
 
-def _bench(cfg, batch, seconds):
-    """Returns samples/sec through the chained block demod.
+def _sync(c):
+    """Hard barrier: device->host readback of the safety flags.
+    (block_until_ready returns before execution completes on the tunneled
+    PJRT backend, so a transfer is the only honest fence.)"""
+    return int(np.sum(egress(c.flags)))
 
-    On TPU the Pallas recurrence kernel is the product fast path; elsewhere
-    (CPU smoke runs) the XLA scan path is used."""
+
+def _chained_fn(cfg, batch):
+    """Jitted CHAIN-blocks-per-dispatch demod; Pallas on TPU, scan on CPU."""
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
         kernel = make_pallas_batch_demod(cfg, batch or 1)
@@ -80,45 +95,55 @@ def _bench(cfg, batch, seconds):
 
     def chained(carry, blocks):
         carry, outs = jax.lax.scan(demod, carry, blocks)
-        return carry, outs.valid.sum()
+        # Decision fingerprint (n_valid, int8-quantized checksum): lets the
+        # turbo fixpoint detect decision-stability from two scalars instead
+        # of materializing/transferring the full output (demod/turbo.py
+        # _fingerprint_fn semantics).
+        q = lambda v: jnp.trunc(
+            jnp.clip(v * np.float32(0.5), -127.0, 127.0)).astype(jnp.int32)
+        v = outs.valid.astype(jnp.int32).reshape(-1)
+        w = jnp.arange(v.shape[0], dtype=jnp.int32) % 8191 + 1
+        cs = jnp.sum(v * w * (3 * q(outs.sym_re).reshape(-1)
+                              + 5 * q(outs.sym_im).reshape(-1) + 7),
+                     dtype=jnp.int32)
+        return carry, (jnp.sum(v), cs)
 
     # No donation: the carry is a handful of scalars (copy cost ~0), and
-    # donated buffers have been observed to wedge the second dispatch on the
-    # tunneled PJRT backend.
-    fn = jax.jit(chained)
+    # donated buffers wedge the second dispatch on the tunneled backend.
+    return jax.jit(chained)
 
+
+def _bench(cfg, batch, seconds):
+    """Samples/sec through the chained block demod."""
+    fn = _chained_fn(cfg, batch)
     x = _make_signal(cfg, CHAIN * cfg.block_len)
-    blocks = iq_to_f32(x.reshape(CHAIN, cfg.block_len))      # (K, L, 2)
+    bl = iq_to_f32(x.reshape(CHAIN, cfg.block_len))          # (K, L, 2)
     if batch:
-        blocks = np.broadcast_to(blocks[:, None],
-                                 (CHAIN, batch, cfg.block_len, 2)).copy()
+        # Upload the (K, L, 2) signal once and broadcast across the batch
+        # ON DEVICE — the host link is ~MB/s, the expanded array is ~100 MB.
+        blocks = jnp.broadcast_to(jnp.asarray(bl)[:, None],
+                                  (CHAIN, batch, cfg.block_len, 2)) + 0.0
         carry0 = batch_carry(cfg, batch)
     else:
+        blocks = jnp.asarray(bl)
         carry0 = init_carry(cfg)
-    blocks = jnp.asarray(blocks)
-
-    def sync(c):
-        """Hard barrier: device->host readback of the safety flags.
-        (block_until_ready returns before execution completes on the
-        tunneled PJRT backend, so a transfer is the only honest fence.)"""
-        return int(np.sum(egress(c.flags)))
 
     t0 = time.time()
     carry, nsym = fn(carry0, blocks)                          # compile+run
-    assert sync(carry) == 0
+    assert _sync(carry) == 0
     log(f"compile+first dispatch (batch={batch}): {time.time()-t0:.1f}s")
 
     # Calibrate, then run a fixed dispatch count (an open-ended timed loop
     # would enqueue async dispatches far faster than the device drains them).
     t0 = time.perf_counter()
     carry, nsym = fn(carry, blocks)
-    assert sync(carry) == 0
+    assert _sync(carry) == 0
     dt1 = time.perf_counter() - t0
     n_calls = max(3, min(100, int(seconds / dt1)))
     t0 = time.perf_counter()
     for _ in range(n_calls):
         carry, nsym = fn(carry, blocks)
-    assert sync(carry) == 0
+    assert _sync(carry) == 0
     dt = time.perf_counter() - t0
     per_call = CHAIN * cfg.block_len * (batch or 1)
     sps = n_calls * per_call / dt
@@ -126,47 +151,121 @@ def _bench(cfg, batch, seconds):
     return sps
 
 
+def _bench_turbo(cfg, chunks=FLEET_BATCH, kb=64, max_passes=4):
+    """ONE recording of chunks*kb*block_len samples, demodulated with the
+    chunk-parallel fixpoint (demod/turbo.py semantics). Reuses the
+    headline's (CHAIN, batch, L, 2) program — no extra block-demod compile.
+    Returns (samples_per_sec, passes, converged) with the wall clock
+    covering EVERY pass plus the per-pass convergence scalars."""
+    from meteor_demod_tpu.demod.turbo import make_device_shift_cmp
+
+    L = cfg.block_len
+    assert kb % CHAIN == 0
+    n_samples = chunks * kb * L
+    fn = _chained_fn(cfg, chunks)
+
+    # One contiguous chunk of real signal; every chunk lane demodulates the
+    # same data (synth cost stays bounded; the fixpoint still has to
+    # propagate real carries across all chunk boundaries).
+    x = _make_signal(cfg, kb * L, seed=3)
+    xf = iq_to_f32(x)                                         # (kb*L, 2)
+    tails_np = np.zeros((chunks, cfg.taps - 1, 2), np.float32)
+    tails_np[1:] = xf[-(cfg.taps - 1):]
+    tails = jnp.asarray(tails_np)
+    # Upload the 1-chunk signal once (a few MB over the slow host link),
+    # broadcast across the chunk lanes ON DEVICE: (CHAIN, chunks, L, 2)
+    # device-resident segments, ~0.5 GB HBM total at the default geometry.
+    xf_dev = jnp.asarray(xf.reshape(kb, L, 2))
+    segments = [
+        jnp.broadcast_to(xf_dev[i * CHAIN:(i + 1) * CHAIN, None],
+                         (CHAIN, chunks, L, 2)) + 0.0
+        for i in range(kb // CHAIN)]
+
+    shift_cmp = make_device_shift_cmp(cfg)
+
+    def one_recording():
+        """Fixpoint with the decisions-stable stopping rule (turbo.py
+        converge='symbols'): stop when two consecutive passes emit the
+        identical int8-quantized stream; only per-pass scalar fingerprints
+        cross the host link."""
+        g = batch_carry(cfg, chunks)._replace(fir_tail=tails)
+        passes, converged, prev_fp = 0, False, None
+        for _ in range(max_passes):
+            f, fps = g, []
+            for seg in segments:
+                f, fp = fn(f, seg)
+                fps.append(fp)
+            g_new, _, _ = shift_cmp(f, g, tails)
+            fps = egress(fps)
+            n_total = sum(int(n) for n, _ in fps)
+            cs_total = sum((i + 3) * int(cs)
+                           for i, (_, cs) in enumerate(fps)) & 0x7FFFFFFF
+            fingerprint = (n_total, cs_total)
+            passes += 1
+            if fingerprint == prev_fp:
+                converged = True
+                break
+            prev_fp = fingerprint
+            g = g_new
+        assert _sync(f) == 0
+        return passes, converged
+
+    t0 = time.time()
+    passes, converged = one_recording()                        # compile+warm
+    log(f"turbo warmup: {time.time()-t0:.1f}s, passes={passes}")
+    t0 = time.perf_counter()
+    passes, converged = one_recording()
+    dt = time.perf_counter() - t0
+    sps = n_samples / dt
+    log(f"turbo: {n_samples/1e6:.0f} Msamples in {dt:.2f}s "
+        f"({sps/1e6:.1f} Msamples/s, passes={passes}, conv={converged})")
+    return sps, passes, converged
+
+
 def main():
-    t_start = time.time()
     dev = jax.devices()[0]
     cfg = DemodConfig(samplerate=SAMPLERATE, block_len=BLOCK_LEN)
-    fleet_batch = 128
-    fleet_sps = _bench(cfg, batch=fleet_batch, seconds=3.0)
-    # Secondary configs (BASELINE.json configs[1]/[3] and single-stream) run
-    # only while budget remains — the remote compile service is erratic — and
-    # tolerate failure without sinking the headline.
-    def maybe(name, cfg2, batch, budget_s):
-        if time.time() - t_start > budget_s:
-            log(f"skipping {name}: out of time budget")
-            return None
+
+    def maybe(name, thunk):
+        """Run a section; report None on failure without sinking the rest
+        (the remote compile service is erratic)."""
         try:
-            return _bench(cfg2, batch=batch, seconds=2.0)
+            return thunk()
         except Exception as e:    # noqa: BLE001 - report partial results
             log(f"{name} bench failed: {e}")
             return None
 
-    single_sps = maybe("single-stream", cfg, None, 240)
-    oqpsk_sps = maybe(
-        "oqpsk-fleet",
+    # Headline first (it is the metric); everything after reuses its cache
+    # or compiles something small, so ordering no longer starves the extras.
+    fleet_sps = _bench(cfg, batch=FLEET_BATCH, seconds=3.0)
+    single_sps = maybe("single-stream", lambda: _bench(cfg, None, 2.0))
+    turbo = maybe("turbo", lambda: _bench_turbo(cfg))
+    oqpsk_sps = maybe("oqpsk-fleet", lambda: _bench(
         DemodConfig(samplerate=SAMPLERATE, symrate=80000.0, oqpsk=True,
-                    block_len=BLOCK_LEN), fleet_batch, 330)
-    hifi_sps = maybe(
-        "hifi-fleet",
+                    block_len=BLOCK_LEN), FLEET_BATCH, 2.0))
+    hifi_sps = maybe("hifi-fleet", lambda: _bench(
         DemodConfig(samplerate=SAMPLERATE, rrc_order=64, interp=10,
-                    block_len=BLOCK_LEN), fleet_batch, 420)
+                    block_len=BLOCK_LEN), FLEET_BATCH, 2.0))
 
     value = fleet_sps / 1e6
+    turbo_sps, turbo_passes, turbo_conv = turbo if turbo else (None, None, None)
     print(json.dumps({
         "metric": "iq_demod_Msamples_per_s_per_chip_230ksps_qpsk_128stream_fleet",
         "value": round(value, 2),
         "unit": "Msamples/s",
         "vs_baseline": round(value / BASELINE_MSPS, 1),
-        "fleet_batch": fleet_batch,
+        "fleet_batch": FLEET_BATCH,
         "fleet_realtime_x_per_chip": round(fleet_sps / REALTIME_SPS, 1),
         "single_stream_msamples_per_s":
             round(single_sps / 1e6, 3) if single_sps else None,
         "single_stream_realtime_x":
             round(single_sps / REALTIME_SPS, 1) if single_sps else None,
+        "turbo_single_recording_msamples_per_s":
+            round(turbo_sps / 1e6, 1) if turbo_sps else None,
+        "turbo_single_recording_realtime_x":
+            round(turbo_sps / REALTIME_SPS, 1) if turbo_sps else None,
+        "turbo_passes": turbo_passes,
+        "turbo_converged": turbo_conv,
         "oqpsk_fleet_msamples_per_s":
             round(oqpsk_sps / 1e6, 2) if oqpsk_sps else None,
         "hifi_o64_x10_fleet_msamples_per_s":

@@ -1,0 +1,140 @@
+"""Scripted kernel profiling: per-step cost + window traffic of one chained
+fleet dispatch, replacing hand-collected PERF.md numbers.
+
+Prints one JSON line with per-block ms, per-step us, and the derived
+window-stream bytes/bandwidth so the roofline balance (serial-chain latency
+vs HBM) is recomputed from measurement on every run. Optionally captures a
+jax.profiler trace of one dispatch (--trace DIR) for Perfetto/XProf.
+
+Measurement discipline (see CLAUDE.md): one TPU process, no donation,
+device->host readback as the only honest fence, fixed dispatch counts,
+device-resident data.
+
+Usage:
+  python scripts/profile_kernel.py [--config qpsk|oqpsk|hifi]
+      [--batch 128] [--chain 16] [--seconds 3] [--trace DIR] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_cfg(name: str, block_len: int):
+    from meteor_demod_tpu.config import DemodConfig
+    if name == "qpsk":
+        return DemodConfig(samplerate=230400, block_len=block_len)
+    if name == "oqpsk":
+        return DemodConfig(samplerate=230400, symrate=80000.0, oqpsk=True,
+                           block_len=block_len)
+    if name == "hifi":
+        return DemodConfig(samplerate=230400, rrc_order=64, interp=10,
+                           block_len=block_len)
+    raise SystemExit(f"unknown config {name!r}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="qpsk")
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--chain", type=int, default=16)
+    ap.add_argument("--block", type=int, default=8192)
+    ap.add_argument("--seconds", type=float, default=3.0)
+    ap.add_argument("--trace", default=None,
+                    help="capture a jax.profiler trace of one dispatch")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import numpy as np
+    import jax.numpy as jnp
+    from meteor_demod_tpu.demod.backend import make_batch_demod
+    from meteor_demod_tpu.demod.pipeline import egress
+    from meteor_demod_tpu.demod.state import batch_carry
+    from meteor_demod_tpu.dsp.fir import iq_to_f32
+    from meteor_demod_tpu.sim import synth_psk
+
+    cfg = make_cfg(args.config, args.block)
+    B, chain = args.batch, args.chain
+    demod = make_batch_demod(cfg, B)
+
+    def chained(carry, blocks):
+        carry, outs = jax.lax.scan(demod, carry, blocks)
+        return carry, outs.valid.sum()
+
+    fn = jax.jit(chained)
+
+    nsym = int(chain * cfg.block_len * cfg.symrate / cfg.samplerate) + 64
+    x, _ = synth_psk(nsym, cfg.samplerate, carrier_hz=400.0, amplitude=6000.0,
+                     snr_db=18.0, seed=0)
+    bl = iq_to_f32(x[:chain * cfg.block_len].reshape(chain, cfg.block_len))
+    blocks = jnp.asarray(np.broadcast_to(
+        bl[:, None], (chain, B, cfg.block_len, 2)).copy())
+    carry = batch_carry(cfg, B)
+
+    def sync(c):
+        return int(np.sum(egress(c.flags)))   # the only honest fence
+
+    t0 = time.time()
+    carry, _ = fn(carry, blocks)
+    assert sync(carry) == 0
+    compile_s = time.time() - t0
+
+    t0 = time.perf_counter()
+    carry, _ = fn(carry, blocks)
+    assert sync(carry) == 0
+    dt1 = time.perf_counter() - t0
+    n_calls = max(3, min(100, int(args.seconds / dt1)))
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        carry, _ = fn(carry, blocks)
+    assert sync(carry) == 0
+    dt = (time.perf_counter() - t0) / n_calls
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            carry, _ = fn(carry, blocks)
+            sync(carry)
+        print(f"trace written to {args.trace}", file=sys.stderr)
+
+    # Derived geometry/roofline numbers.
+    S = cfg.steps_per_block
+    G = 8
+    S_pad = -(-S // G) * G
+    W = cfg.window_common
+    block_ms = dt * 1e3 / chain
+    step_us = dt * 1e6 / (chain * S)
+    win_bytes = S_pad * W * B * 4 * 2          # re+im f32 window stream
+    hbm_gbps = 819.0                           # v5e HBM ~819 GB/s
+    win_ms_at_hbm = win_bytes / (hbm_gbps * 1e9) * 1e3
+    sps = chain * cfg.block_len * B / dt
+
+    print(json.dumps({
+        "config": args.config, "batch": B, "chain": chain,
+        "block_len": cfg.block_len, "device": jax.devices()[0].platform,
+        "compile_plus_first_dispatch_s": round(compile_s, 1),
+        "msamples_per_s": round(sps / 1e6, 2),
+        "block_ms": round(block_ms, 3),
+        "step_us": round(step_us, 3),
+        "steps_per_block": S,
+        "window_rows": W,
+        "gate_candidates": cfg.gate_candidates,
+        "window_stream_mb_per_block": round(win_bytes / 1e6, 1),
+        "window_stream_ms_at_hbm": round(win_ms_at_hbm, 3),
+        "latency_vs_hbm_ratio": round(block_ms / max(win_ms_at_hbm, 1e-9), 1),
+        "dispatches": n_calls,
+    }))
+
+
+if __name__ == "__main__":
+    main()
