@@ -16,9 +16,34 @@ Two facts make few-pass convergence work:
   input data itself — it never participates in the iteration.
 - The loop states (PLL phase/freq, AGC gain/bias, timing phase) are
   contractive once locked: a cold-started chunk re-acquires within the
-  chunk, so after 2-3 passes each chunk starts from a near-exact carry and
-  symbol decisions match the sequential result; with long chunks the
-  iteration reaches the bitwise fixpoint.
+  chunk, so each chunk quickly starts from a near-exact carry and symbol
+  decisions match the sequential result.
+
+One loop state is NOT contractive: the Costas quadrant. A QPSK signal is
+invariant under 90-degree rotations (pll.c's tanh detector has the same
+symmetry), so every cold-started chunk locks in an arbitrary quadrant, and
+the naive fixpoint resolves that gauge only one chunk per pass — O(chunks)
+passes. The `gauge` convergence mode (the default for QPSK) removes the
+serialization entirely:
+
+  1. warmup: each lane demodulates a short window of REAL data preceding
+     its chunk from cold, producing w[c] — an estimate of the true state at
+     its own chunk start, in the lane's own arbitrary quadrant gauge.
+  2. pass 1 runs every chunk from w[c]; decisions are already correct
+     up to each lane's gauge.
+  3. the per-boundary quadrant k[c] = round((f[c-1].p_phase -
+     w[c].p_phase) / (pi/2)) is measured from two estimates of the SAME
+     physical boundary state; all cumulative gauges are then resolved in
+     ONE host-side O(chunks) scan, not one chunk per pass.
+  4. refinement passes enter each lane with its predecessor's exit carry
+     rotated INTO the lane's own gauge — a tiny perturbation — so the
+     fixpoint contracts in O(1) passes; convergence is declared when two
+     consecutive passes emit the identical decision stream (sign-level
+     fingerprint) and every gauge residual is far from the pi/4 decision
+     boundary.
+  5. assembly rotates lane c's symbols by the cumulative quadrant K[c]
+     (exact sign/swap ops, no rounding) into chunk 0's gauge — the same
+     gauge the sequential demodulator would have used.
 
 If the fixpoint is not reached, the result is still a valid demodulation
 whose soft symbols agree with the sequential path to within the loop noise
@@ -37,6 +62,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .. import constants as C
 from ..config import DemodConfig
 from ..dsp.fir import f32_to_iq, iq_to_f32
 from .backend import make_batch_demod
@@ -95,40 +121,203 @@ def _chunk_fn(cfg: DemodConfig, chunks: int, kb: int, backend: str,
     return jax.jit(sharded)
 
 
-def make_device_shift_cmp(cfg: DemodConfig):
-    """Jitted fixpoint-shift + convergence check, fully on device.
+_HALF_PI = np.float32(np.pi / 2)
+# Gauge residuals must sit far from the pi/4 quantization boundary for the
+# quadrant measurement to be trustworthy; pi/8 leaves a 2x margin over the
+# worst residual observed at 6 dB SNR (~0.26 rad).
+GAUGE_DELTA_TOL = float(np.pi / 8)
+# A stable decision fingerprint is only trustworthy if no future lock
+# transition can invalidate it: with chunks shorter than the p_err EMA
+# memory, decisions look stable for a pass or two while the lock state is
+# still propagating one chunk per pass. The gate: every lane's entry p_err
+# must be either safely below the lock threshold (no flip possible — the
+# slow p_freq/p_err asymptotics that keep crawling for many passes cannot
+# change decisions from there) or settled to relative tolerance.
+GAUGE_PERR_SAFE = 0.7 * float(C.LOCK_THRESH)
+GAUGE_ENTRY_TOL = 5e-3
 
-    (f, g, tails) -> (g_new, same, residual): g_new is the shifted carry
-    (g'[0] = exact initial, g'[i+1] = f[i], data-exact FIR tails, tick
-    reset); `same` is bitwise g_new == g over every leaf; `residual` the
-    largest float-leaf |difference|. Lets a fixpoint driver keep everything
-    device-resident and fetch only two scalars per pass (the host-side
-    shift in demod_array_turbo transfers the whole carry each pass — fine
-    for correctness, wasteful on high-latency host links)."""
-    init_np = jax.tree_util.tree_map(np.asarray, batch_carry(cfg, 1))
+
+@functools.lru_cache(maxsize=4)
+def _lane_sign_fp_fn():
+    """Jitted per-lane decision fingerprint of a BlockOutput.
+
+    Folds the sign bits (the decoded hard decisions), the valid pattern and
+    the locked_once telemetry with positional weights into one wrapping
+    int32 checksum per chunk lane, plus the per-lane valid count. Two
+    passes with equal fingerprints emitted identical decision streams up to
+    hash collision. Signs, not int8 levels: quantization LSBs keep
+    twitching at loop-noise amplitude long after the decisions are stable.
+    """
 
     @jax.jit
-    def shift_cmp(f: DemodCarry, g: DemodCarry, tails):
-        g_new = jax.tree_util.tree_map(
-            lambda a0, a: jnp.concatenate([jnp.asarray(a0), a[:-1]], axis=0),
-            init_np, f)
-        g_new = g_new._replace(fir_tail=tails,
-                               tick=jnp.zeros_like(g_new.tick))
-        same = jnp.array(True)
-        residual = jnp.float32(0.0)
-        for a, b in zip(jax.tree_util.tree_leaves(g),
-                        jax.tree_util.tree_leaves(g_new)):
-            eq = jnp.all(a == b)
-            same = jnp.logical_and(same, eq)
-            if jnp.issubdtype(a.dtype, jnp.floating):
-                residual = jnp.maximum(residual,
-                                       jnp.max(jnp.abs(a - b)))
-            else:
-                residual = jnp.maximum(
-                    residual, jnp.where(eq, 0.0, 1.0))
-        return g_new, same, residual
+    def fp(outs):
+        v = outs.valid.astype(jnp.int32)              # (kb, C, S)
+        sr = jnp.where(outs.sym_re >= 0, 1, -1) * v
+        si = jnp.where(outs.sym_im >= 0, 1, -1) * v
+        lo = outs.locked_once.astype(jnp.int32)
+        kb, _, S = v.shape
+        w = (jnp.arange(kb * S, dtype=jnp.int32).reshape(kb, 1, S)
+             % 8191) + 1
+        cs = jnp.sum(w * (7 * v + 3 * sr + 5 * si + 11 * lo), axis=(0, 2))
+        return jnp.sum(v, axis=(0, 2)), cs
 
-    return shift_cmp
+    return fp
+
+
+def _gauge_measure(f, w):
+    """Per-boundary quadrant between chunk c-1's exit and chunk c's own
+    warmup estimate of the same physical state (host numpy, O(chunks)).
+
+    Returns (k, delta, K): k[c-1] is the signed quadrant count at boundary
+    c, delta the leftover radians after removing it (loop noise — small iff
+    both estimates track the carrier), and K[c] the cumulative quadrant
+    rotating lane c's outputs into chunk 0's gauge."""
+    diff = np.asarray(f.p_phase, np.float64)[:-1] - np.asarray(
+        w.p_phase, np.float64)[1:]
+    k = np.round(diff / _HALF_PI).astype(np.int64)
+    delta = diff - k * float(_HALF_PI)
+    K = np.concatenate([[0], np.cumsum(k)])
+    return k, delta, K
+
+
+def _gauge_shift_np(init_np, f, w, k, tails):
+    """Pass p+1 entry carries: predecessor exits rotated into each lane's
+    OWN gauge (host numpy).
+
+    Lane 0 gets the exact initial state; lane c gets f[c-1] with p_phase
+    rotated by -k[c]*pi/2 so the entry matches the gauge lane c locked in
+    at pass 1 — the entry is then a tiny perturbation of the lane's own
+    previous entry and the fixpoint contracts in O(1) passes. t_prev (the
+    previous symbol's Q, a gauge-dependent quantity) rotates exactly for
+    even quadrants; odd quadrants would need the unstored I component, so
+    the lane's own warmup estimate — the same physical symbol in the right
+    gauge — stands in. Everything else in the carry is gauge-invariant.
+    FIR tails are data-exact; tick and flags reset per pass."""
+    g = jax.tree_util.tree_map(
+        lambda a0, a: np.concatenate([a0, a[:-1]], axis=0), init_np, f)
+    pp = g.p_phase.copy()
+    pp[1:] = np.mod(pp[1:].astype(np.float64) - k * float(_HALF_PI),
+                    2 * np.pi).astype(np.float32)
+    km = k % 4
+    tp = g.t_prev.copy()
+    tp[1:][km == 2] = -tp[1:][km == 2]
+    odd = (km % 2) == 1
+    tp[1:][odd] = w.t_prev[1:][odd]
+    return g._replace(p_phase=pp, t_prev=tp, fir_tail=tails,
+                      tick=np.zeros_like(g.tick),
+                      flags=np.zeros_like(g.flags))
+
+
+def rotate_quadrant(re, im, r):
+    """Multiply symbols by e^{-j*r*pi/2} — exact sign/swap ops, no
+    rounding. r = cumulative gauge K[c] (any sign)."""
+    r = int(r) % 4
+    if r == 0:
+        return re, im
+    if r == 1:
+        return im, -re
+    if r == 2:
+        return -re, -im
+    return -im, re
+
+
+def build_warmup(xf, chunks, chunk_len, kb_w, L, taps):
+    """Warmup inputs: lane c demodulates the kb_w blocks of REAL data
+    preceding its chunk (the tail of chunk c-1), with the data-exact FIR
+    tail before that. Lane 0 re-demodulates its own prefix — its warmup
+    result is discarded (the exact initial state is used instead).
+
+    Returns (wblocks (kb_w, C, L, 2), wtails (C, taps-1, 2)) numpy."""
+    V = kb_w * L
+    wseg = np.zeros((chunks, V, 2), np.float32)
+    wtails = np.zeros((chunks, taps - 1, 2), np.float32)
+    for c in range(chunks):
+        s0 = c * chunk_len - V if c else 0
+        wseg[c] = xf[s0:s0 + V]
+        if s0 >= taps - 1:
+            wtails[c] = xf[s0 - (taps - 1):s0]
+    return wseg.reshape(chunks, kb_w, L, 2).transpose(1, 0, 2, 3), wtails
+
+
+def default_warmup_blocks(L, kb):
+    """Enough warmup for a cold lane to reach carrier lock: the p_err EMA
+    needs ~2500-3500 fires to fall from its 1000 init to the 85 lock
+    threshold at pole 1e-3 (pll.c:7,36,117); 16384 samples is ~5100 fires
+    at the 230.4k/72k default — comfortable margin. Capped at the chunk
+    length."""
+    return max(1, min(kb, -(-16384 // L)))
+
+
+def _decisions_settled(g_new, g_prev):
+    """Can re-running from g_new change any future DECISION vs g_prev?
+
+    Value-level drift (phases, freq integrator, AGC) is guarded by the sign
+    fingerprint itself — if it flipped a symbol, the fingerprint would
+    differ. What the fingerprint cannot see is a PENDING transition: a lock
+    state still propagating down the chunk chain. So the gate is (a) the
+    integer lock/slot leaves are identical between consecutive entries, and
+    (b) every lane's entry p_err is either safely below the lock threshold
+    (no future flip possible) or settled to relative tolerance.
+
+    Returns (settled, resid) with resid the worst p_err relative change
+    among unsafe lanes (diagnostic)."""
+    for name in ("locked", "locked_once", "slot", "flags"):
+        if not np.array_equal(np.asarray(getattr(g_new, name)),
+                              np.asarray(getattr(g_prev, name))):
+            return False, 1.0
+    a = np.asarray(g_new.p_err, np.float64)
+    b = np.asarray(g_prev.p_err, np.float64)
+    safe = np.logical_and(a < GAUGE_PERR_SAFE, b < GAUGE_PERR_SAFE)
+    rel = np.abs(a - b) / np.maximum(1.0, a + b)
+    unsafe_rel = rel[~safe]
+    resid = float(np.max(unsafe_rel)) if len(unsafe_rel) else 0.0
+    return resid < GAUGE_ENTRY_TOL, resid
+
+
+def gauge_fixpoint(cfg, run, put_carry, blocks, w_np, tails_np, max_passes):
+    """Shared gauge-mode fixpoint driver (demod_array_turbo and bench.py).
+
+    run: jitted (carry, blocks) -> (carry', outs) over all chunk lanes.
+    w_np: numpy warmup carry (lane 0 already replaced by the exact initial
+    state, fir_tail/tick/flags already reset) — the per-lane gauge anchor.
+    blocks stays wherever the caller put it (device-resident is fine); only
+    the tiny carry and two (C,) fingerprint vectors cross the host link per
+    pass.
+
+    Convergence (all three, see the tolerance constants above): decision
+    fingerprints identical to the previous pass, every gauge residual far
+    from the pi/4 boundary, and no pending lock transition that could flip
+    future decisions (_decisions_settled).
+
+    Returns (f_np, outs, K, passes, converged, max_resid): outs is the
+    LAST pass's device-side BlockOutput, K the cumulative per-lane
+    quadrants rotating it into chunk 0's gauge, max_resid the larger of
+    the gauge and settling residuals."""
+    init_np = jax.tree_util.tree_map(np.asarray, batch_carry(cfg, 1))
+    fp_fn = _lane_sign_fp_fn()
+    g_np = w_np
+    prev_fp = None
+    converged = False
+    passes = 0
+    max_resid = float("inf")
+    f_np = outs = K = None
+    for _ in range(max_passes):
+        f, outs = run(put_carry(g_np), blocks)
+        f_np = jax.tree_util.tree_map(np.array, egress(f))
+        passes += 1
+        k, delta, K = _gauge_measure(f_np, w_np)
+        max_delta = float(np.max(np.abs(delta))) if len(delta) else 0.0
+        fp = tuple((int(n), int(c)) for n, c in zip(*egress(fp_fn(outs))))
+        g_new = _gauge_shift_np(init_np, f_np, w_np, k, tails_np)
+        settled, resid = _decisions_settled(g_new, g_np)
+        max_resid = max(max_delta, resid)
+        if prev_fp is not None and fp == prev_fp \
+                and max_delta < GAUGE_DELTA_TOL and settled:
+            converged = True
+            break
+        prev_fp = fp
+        g_np = g_new
+    return f_np, outs, K, passes, converged, max_resid
 
 
 @functools.lru_cache(maxsize=4)
@@ -159,7 +348,8 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
                       max_passes: int = 4,
                       backend: str = "auto",
                       mesh=None,
-                      converge: str = "bitwise") -> TurboResult:
+                      converge: str = "auto",
+                      warmup_blocks: int | None = None) -> TurboResult:
     """Demodulate a full recording with chunk-parallel fixpoint iteration.
 
     Args:
@@ -173,20 +363,32 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
         local devices (when >1 and chunks divides evenly); or an explicit
         1-D jax.sharding.Mesh. N-device output is bit-identical to
         1-device output (tests/test_turbo_mesh.py).
-      converge: stopping criterion. "bitwise": iterate until the boundary
-        carries reach the exact fixpoint — result provably equals the
-        sequential chaining of the same program, but exactness propagates
-        only one chunk per pass, so worst case needs chunks+1 passes.
-        "symbols": stop when two consecutive passes produce identical
-        int8-quantized output (the product's actual emission) — the
-        practical offline mode (CLI -T): decisions are stable after 2-4
-        passes once every chunk is locked; soft symbols agree with the
-        sequential path within loop noise (tests/test_turbo.py). Needs
+      converge: stopping criterion. "auto" picks "gauge" for QPSK and
+        "symbols" for OQPSK.
+        "gauge" (QPSK only): warmup acquisition per lane, one-shot quadrant
+        gauge resolution, then iterate until two consecutive passes emit
+        the identical sign-level decision stream — O(1) passes independent
+        of chunks (typically 2-3; see the module docstring). Needs
         max_passes >= 2 to be able to report convergence.
+        "bitwise": iterate until the boundary carries reach the exact
+        fixpoint — result provably equals the sequential chaining of the
+        same program, but exactness propagates only one chunk per pass, so
+        worst case needs chunks+1 passes.
+        "symbols": stop when two consecutive passes produce identical
+        int8-quantized output (the product's actual emission); the OQPSK
+        fallback (the OQPSK gauge group couples quadrant with half-symbol
+        slot parity — not resolved here). Needs max_passes >= 2.
+      warmup_blocks: gauge-mode warmup length in blocks (default: enough
+        samples for cold carrier lock, see default_warmup_blocks).
     """
     cfg.validate()
-    if converge not in ("bitwise", "symbols"):
+    if converge == "auto":
+        converge = "symbols" if cfg.oqpsk else "gauge"
+    if converge not in ("bitwise", "symbols", "gauge"):
         raise ValueError(f"converge {converge!r}")
+    if converge == "gauge" and cfg.oqpsk:
+        raise ValueError("gauge convergence requires QPSK; use 'auto' or "
+                         "'symbols' for OQPSK")
     if mesh == "auto":
         devs = jax.devices()
         mesh = (make_chunk_mesh(devs)
@@ -240,53 +442,79 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
         blocks = jnp.asarray(blocks_np)
 
     init_np = jax.tree_util.tree_map(np.asarray, batch_carry(cfg, 1))
-    g_np = jax.tree_util.tree_map(
-        np.array, batch_carry(cfg, chunks)._replace(fir_tail=tails))
     run = _chunk_fn(cfg, chunks, kb, backend, mesh)
+    K = None
 
-    def shift_np(f: DemodCarry) -> DemodCarry:
-        """g'[0] = exact initial, g'[i+1] = f[i]; tails stay data-exact.
-        Pure host numpy: the per-pass convergence check already round-trips
-        the (tiny) carry, so the neighbor hand-off costs nothing extra and
-        needs no cross-device collective."""
-        shifted = jax.tree_util.tree_map(
-            lambda a0, a: np.concatenate([a0, a[:-1]], axis=0), init_np, f)
-        return shifted._replace(fir_tail=tails,
-                                tick=np.zeros_like(shifted.tick))
+    if converge == "gauge":
+        kb_w = min(warmup_blocks or default_warmup_blocks(L, kb), kb)
+        wblocks_np, wtails = build_warmup(xt, chunks, chunk_len, kb_w, L,
+                                          taps)
+        run_w = _chunk_fn(cfg, chunks, kb_w, backend, mesh)
+        if mesh is not None:
+            wblocks = jax.device_put(wblocks_np, b_shard)
+        else:
+            wblocks = jnp.asarray(wblocks_np)
+        w0 = jax.tree_util.tree_map(
+            np.array, batch_carry(cfg, chunks)._replace(fir_tail=wtails))
+        wf, _ = run_w(put_carry(w0), wblocks)
+        # Lane 0 warms up with its own prefix; replace with the exact
+        # initial state (lane 0 IS the sequential start).
+        w_np = jax.tree_util.tree_map(
+            lambda a, a0: np.concatenate([a0, np.asarray(a)[1:]], axis=0),
+            egress(wf), init_np)
+        w_np = w_np._replace(fir_tail=tails,
+                             tick=np.zeros_like(w_np.tick),
+                             flags=np.zeros_like(w_np.flags))
+        f_np, outs, K, passes, converged, max_residual = gauge_fixpoint(
+            cfg, run, put_carry, blocks, w_np, tails, max_passes)
+    else:
+        g_np = jax.tree_util.tree_map(
+            np.array, batch_carry(cfg, chunks)._replace(fir_tail=tails))
 
-    converged = False
-    passes = 0
-    max_residual = float("inf")
-    outs = None
-    f_np = None
-    prev_fp = None
-    for _ in range(max_passes):
-        f, outs = run(put_carry(g_np), blocks)
-        f_np = egress(f)
-        g_new = shift_np(f_np)
-        passes += 1
-        residual = 0.0
-        same = True
-        for a, b in zip(jax.tree_util.tree_leaves(g_np),
-                        jax.tree_util.tree_leaves(g_new)):
-            if not np.array_equal(a, b):
-                same = False
-                if np.issubdtype(a.dtype, np.floating):
-                    residual = max(residual,
-                                   float(np.max(np.abs(a - b))))
-                else:
-                    residual = max(residual, 1.0)
-        max_residual = residual
-        if same:
-            converged = True          # bitwise fixpoint implies both modes
-            break
-        if converge == "symbols":
-            fp = tuple(int(v) for v in egress(_fingerprint_fn()(outs)))
-            if fp == prev_fp:
-                converged = True
+        def shift_np(f: DemodCarry) -> DemodCarry:
+            """g'[0] = exact initial, g'[i+1] = f[i]; tails stay
+            data-exact. Pure host numpy: the per-pass convergence check
+            already round-trips the (tiny) carry, so the neighbor hand-off
+            costs nothing extra and needs no cross-device collective."""
+            shifted = jax.tree_util.tree_map(
+                lambda a0, a: np.concatenate([a0, a[:-1]], axis=0),
+                init_np, f)
+            return shifted._replace(fir_tail=tails,
+                                    tick=np.zeros_like(shifted.tick))
+
+        converged = False
+        passes = 0
+        max_residual = float("inf")
+        outs = None
+        f_np = None
+        prev_fp = None
+        for _ in range(max_passes):
+            f, outs = run(put_carry(g_np), blocks)
+            f_np = egress(f)
+            g_new = shift_np(f_np)
+            passes += 1
+            residual = 0.0
+            same = True
+            for a, b in zip(jax.tree_util.tree_leaves(g_np),
+                            jax.tree_util.tree_leaves(g_new)):
+                if not np.array_equal(a, b):
+                    same = False
+                    if np.issubdtype(a.dtype, np.floating):
+                        residual = max(residual,
+                                       float(np.max(np.abs(a - b))))
+                    else:
+                        residual = max(residual, 1.0)
+            max_residual = residual
+            if same:
+                converged = True      # bitwise fixpoint implies both modes
                 break
-            prev_fp = fp
-        g_np = g_new
+            if converge == "symbols":
+                fp = tuple(int(v) for v in egress(_fingerprint_fn()(outs)))
+                if fp == prev_fp:
+                    converged = True
+                    break
+                prev_fp = fp
+            g_np = g_new
 
     # Safety net: any flagged chunk invalidates the fast-path result for the
     # affected stream positions — redo the whole recording sequentially (the
@@ -294,7 +522,8 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
     if int(np.asarray(f_np.flags).sum()) != 0:
         return _sequential(tag_converged=False)
 
-    # Assemble symbols in stream order from the final pass.
+    # Assemble symbols in stream order from the final pass; in gauge mode
+    # rotate each lane's symbols into chunk 0's gauge (exact sign/swap).
     o = egress(outs)
     sym_re = np.asarray(o.sym_re)        # (kb, C, S)
     sym_im = np.asarray(o.sym_im)
@@ -305,8 +534,12 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
         m = valid[:, c, :].reshape(-1)
         n_val = int(m.sum())
         s = np.zeros(n_val, dtype=_SYM_DTYPE)
-        s["re"] = sym_re[:, c, :].reshape(-1)[m]
-        s["im"] = sym_im[:, c, :].reshape(-1)[m]
+        re = sym_re[:, c, :].reshape(-1)[m]
+        im = sym_im[:, c, :].reshape(-1)[m]
+        if K is not None:
+            re, im = rotate_quadrant(re, im, K[c])
+        s["re"] = re
+        s["im"] = im
         s["locked_once"] = lonce[:, c, :].reshape(-1)[m]
         parts.append(s)
 
@@ -314,8 +547,22 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
     # fixpoint converged; within loop noise otherwise).
     if turbo_n < N:
         from .pipeline import StreamDemodulator
+        tail_c = jax.tree_util.tree_map(lambda a: np.asarray(a[-1]), f_np)
+        if K is not None and int(K[-1]) % 4 != 0:
+            # Rotate the carry into chunk 0's gauge so the tail continues
+            # the emitted stream: symbols transform by e^{-j K pi/2}, so
+            # the NCO phase shifts by +K pi/2 (scan.py mixes with
+            # e^{-j p_phase}). t_prev (previous symbol Q, gauge 0) is the
+            # last assembled symbol's Q.
+            pp = np.mod(float(tail_c.p_phase)
+                        + (int(K[-1]) % 4) * float(_HALF_PI),
+                        2 * np.pi)
+            tail_c = tail_c._replace(
+                p_phase=np.float32(pp),
+                t_prev=np.float32(parts[-1]["im"][-1]
+                                  if len(parts[-1]) else 0.0))
         d = StreamDemodulator(cfg, backend=backend)
-        d._carry = jax.tree_util.tree_map(lambda a: jnp.asarray(a[-1]), f_np)
+        d._carry = jax.tree_util.tree_map(jnp.asarray, tail_c)
         parts.append(d.process(f32_to_iq(xf[turbo_n:])))
         parts.append(d.finish())
 
