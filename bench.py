@@ -8,11 +8,11 @@ configs[4]), the production serving shape. Extra fields:
   - single_stream_*: one live stream through the chained block demod
     (configs[0]).
   - turbo_single_recording_*: ONE recording demodulated chunk-parallel
-    across the batch lanes with the fixpoint iteration (demod/turbo.py) —
-    the BASELINE north-star workload (>=100x real-time for one 230 ksps
-    recording, i.e. the job of /root/reference/main.c:284-329). Reuses the
-    headline's compiled program; only two scalars cross the host link per
-    pass (make_device_shift_cmp).
+    across the batch lanes with the gauge-mode fixpoint (demod/turbo.py:
+    warmup + one-shot quadrant resolution, O(1) passes) — the BASELINE
+    north-star workload (>=100x real-time for one 230 ksps recording,
+    i.e. the job of /root/reference/main.c:284-329). Only the tiny carry
+    and two (C,) fingerprint vectors cross the host link per pass.
   - oqpsk_fleet / hifi fleet stress configs (configs[1]/[3]).
 
 Methodology: the block demodulator is chained CHAIN blocks per dispatch
@@ -95,18 +95,7 @@ def _chained_fn(cfg, batch):
 
     def chained(carry, blocks):
         carry, outs = jax.lax.scan(demod, carry, blocks)
-        # Decision fingerprint (n_valid, int8-quantized checksum): lets the
-        # turbo fixpoint detect decision-stability from two scalars instead
-        # of materializing/transferring the full output (demod/turbo.py
-        # _fingerprint_fn semantics).
-        q = lambda v: jnp.trunc(
-            jnp.clip(v * np.float32(0.5), -127.0, 127.0)).astype(jnp.int32)
-        v = outs.valid.astype(jnp.int32).reshape(-1)
-        w = jnp.arange(v.shape[0], dtype=jnp.int32) % 8191 + 1
-        cs = jnp.sum(v * w * (3 * q(outs.sym_re).reshape(-1)
-                              + 5 * q(outs.sym_im).reshape(-1) + 7),
-                     dtype=jnp.int32)
-        return carry, (jnp.sum(v), cs)
+        return carry, jnp.sum(outs.valid)
 
     # No donation: the carry is a handful of scalars (copy cost ~0), and
     # donated buffers wedge the second dispatch on the tunneled backend.
@@ -151,63 +140,63 @@ def _bench(cfg, batch, seconds):
     return sps
 
 
-def _bench_turbo(cfg, chunks=FLEET_BATCH, kb=64, max_passes=4):
+def _bench_turbo(cfg, chunks=FLEET_BATCH, kb=32, max_passes=4):
     """ONE recording of chunks*kb*block_len samples, demodulated with the
-    chunk-parallel fixpoint (demod/turbo.py semantics). Reuses the
-    headline's (CHAIN, batch, L, 2) program — no extra block-demod compile.
-    Returns (samples_per_sec, passes, converged) with the wall clock
-    covering EVERY pass plus the per-pass convergence scalars."""
-    from meteor_demod_tpu.demod.turbo import make_device_shift_cmp
+    gauge-mode fixpoint (demod/turbo.py): warmup acquisition, O(1) passes,
+    one-shot quadrant resolution. Returns (samples_per_sec, passes,
+    converged); the wall clock covers the warmup dispatch, EVERY pass, and
+    the per-pass convergence egress."""
+    from meteor_demod_tpu.demod.turbo import (_chunk_fn, gauge_fixpoint,
+                                              default_warmup_blocks)
 
     L = cfg.block_len
-    assert kb % CHAIN == 0
+    taps = cfg.taps
     n_samples = chunks * kb * L
-    fn = _chained_fn(cfg, chunks)
+    kb_w = min(default_warmup_blocks(L, kb), kb)
+    run = _chunk_fn(cfg, chunks, kb, "auto", None)
+    run_w = _chunk_fn(cfg, chunks, kb_w, "auto", None)
 
     # One contiguous chunk of real signal; every chunk lane demodulates the
-    # same data (synth cost stays bounded; the fixpoint still has to
-    # propagate real carries across all chunk boundaries).
-    x = _make_signal(cfg, kb * L, seed=3)
-    xf = iq_to_f32(x)                                         # (kb*L, 2)
-    tails_np = np.zeros((chunks, cfg.taps - 1, 2), np.float32)
-    tails_np[1:] = xf[-(cfg.taps - 1):]
-    tails = jnp.asarray(tails_np)
+    # same data (synth cost stays bounded; the fixpoint still propagates
+    # real carries/gauges across all chunk boundaries). Carrier chosen
+    # seam-periodic so the repeated chunk is phase-continuous.
+    chunk_len = kb * L
+    carrier = round(400.0 * chunk_len / cfg.samplerate) \
+        * cfg.samplerate / chunk_len
+    nsym = int(chunk_len * cfg.symrate / cfg.samplerate) + 64
+    x, _ = synth_psk(nsym, cfg.samplerate, carrier_hz=carrier,
+                     amplitude=6000.0, snr_db=18.0, seed=3)
+    xf = iq_to_f32(x[:chunk_len])                             # (kb*L, 2)
     # Upload the 1-chunk signal once (a few MB over the slow host link),
-    # broadcast across the chunk lanes ON DEVICE: (CHAIN, chunks, L, 2)
-    # device-resident segments, ~0.5 GB HBM total at the default geometry.
-    xf_dev = jnp.asarray(xf.reshape(kb, L, 2))
-    segments = [
-        jnp.broadcast_to(xf_dev[i * CHAIN:(i + 1) * CHAIN, None],
-                         (CHAIN, chunks, L, 2)) + 0.0
-        for i in range(kb // CHAIN)]
+    # broadcast across the chunk lanes ON DEVICE (~270 MB HBM at the
+    # default geometry).
+    xdev = jnp.asarray(xf.reshape(kb, L, 2))
+    blocks = jnp.broadcast_to(xdev[:, None], (kb, chunks, L, 2)) + 0.0
+    wblocks = jnp.broadcast_to(xdev[kb - kb_w:, None],
+                               (kb_w, chunks, L, 2)) + 0.0
+    tails_np = np.zeros((chunks, taps - 1, 2), np.float32)
+    tails_np[1:] = xf[-(taps - 1):]
+    wtails = np.zeros((chunks, taps - 1, 2), np.float32)
+    ws = (kb - kb_w) * L
+    if ws >= taps - 1:
+        wtails[1:] = xf[ws - (taps - 1):ws]
 
-    shift_cmp = make_device_shift_cmp(cfg)
+    init_np = jax.tree_util.tree_map(np.asarray, batch_carry(cfg, 1))
+    put = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
 
     def one_recording():
-        """Fixpoint with the decisions-stable stopping rule (turbo.py
-        converge='symbols'): stop when two consecutive passes emit the
-        identical int8-quantized stream; only per-pass scalar fingerprints
-        cross the host link."""
-        g = batch_carry(cfg, chunks)._replace(fir_tail=tails)
-        passes, converged, prev_fp = 0, False, None
-        for _ in range(max_passes):
-            f, fps = g, []
-            for seg in segments:
-                f, fp = fn(f, seg)
-                fps.append(fp)
-            g_new, _, _ = shift_cmp(f, g, tails)
-            fps = egress(fps)
-            n_total = sum(int(n) for n, _ in fps)
-            cs_total = sum((i + 3) * int(cs)
-                           for i, (_, cs) in enumerate(fps)) & 0x7FFFFFFF
-            fingerprint = (n_total, cs_total)
-            passes += 1
-            if fingerprint == prev_fp:
-                converged = True
-                break
-            prev_fp = fingerprint
-            g = g_new
-        assert _sync(f) == 0
+        w0 = jax.tree_util.tree_map(
+            np.array, batch_carry(cfg, chunks)._replace(fir_tail=wtails))
+        wf, _ = run_w(put(w0), wblocks)
+        w_np = jax.tree_util.tree_map(
+            lambda a, a0: np.concatenate([a0, np.asarray(a)[1:]], axis=0),
+            egress(wf), init_np)
+        w_np = w_np._replace(fir_tail=tails_np,
+                             tick=np.zeros_like(w_np.tick),
+                             flags=np.zeros_like(w_np.flags))
+        f_np, _, _, passes, converged, _ = gauge_fixpoint(
+            cfg, run, put, blocks, w_np, tails_np, max_passes)
+        assert int(np.asarray(f_np.flags).sum()) == 0
         return passes, converged
 
     t0 = time.time()

@@ -300,23 +300,36 @@ def gauge_fixpoint(cfg, run, put_carry, blocks, w_np, tails_np, max_passes):
     converged = False
     passes = 0
     max_resid = float("inf")
-    f_np = outs = K = None
-    for _ in range(max_passes):
+    f_np = outs = None
+    k = np.zeros(0, np.int64)
+    k_prev = None
+    for p in range(max_passes):
         f, outs = run(put_carry(g_np), blocks)
         f_np = jax.tree_util.tree_map(np.array, egress(f))
         passes += 1
-        k, delta, K = _gauge_measure(f_np, w_np)
+        # Gauge anchor: pass 1 measures against the warmup states (their
+        # phase can lag systematically — the warmup's freq integrator is
+        # younger than the full-chunk exit's — so that measurement is only
+        # a best-effort initializer). Later passes measure against the
+        # entries actually used: entry[c] carries the applied rotation, so
+        # the diff still yields the FULL per-boundary quadrant, but now
+        # between same-maturity states — delta collapses to pass-to-pass
+        # drift, and a pass-1 quadrant mistake shows up as k changing.
+        k, delta, _ = _gauge_measure(f_np, w_np if p == 0 else g_np)
         max_delta = float(np.max(np.abs(delta))) if len(delta) else 0.0
         fp = tuple((int(n), int(c)) for n, c in zip(*egress(fp_fn(outs))))
         g_new = _gauge_shift_np(init_np, f_np, w_np, k, tails_np)
         settled, resid = _decisions_settled(g_new, g_np)
         max_resid = max(max_delta, resid)
-        if prev_fp is not None and fp == prev_fp \
+        k_stable = k_prev is not None and not np.any((k - k_prev) % 4)
+        if prev_fp is not None and fp == prev_fp and k_stable \
                 and max_delta < GAUGE_DELTA_TOL and settled:
             converged = True
             break
         prev_fp = fp
+        k_prev = k
         g_np = g_new
+    K = np.concatenate([[0], np.cumsum(k)])
     return f_np, outs, K, passes, converged, max_resid
 
 
