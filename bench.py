@@ -140,21 +140,23 @@ def _bench(cfg, batch, seconds):
     return sps
 
 
-def _bench_turbo(cfg, chunks=FLEET_BATCH, kb=32, max_passes=4):
-    """ONE recording of chunks*kb*block_len samples, demodulated with the
-    gauge-mode fixpoint (demod/turbo.py): warmup acquisition, O(1) passes,
-    one-shot quadrant resolution. Returns (samples_per_sec, passes,
-    converged); the wall clock covers the warmup dispatch, EVERY pass, and
-    the per-pass convergence egress."""
-    from meteor_demod_tpu.demod.turbo import (_chunk_fn, gauge_fixpoint,
-                                              default_warmup_blocks)
+def _bench_turbo(cfg, chunks=FLEET_BATCH, kb=128, max_passes=4):
+    """ONE recording of chunks*kb*block_len samples (the default geometry
+    is 134 Msamples, a representative ~10-minute 230.4 ksps LRPT pass),
+    demodulated with the gauge-mode fixpoint (demod/turbo.py): warmup
+    acquisition, O(1) passes, one-shot quadrant resolution. Returns
+    (samples_per_sec, passes, converged); the wall clock covers the warmup
+    dispatch, EVERY pass, and the per-pass convergence egress."""
+    from meteor_demod_tpu.demod.turbo import (
+        _chunk_fn_packed, gauge_fixpoint, default_warmup_blocks,
+        pack_carry_np, unpack_carry_np)
 
     L = cfg.block_len
     taps = cfg.taps
     n_samples = chunks * kb * L
     kb_w = min(default_warmup_blocks(L, kb), kb)
-    run = _chunk_fn(cfg, chunks, kb, "auto", None)
-    run_w = _chunk_fn(cfg, chunks, kb_w, "auto", None)
+    run = _chunk_fn_packed(cfg, chunks, kb, "auto", None)
+    run_w = _chunk_fn_packed(cfg, chunks, kb_w, "auto", None)
 
     # One contiguous chunk of real signal; every chunk lane demodulates the
     # same data (synth cost stays bounded; the fixpoint still propagates
@@ -182,15 +184,15 @@ def _bench_turbo(cfg, chunks=FLEET_BATCH, kb=32, max_passes=4):
         wtails[1:] = xf[ws - (taps - 1):ws]
 
     init_np = jax.tree_util.tree_map(np.asarray, batch_carry(cfg, 1))
-    put = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    put = lambda t: tuple(map(jnp.asarray, t))
 
     def one_recording():
         w0 = jax.tree_util.tree_map(
             np.array, batch_carry(cfg, chunks)._replace(fir_tail=wtails))
-        wf, _ = run_w(put(w0), wblocks)
+        wpf, _, _ = run_w(put(pack_carry_np(w0)), wblocks)
         w_np = jax.tree_util.tree_map(
             lambda a, a0: np.concatenate([a0, np.asarray(a)[1:]], axis=0),
-            egress(wf), init_np)
+            unpack_carry_np(*egress(wpf)), init_np)
         w_np = w_np._replace(fir_tail=tails_np,
                              tick=np.zeros_like(w_np.tick),
                              flags=np.zeros_like(w_np.flags))

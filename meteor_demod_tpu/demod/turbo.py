@@ -67,7 +67,7 @@ from ..config import DemodConfig
 from ..dsp.fir import f32_to_iq, iq_to_f32
 from .backend import make_batch_demod
 from .pipeline import egress, _SYM_DTYPE
-from .state import DemodCarry, batch_carry
+from .state import BlockOutput, DemodCarry, batch_carry
 
 
 def make_chunk_mesh(devices=None, axis_name: str = "chunks"):
@@ -137,9 +137,8 @@ GAUGE_PERR_SAFE = 0.7 * float(C.LOCK_THRESH)
 GAUGE_ENTRY_TOL = 5e-3
 
 
-@functools.lru_cache(maxsize=4)
-def _lane_sign_fp_fn():
-    """Jitted per-lane decision fingerprint of a BlockOutput.
+def _lane_fp_body(outs):
+    """Per-lane decision fingerprint of a BlockOutput (traceable body).
 
     Folds the sign bits (the decoded hard decisions), the valid pattern and
     the locked_once telemetry with positional weights into one wrapping
@@ -148,20 +147,90 @@ def _lane_sign_fp_fn():
     hash collision. Signs, not int8 levels: quantization LSBs keep
     twitching at loop-noise amplitude long after the decisions are stable.
     """
+    v = outs.valid.astype(jnp.int32)              # (kb, C, S)
+    sr = jnp.where(outs.sym_re >= 0, 1, -1) * v
+    si = jnp.where(outs.sym_im >= 0, 1, -1) * v
+    lo = outs.locked_once.astype(jnp.int32)
+    kb, _, S = v.shape
+    w = (jnp.arange(kb * S, dtype=jnp.int32).reshape(kb, 1, S)
+         % 8191) + 1
+    cs = jnp.sum(w * (7 * v + 3 * sr + 5 * si + 11 * lo), axis=(0, 2))
+    return jnp.sum(v, axis=(0, 2)), cs
 
-    @jax.jit
-    def fp(outs):
-        v = outs.valid.astype(jnp.int32)              # (kb, C, S)
-        sr = jnp.where(outs.sym_re >= 0, 1, -1) * v
-        si = jnp.where(outs.sym_im >= 0, 1, -1) * v
-        lo = outs.locked_once.astype(jnp.int32)
-        kb, _, S = v.shape
-        w = (jnp.arange(kb * S, dtype=jnp.int32).reshape(kb, 1, S)
-             % 8191) + 1
-        cs = jnp.sum(w * (7 * v + 3 * sr + 5 * si + 11 * lo), axis=(0, 2))
-        return jnp.sum(v, axis=(0, 2)), cs
 
-    return fp
+# Packed carry layout for the gauge fixpoint's per-pass host round-trips:
+# every device<->host transfer on the tunneled backend costs a round trip
+# PER ARRAY, so the ~19-leaf carry pytree is packed into three arrays
+# (float leaves (NF, C), int leaves (NI, C), FIR tail) in each direction.
+_INT_FIELDS = ("locked", "locked_once", "slot", "tick", "flags")
+_FLOAT_FIELDS = tuple(n for n in DemodCarry._fields
+                      if n not in _INT_FIELDS + ("fir_tail",))
+
+
+def pack_carry_np(c: DemodCarry):
+    fl = np.stack([np.asarray(getattr(c, n), np.float32)
+                   for n in _FLOAT_FIELDS])
+    il = np.stack([np.asarray(getattr(c, n), np.int32)
+                   for n in _INT_FIELDS])
+    return fl, il, np.asarray(c.fir_tail, np.float32)
+
+
+def unpack_carry_np(fl, il, tail) -> DemodCarry:
+    kw = {n: np.asarray(fl)[i] for i, n in enumerate(_FLOAT_FIELDS)}
+    kw.update({n: np.asarray(il)[i] for i, n in enumerate(_INT_FIELDS)})
+    return DemodCarry(fir_tail=np.asarray(tail), **kw)
+
+
+@functools.lru_cache(maxsize=16)
+def _chunk_fn_packed(cfg: DemodConfig, chunks: int, kb: int, backend: str,
+                     mesh=None, axis_name: str = "chunks"):
+    """Jitted (packed_carry, blocks) -> (packed_carry', outs, lane_fp).
+
+    The gauge-fixpoint runner: same chunk-lane demod as _chunk_fn, but the
+    carry crosses the host link packed (see pack_carry_np) and the per-lane
+    decision fingerprint is fused into the program — one dispatch and one
+    egress per pass instead of a dispatch per fingerprint and a round trip
+    per carry leaf. `outs` stays device-resident for the final assembly."""
+
+    def unpack_j(pc):
+        fl, il, tail = pc
+        kw = {n: fl[i] for i, n in enumerate(_FLOAT_FIELDS)}
+        kw.update({n: il[i] for i, n in enumerate(_INT_FIELDS)})
+        return DemodCarry(fir_tail=tail, **kw)
+
+    def pack_j(c):
+        return (jnp.stack([getattr(c, n) for n in _FLOAT_FIELDS]),
+                jnp.stack([getattr(c, n) for n in _INT_FIELDS]),
+                c.fir_tail)
+
+    if mesh is None:
+        demod = make_batch_demod(cfg, chunks, backend)
+
+        def run(pc, blocks):         # blocks: (kb, C, L, 2)
+            c, outs = jax.lax.scan(demod, unpack_j(pc), blocks)
+            return pack_j(c), outs, _lane_fp_body(outs)
+
+        return jax.jit(run)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    n_dev = mesh.devices.size
+    demod = make_batch_demod(cfg, chunks // n_dev, backend)
+
+    def run_local(pc, blocks):       # per-shard: (kb, C/n_dev, L, 2)
+        c, outs = jax.lax.scan(demod, unpack_j(pc), blocks)
+        return pack_j(c), outs, _lane_fp_body(outs)
+
+    lane = P(None, axis_name)
+    sharded = shard_map(
+        run_local, mesh=mesh,
+        in_specs=((lane, lane, P(axis_name)), lane),
+        out_specs=((lane, lane, P(axis_name)),
+                   BlockOutput(sym_re=lane, sym_im=lane, valid=lane,
+                               locked_once=lane),
+                   (P(axis_name), P(axis_name))),
+        check_vma=False)
+    return jax.jit(sharded)
 
 
 def _gauge_measure(f, w):
@@ -240,12 +309,15 @@ def build_warmup(xf, chunks, chunk_len, kb_w, L, taps):
 
 
 def default_warmup_blocks(L, kb):
-    """Enough warmup for a cold lane to reach carrier lock: the p_err EMA
-    needs ~2500-3500 fires to fall from its 1000 init to the 85 lock
-    threshold at pole 1e-3 (pll.c:7,36,117); 16384 samples is ~5100 fires
-    at the 230.4k/72k default — comfortable margin. Capped at the chunk
-    length."""
-    return max(1, min(kb, -(-16384 // L)))
+    """Warmup length: enough for a cold lane to lock AND for the slow freq
+    integrator to mature. Lock alone needs ~2500-3500 fires (p_err EMA from
+    its 1000 init to the 85 threshold at pole 1e-3, pll.c:7,36,117) —
+    ~11k samples at the 230.4k/72k default — but a young integrator leaves
+    a systematic phase lag vs the full-chunk exits, costing one extra
+    verification pass at larger carrier offsets; 65536 samples (~20k
+    fires) measured 2-pass convergence at a 400 Hz offset. Capped at half
+    the chunk so warmup never dominates a pass."""
+    return max(1, min(max(kb // 2, 1), -(-65536 // L)))
 
 
 def _decisions_settled(g_new, g_prev):
@@ -274,27 +346,29 @@ def _decisions_settled(g_new, g_prev):
     return resid < GAUGE_ENTRY_TOL, resid
 
 
-def gauge_fixpoint(cfg, run, put_carry, blocks, w_np, tails_np, max_passes):
+def gauge_fixpoint(cfg, run, put_packed, blocks, w_np, tails_np, max_passes):
     """Shared gauge-mode fixpoint driver (demod_array_turbo and bench.py).
 
-    run: jitted (carry, blocks) -> (carry', outs) over all chunk lanes.
+    run: a _chunk_fn_packed runner — jitted (packed_carry, blocks) ->
+    (packed_carry', outs, lane_fp) over all chunk lanes.
+    put_packed: places a (fl, il, tail) packed carry on device (sharded for
+    the mesh case).
     w_np: numpy warmup carry (lane 0 already replaced by the exact initial
     state, fir_tail/tick/flags already reset) — the per-lane gauge anchor.
-    blocks stays wherever the caller put it (device-resident is fine); only
-    the tiny carry and two (C,) fingerprint vectors cross the host link per
-    pass.
+    blocks stays wherever the caller put it (device-resident is fine); per
+    pass the host link carries one dispatch and one five-array egress (the
+    packed carry + the two fingerprint vectors).
 
-    Convergence (all three, see the tolerance constants above): decision
-    fingerprints identical to the previous pass, every gauge residual far
-    from the pi/4 boundary, and no pending lock transition that could flip
-    future decisions (_decisions_settled).
+    Convergence (all of, see the tolerance constants above): decision
+    fingerprints identical to the previous pass, quadrant assignment stable
+    mod 4, every gauge residual far from the pi/4 boundary, and no pending
+    lock transition that could flip future decisions (_decisions_settled).
 
     Returns (f_np, outs, K, passes, converged, max_resid): outs is the
     LAST pass's device-side BlockOutput, K the cumulative per-lane
     quadrants rotating it into chunk 0's gauge, max_resid the larger of
     the gauge and settling residuals."""
     init_np = jax.tree_util.tree_map(np.asarray, batch_carry(cfg, 1))
-    fp_fn = _lane_sign_fp_fn()
     g_np = w_np
     prev_fp = None
     converged = False
@@ -304,8 +378,9 @@ def gauge_fixpoint(cfg, run, put_carry, blocks, w_np, tails_np, max_passes):
     k = np.zeros(0, np.int64)
     k_prev = None
     for p in range(max_passes):
-        f, outs = run(put_carry(g_np), blocks)
-        f_np = jax.tree_util.tree_map(np.array, egress(f))
+        pf, outs, fpv = run(put_packed(pack_carry_np(g_np)), blocks)
+        (fl, il, tail), (fp_n, fp_cs) = egress((pf, fpv))
+        f_np = unpack_carry_np(fl, il, tail)
         passes += 1
         # Gauge anchor: pass 1 measures against the warmup states (their
         # phase can lag systematically — the warmup's freq integrator is
@@ -317,7 +392,7 @@ def gauge_fixpoint(cfg, run, put_carry, blocks, w_np, tails_np, max_passes):
         # drift, and a pass-1 quadrant mistake shows up as k changing.
         k, delta, _ = _gauge_measure(f_np, w_np if p == 0 else g_np)
         max_delta = float(np.max(np.abs(delta))) if len(delta) else 0.0
-        fp = tuple((int(n), int(c)) for n, c in zip(*egress(fp_fn(outs))))
+        fp = tuple((int(n), int(c)) for n, c in zip(fp_n, fp_cs))
         g_new = _gauge_shift_np(init_np, f_np, w_np, k, tails_np)
         settled, resid = _decisions_settled(g_new, g_np)
         max_resid = max(max_delta, resid)
@@ -455,32 +530,41 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
         blocks = jnp.asarray(blocks_np)
 
     init_np = jax.tree_util.tree_map(np.asarray, batch_carry(cfg, 1))
-    run = _chunk_fn(cfg, chunks, kb, backend, mesh)
     K = None
 
     if converge == "gauge":
         kb_w = min(warmup_blocks or default_warmup_blocks(L, kb), kb)
         wblocks_np, wtails = build_warmup(xt, chunks, chunk_len, kb_w, L,
                                           taps)
-        run_w = _chunk_fn(cfg, chunks, kb_w, backend, mesh)
+        run_w = _chunk_fn_packed(cfg, chunks, kb_w, backend, mesh)
+        run_g = _chunk_fn_packed(cfg, chunks, kb, backend, mesh)
         if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            axis = mesh.axis_names[0]
+            lane_shard = NamedSharding(mesh, P(None, axis))
+            put_packed = lambda pc: (jax.device_put(pc[0], lane_shard),
+                                     jax.device_put(pc[1], lane_shard),
+                                     jax.device_put(pc[2], c_shard))
             wblocks = jax.device_put(wblocks_np, b_shard)
         else:
+            put_packed = lambda pc: tuple(map(jnp.asarray, pc))
             wblocks = jnp.asarray(wblocks_np)
         w0 = jax.tree_util.tree_map(
             np.array, batch_carry(cfg, chunks)._replace(fir_tail=wtails))
-        wf, _ = run_w(put_carry(w0), wblocks)
+        wpf, _, _ = run_w(put_packed(pack_carry_np(w0)), wblocks)
+        wf = unpack_carry_np(*egress(wpf))
         # Lane 0 warms up with its own prefix; replace with the exact
         # initial state (lane 0 IS the sequential start).
         w_np = jax.tree_util.tree_map(
             lambda a, a0: np.concatenate([a0, np.asarray(a)[1:]], axis=0),
-            egress(wf), init_np)
+            wf, init_np)
         w_np = w_np._replace(fir_tail=tails,
                              tick=np.zeros_like(w_np.tick),
                              flags=np.zeros_like(w_np.flags))
         f_np, outs, K, passes, converged, max_residual = gauge_fixpoint(
-            cfg, run, put_carry, blocks, w_np, tails, max_passes)
+            cfg, run_g, put_packed, blocks, w_np, tails, max_passes)
     else:
+        run = _chunk_fn(cfg, chunks, kb, backend, mesh)
         g_np = jax.tree_util.tree_map(
             np.array, batch_carry(cfg, chunks)._replace(fir_tail=tails))
 
