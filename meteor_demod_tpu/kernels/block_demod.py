@@ -6,16 +6,26 @@ of ~200 tiny VPU ops per step), which caps throughput at a few Msamples/s
 per chip. This kernel runs the identical per-FIRE recurrence inside a single
 Mosaic program: states live in VMEM scratch, the candidate-window tiles
 stream HBM->VMEM through the automatic grid pipeline (double-buffered), and
-every step is a handful of fused VPU ops over a (W, B) tile plus (1, B)
-rows — with B independent streams occupying the 128 VPU lanes.
+every step is a handful of fused VPU ops over window tiles plus per-state
+rows.
+
+Stream packing: a VPU vreg is (8 sublanes, 128 lanes). B = 128 streams fill
+the lane dimension; R further stream GROUPS fill the sublanes, so one
+kernel instance advances batch = R*128 streams and every per-state row op
+is an (R, 128) tile — a FULL vreg per 8 stream-groups instead of the 1/8
+occupancy of a (1, 128) row. The per-step serial chain length barely grows
+(the K/W/32-row masked reductions turn into pure vreg add-trees with no
+cross-sublane shuffles), so throughput scales with R until the window
+stream hits HBM bandwidth.
 
 Layout (see demod/scan.py for the algorithm itself, and the reference C
 citations there; S_pad = steps padded to a multiple of the group size G):
-  w_re, w_im      (S_pad, W, B) f32  per-step candidate FIR windows, streamed
-                                     as (G, W, B) tiles by the grid pipeline
-  base            (S_pad, 1, B) i32  window tick origin per step
-  carry in/out    (NF, B) f32 + (NI, B) i32  packed DemodCarry leaves
-  outputs         (S_pad, 1, B) sym_re/sym_im f32, valid/locked_once i32
+  w_re, w_im      (S_pad, W, R, B) f32  per-step candidate FIR windows,
+                                        streamed as (G, W, R, B) tiles
+  base            (S_pad, 1, B) i32  window tick origin per step (common
+                                     to all streams)
+  carry in/out    (NF, R, B) f32 + (NI, R, B) i32  packed DemodCarry leaves
+  outputs         (S_pad, R, B) sym_re/sym_im f32, valid/locked_once i32
 
 The numeric recurrence is op-for-op the same as demod/scan.py's step
 (including the closed-form FMA-proof timing gate); the decision structure
@@ -79,26 +89,24 @@ def _fast_sin_rows(fx):
 
 
 def _lut_tanh_rows(v, iota32, table_col):
-    """Truncating tanh lookup (pll.c:153-159) on (1, B) rows.
+    """Truncating tanh lookup (pll.c:153-159) on (R, B) state rows.
 
-    iota32/table_col: (32, B) loop-invariant tiles (the numpy tanh table
-    enters the kernel as an input block — Pallas kernels cannot capture
-    array constants). Evaluated as a masked
-    sum over one (32, B) tile — 4 vregs of compare/select/add instead of
-    the 63 full-width row ops of an unrolled per-entry tree (each (1, B)
-    row op occupies a whole vreg, so the tile form is ~4.5x fewer issued
-    ops on the serial chain). Exactly one row is selected, so the sum is
-    bit-exact (x + 0 never rounds) — same value as a scalar table lookup.
+    iota32: (32, R, B) loop-invariant iota; table_col: (32, 1, B) — the
+    numpy tanh table enters the kernel as an input block (Pallas kernels
+    cannot capture array constants). Evaluated as a masked sum over the
+    (32, R, B) tile — compare/select/add-tree instead of the 63 full-width
+    row ops of an unrolled per-entry tree. Exactly one entry is selected
+    per stream, so the sum is bit-exact (x + 0 never rounds) — same value
+    as a scalar table lookup.
     """
     idx = jnp.clip(jnp.trunc(v), -16.0, 15.0).astype(jnp.int32) + 16
-    sel = iota32 == idx                       # (32, B), idx broadcast
-    return jnp.sum(jnp.where(sel, table_col, _F32(0.0)), axis=0,
-                   keepdims=True)
+    sel = iota32 == idx                       # (32, R, B), idx broadcast
+    return jnp.sum(jnp.where(sel, table_col, _F32(0.0)), axis=0)
 
 
-def _make_kernel(cfg: DemodConfig, B: int, G: int,
+def _make_kernel(cfg: DemodConfig, R: int, B: int, G: int,
                  tanh_table: np.ndarray) -> Callable:
-    """Kernel processing G symbol steps per grid iteration.
+    """Kernel processing G symbol steps per grid iteration for R*B streams.
 
     Grouping amortizes the per-grid-step costs (window-tile DMA issue,
     output-block bookkeeping) that dominate over the arithmetic; loop states
@@ -135,33 +143,35 @@ def _make_kernel(cfg: DemodConfig, B: int, G: int,
 
         @pl.when(s == 0)
         def _():
-            fs_ref[:, :] = fin_ref[:, :]
-            is_ref[:, :] = iin_ref[:, :]
+            fs_ref[...] = fin_ref[...]
+            is_ref[...] = iin_ref[...]
 
         # ---- load states into registers, once per grid iteration ---------
-        tp = fs_ref[F_TPHASE:F_TPHASE + 1, :]
-        tf = fs_ref[F_TFREQ:F_TFREQ + 1, :]
-        prev = fs_ref[F_TPREV:F_TPREV + 1, :]
-        pp = fs_ref[F_PPHASE:F_PPHASE + 1, :]
-        pf = fs_ref[F_PFREQ:F_PFREQ + 1, :]
-        perr = fs_ref[F_PERR:F_PERR + 1, :]
-        updown = fs_ref[F_UPDOWN:F_UPDOWN + 1, :]
-        gain = fs_ref[F_GAIN:F_GAIN + 1, :]
-        bias_re = fs_ref[F_BIASRE:F_BIASRE + 1, :]
-        bias_im = fs_ref[F_BIASIM:F_BIASIM + 1, :]
-        inphase = fs_ref[F_INPHASE:F_INPHASE + 1, :]
-        locked = is_ref[I_LOCKED:I_LOCKED + 1, :]
-        lonce = is_ref[I_LOCKED_ONCE:I_LOCKED_ONCE + 1, :]
-        slot = is_ref[I_SLOT:I_SLOT + 1, :]
-        t = is_ref[I_TICK:I_TICK + 1, :]
-        flags = is_ref[I_FLAGS:I_FLAGS + 1, :]
+        # Each state is an (R, B) tile: R stream-groups in the sublanes,
+        # B streams in the lanes.
+        tp = fs_ref[F_TPHASE]
+        tf = fs_ref[F_TFREQ]
+        prev = fs_ref[F_TPREV]
+        pp = fs_ref[F_PPHASE]
+        pf = fs_ref[F_PFREQ]
+        perr = fs_ref[F_PERR]
+        updown = fs_ref[F_UPDOWN]
+        gain = fs_ref[F_GAIN]
+        bias_re = fs_ref[F_BIASRE]
+        bias_im = fs_ref[F_BIASIM]
+        inphase = fs_ref[F_INPHASE]
+        locked = is_ref[I_LOCKED]
+        lonce = is_ref[I_LOCKED_ONCE]
+        slot = is_ref[I_SLOT]
+        t = is_ref[I_TICK]
+        flags = is_ref[I_FLAGS]
 
-        wc = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0)
-        kiota = jax.lax.broadcasted_iota(jnp.int32, (K, B), 0)     # (K, B)
+        wc = jax.lax.broadcasted_iota(jnp.int32, (W, R, B), 0)
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (K, R, B), 0)
         ksB = (kiota + 1).astype(jnp.float32)
         # Loop-invariant tanh-LUT tiles (see _lut_tanh_rows).
-        iota32 = jax.lax.broadcasted_iota(jnp.int32, (32, B), 0)
-        table_col = table_ref[:, :]
+        iota32 = jax.lax.broadcasted_iota(jnp.int32, (32, R, B), 0)
+        table_col = table_ref[:, :][:, None, :]              # (32, 1, B)
 
         for j in range(G):
             live = (s * G + j) < S
@@ -172,31 +182,29 @@ def _make_kernel(cfg: DemodConfig, B: int, G: int,
                 thresh = jnp.full_like(tp, _TWO_PI)
 
             # ---- closed-form timing gate (scan.py docstring item 4) ------
-            diff = thresh - tp                          # (1, B)
-            rem = block_ticks - t                       # (1, B) i32
-            prod = ksB * tf                             # (K, B)
+            diff = thresh - tp                          # (R, B)
+            rem = block_ticks - t                       # (R, B) i32
+            prod = ksB * tf                             # (K, R, B)
             ok = jnp.logical_and(prod >= diff,
                                  ksB <= rem.astype(jnp.float32))
             kcand = jnp.where(ok, kiota, K)
-            k_min = jnp.min(kcand, axis=0, keepdims=True)
+            k_min = jnp.min(kcand, axis=0)
             fired = jnp.logical_and(k_min < K, live)
             k_idx = jnp.where(fired, k_min, jnp.minimum(rem, K) - 1)
             k_idx = jnp.where(live, k_idx, -1)
             # Selected precomputed product: add is never fused with the mul.
             prod_sel = jnp.sum(jnp.where(kiota == k_idx, prod, _F32(0.0)),
-                               axis=0, keepdims=True)
+                               axis=0)
             tau = t + k_idx
             tp = tp + prod_sel
             t = t + k_idx + 1
 
-            # ---- select fired tick from the (W, B) window tile -----------
+            # ---- select fired tick from the (W, R, B) window tile --------
             # base[s*G+j, b] = tau-origin of window row j (host-precomputed).
-            c = tau - base_ref[j]                      # (1, B) window coord
-            sel = jnp.logical_and(wc == c, fired)      # (W, B)
-            z_re = jnp.sum(jnp.where(sel, wre_ref[j], _F32(0.0)), axis=0,
-                           keepdims=True)
-            z_im = jnp.sum(jnp.where(sel, wim_ref[j], _F32(0.0)), axis=0,
-                           keepdims=True)
+            c = tau - base_ref[j]                      # (R, B) window coord
+            sel = jnp.logical_and(wc == c, fired)      # (W, R, B)
+            z_re = jnp.sum(jnp.where(sel, wre_ref[j], _F32(0.0)), axis=0)
+            z_im = jnp.sum(jnp.where(sel, wim_ref[j], _F32(0.0)), axis=0)
             miss = jnp.logical_and(fired, jnp.logical_or(c < 0, c >= W))
 
             # ---- AGC (agc.c:12-25) ---------------------------------------
@@ -272,88 +280,103 @@ def _make_kernel(cfg: DemodConfig, B: int, G: int,
             bias_im = jnp.where(fired, bias_im_n, bias_im)
             flags = flags | jnp.where(miss, FLAG_WINDOW_MISS, 0)
 
-            # ---- per-step outputs (blocks are (G, 1, B)) -----------------
-            symre_ref[j, 0, :] = sym_re[0]
-            symim_ref[j, 0, :] = sym_im[0]
-            valid_ref[j, 0, :] = do_update[0].astype(jnp.int32)
-            lout_ref[j, 0, :] = lonce_out[0]
+            # ---- per-step outputs (blocks are (G, R, B)) -----------------
+            symre_ref[j] = sym_re
+            symim_ref[j] = sym_im
+            valid_ref[j] = do_update.astype(jnp.int32)
+            lout_ref[j] = lonce_out
 
         # ---- write registers back to scratch -----------------------------
-        fs_ref[F_TPHASE:F_TPHASE + 1, :] = tp
-        fs_ref[F_TFREQ:F_TFREQ + 1, :] = tf
-        fs_ref[F_TPREV:F_TPREV + 1, :] = prev
-        fs_ref[F_PPHASE:F_PPHASE + 1, :] = pp
-        fs_ref[F_PFREQ:F_PFREQ + 1, :] = pf
-        fs_ref[F_PERR:F_PERR + 1, :] = perr
-        fs_ref[F_UPDOWN:F_UPDOWN + 1, :] = updown
-        fs_ref[F_GAIN:F_GAIN + 1, :] = gain
-        fs_ref[F_BIASRE:F_BIASRE + 1, :] = bias_re
-        fs_ref[F_BIASIM:F_BIASIM + 1, :] = bias_im
-        fs_ref[F_INPHASE:F_INPHASE + 1, :] = inphase
-        is_ref[I_LOCKED:I_LOCKED + 1, :] = locked
-        is_ref[I_LOCKED_ONCE:I_LOCKED_ONCE + 1, :] = lonce
-        is_ref[I_SLOT:I_SLOT + 1, :] = slot
-        is_ref[I_TICK:I_TICK + 1, :] = t
-        is_ref[I_FLAGS:I_FLAGS + 1, :] = flags
+        fs_ref[F_TPHASE] = tp
+        fs_ref[F_TFREQ] = tf
+        fs_ref[F_TPREV] = prev
+        fs_ref[F_PPHASE] = pp
+        fs_ref[F_PFREQ] = pf
+        fs_ref[F_PERR] = perr
+        fs_ref[F_UPDOWN] = updown
+        fs_ref[F_GAIN] = gain
+        fs_ref[F_BIASRE] = bias_re
+        fs_ref[F_BIASIM] = bias_im
+        fs_ref[F_INPHASE] = inphase
+        is_ref[I_LOCKED] = locked
+        is_ref[I_LOCKED_ONCE] = lonce
+        is_ref[I_SLOT] = slot
+        is_ref[I_TICK] = t
+        is_ref[I_FLAGS] = flags
 
         # ---- final iteration: unconsumed-tick flags + carry out ----------
         @pl.when(s == (S_pad // G) - 1)
         def _():
-            unconsumed = is_ref[I_TICK:I_TICK + 1, :] < block_ticks
-            is_ref[I_FLAGS:I_FLAGS + 1, :] = (
-                is_ref[I_FLAGS:I_FLAGS + 1, :]
-                | jnp.where(unconsumed, FLAG_UNCONSUMED, 0))
-            is_ref[I_TICK:I_TICK + 1, :] = jnp.zeros((1, B), jnp.int32)
-            fout_ref[:, :] = fs_ref[:, :]
-            iout_ref[:, :] = is_ref[:, :]
+            unconsumed = is_ref[I_TICK] < block_ticks
+            is_ref[I_FLAGS] = (is_ref[I_FLAGS]
+                               | jnp.where(unconsumed, FLAG_UNCONSUMED, 0))
+            is_ref[I_TICK] = jnp.zeros((R, B), jnp.int32)
+            fout_ref[...] = fs_ref[...]
+            iout_ref[...] = is_ref[...]
 
     return kernel
 
 
-def _pack_carry(carry: DemodCarry):
-    """DemodCarry (leaves (B,)) -> ((NF, B) f32, (NI, B) i32)."""
-    B = carry.t_phase.shape[0]
-    zf = jnp.zeros((1, B), jnp.float32)
+def _pack_carry(carry: DemodCarry, R: int, B: int):
+    """DemodCarry (leaves (R*B,)) -> ((NF, R, B) f32, (NI, R, B) i32)."""
+    sh = (1, R, B)
+    rs = lambda a: a.reshape(sh)
+    zf = jnp.zeros(sh, jnp.float32)
     f = jnp.concatenate([
-        carry.t_phase[None], carry.t_freq[None], carry.t_prev[None],
-        carry.p_phase[None], carry.p_freq[None], carry.p_err[None],
-        carry.updown[None], carry.agc_gain[None],
-        carry.agc_bias_re[None], carry.agc_bias_im[None],
-        carry.inphase[None],
+        rs(carry.t_phase), rs(carry.t_freq), rs(carry.t_prev),
+        rs(carry.p_phase), rs(carry.p_freq), rs(carry.p_err),
+        rs(carry.updown), rs(carry.agc_gain),
+        rs(carry.agc_bias_re), rs(carry.agc_bias_im),
+        rs(carry.inphase),
     ] + [zf] * (NF - 11), axis=0)
-    zi = jnp.zeros((1, B), jnp.int32)
+    zi = jnp.zeros(sh, jnp.int32)
     i = jnp.concatenate([
-        carry.locked[None], carry.locked_once[None], carry.slot[None],
-        carry.tick[None], carry.flags[None],
+        rs(carry.locked), rs(carry.locked_once), rs(carry.slot),
+        rs(carry.tick), rs(carry.flags),
     ] + [zi] * (NI - 5), axis=0)
     return f, i
 
 
 def _unpack_carry(f, i, fir_tail) -> DemodCarry:
+    """(NF, R, B)/(NI, R, B) -> DemodCarry with flat (R*B,) leaves."""
+    fl = f.reshape(f.shape[0], -1)
+    il = i.reshape(i.shape[0], -1)
     return DemodCarry(
-        t_phase=f[F_TPHASE], t_freq=f[F_TFREQ], t_prev=f[F_TPREV],
-        p_phase=f[F_PPHASE], p_freq=f[F_PFREQ], p_err=f[F_PERR],
-        locked=i[I_LOCKED], locked_once=i[I_LOCKED_ONCE],
-        updown=f[F_UPDOWN], agc_gain=f[F_GAIN],
-        agc_bias_re=f[F_BIASRE], agc_bias_im=f[F_BIASIM],
-        inphase=f[F_INPHASE], slot=i[I_SLOT], tick=i[I_TICK],
-        fir_tail=fir_tail, flags=i[I_FLAGS])
+        t_phase=fl[F_TPHASE], t_freq=fl[F_TFREQ], t_prev=fl[F_TPREV],
+        p_phase=fl[F_PPHASE], p_freq=fl[F_PFREQ], p_err=fl[F_PERR],
+        locked=il[I_LOCKED], locked_once=il[I_LOCKED_ONCE],
+        updown=fl[F_UPDOWN], agc_gain=fl[F_GAIN],
+        agc_bias_re=fl[F_BIASRE], agc_bias_im=fl[F_BIASIM],
+        inphase=fl[F_INPHASE], slot=il[I_SLOT], tick=il[I_TICK],
+        fir_tail=fir_tail, flags=il[I_FLAGS])
 
 
 def make_pallas_batch_demod(cfg: DemodConfig, batch: int,
                             interpret: bool = False,
-                            group: int = 8) -> Callable:
+                            group: int = 8,
+                            lanes: int = 128) -> Callable:
     """Batched block demodulator with the Pallas recurrence kernel.
 
     Returns demod(carry, x) -> (carry', BlockOutput) where carry leaves have
     a leading (batch,) axis and x is (batch, block_len, 2) float32 — the same
     contract as jax.vmap(make_block_demod(cfg)). `group` symbol steps run
     per grid iteration (see _make_kernel).
+
+    When batch is a multiple of `lanes` (the VPU lane width, 128 — tests
+    shrink it to exercise the packed layout cheaply), the streams pack as
+    R = batch/lanes sublane groups x lanes, so every state-row op is a full
+    (R, lanes) vreg tile (module docstring); otherwise R=1 with batch in
+    the lanes.
     """
     cfg.validate()
     from ..dsp.loops import TANH_TABLE
     banks = make_fir_banks(cfg)
-    S, W, B, G = cfg.steps_per_block, cfg.window_common, batch, group
+    S, G = cfg.steps_per_block, group
+    W = cfg.window_common
+    if batch % lanes == 0:
+        R, B = batch // lanes, lanes
+    else:
+        R, B = 1, batch
     S_pad = -(-S // G) * G
     delta = cfg.window_delta_common
     block_ticks = cfg.block_ticks
@@ -366,41 +389,41 @@ def make_pallas_batch_demod(cfg: DemodConfig, batch: int,
                       + np.arange(W, dtype=np.int32)[None, :],
                       0, block_ticks - 1).reshape(-1)             # (S_pad*W,)
     base_np = (offsets_pad - delta).astype(np.int32)              # (S_pad,)
-    kernel = _make_kernel(cfg, B, G, TANH_TABLE)
+    kernel = _make_kernel(cfg, R, B, G, TANH_TABLE)
 
     grid_spec = pl.GridSpec(
         grid=(S_pad // G,),
         scratch_shapes=[
-            pltpu.VMEM((NF, B), jnp.float32),
-            pltpu.VMEM((NI, B), jnp.int32),
+            pltpu.VMEM((NF, R, B), jnp.float32),
+            pltpu.VMEM((NI, R, B), jnp.int32),
         ],
         in_specs=[
-            pl.BlockSpec((G, 1, B), lambda s: (s, 0, 0)),   # base
-            pl.BlockSpec((G, W, B), lambda s: (s, 0, 0)),   # w_re
-            pl.BlockSpec((G, W, B), lambda s: (s, 0, 0)),   # w_im
-            pl.BlockSpec((NF, B), lambda s: (0, 0)),
-            pl.BlockSpec((NI, B), lambda s: (0, 0)),
+            pl.BlockSpec((G, 1, B), lambda s: (s, 0, 0)),      # base
+            pl.BlockSpec((G, W, R, B), lambda s: (s, 0, 0, 0)),  # w_re
+            pl.BlockSpec((G, W, R, B), lambda s: (s, 0, 0, 0)),  # w_im
+            pl.BlockSpec((NF, R, B), lambda s: (0, 0, 0)),
+            pl.BlockSpec((NI, R, B), lambda s: (0, 0, 0)),
             pl.BlockSpec((32, B), lambda s: (0, 0)),   # tanh LUT column
         ],
         out_specs=[
-            pl.BlockSpec((G, 1, B), lambda s: (s, 0, 0)),
-            pl.BlockSpec((G, 1, B), lambda s: (s, 0, 0)),
-            pl.BlockSpec((G, 1, B), lambda s: (s, 0, 0)),
-            pl.BlockSpec((G, 1, B), lambda s: (s, 0, 0)),
-            pl.BlockSpec((NF, B), lambda s: (0, 0)),
-            pl.BlockSpec((NI, B), lambda s: (0, 0)),
+            pl.BlockSpec((G, R, B), lambda s: (s, 0, 0)),
+            pl.BlockSpec((G, R, B), lambda s: (s, 0, 0)),
+            pl.BlockSpec((G, R, B), lambda s: (s, 0, 0)),
+            pl.BlockSpec((G, R, B), lambda s: (s, 0, 0)),
+            pl.BlockSpec((NF, R, B), lambda s: (0, 0, 0)),
+            pl.BlockSpec((NI, R, B), lambda s: (0, 0, 0)),
         ],
     )
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((S_pad, 1, B), jnp.float32),
-            jax.ShapeDtypeStruct((S_pad, 1, B), jnp.float32),
-            jax.ShapeDtypeStruct((S_pad, 1, B), jnp.int32),
-            jax.ShapeDtypeStruct((S_pad, 1, B), jnp.int32),
-            jax.ShapeDtypeStruct((NF, B), jnp.float32),
-            jax.ShapeDtypeStruct((NI, B), jnp.int32),
+            jax.ShapeDtypeStruct((S_pad, R, B), jnp.float32),
+            jax.ShapeDtypeStruct((S_pad, R, B), jnp.float32),
+            jax.ShapeDtypeStruct((S_pad, R, B), jnp.int32),
+            jax.ShapeDtypeStruct((S_pad, R, B), jnp.int32),
+            jax.ShapeDtypeStruct((NF, R, B), jnp.float32),
+            jax.ShapeDtypeStruct((NI, R, B), jnp.int32),
         ],
         interpret=interpret,
     )
@@ -410,14 +433,17 @@ def make_pallas_batch_demod(cfg: DemodConfig, batch: int,
         np.asarray(TANH_TABLE, dtype=np.float32)[:, None], (32, B)).copy()
 
     def demod(carry: DemodCarry, x: jnp.ndarray):
-        F, new_tail = fir(x, carry.fir_tail)       # (B, L, interp, 2)
-        Ft = F.reshape(B, -1, 2).transpose(1, 0, 2)     # (T, B, 2)
-        # Static row-gather: (S_pad*W, B) windows, reshaped per step.
-        w_re = jnp.take(Ft[:, :, 0], row_idx, axis=0).reshape(S_pad, W, B)
-        w_im = jnp.take(Ft[:, :, 1], row_idx, axis=0).reshape(S_pad, W, B)
+        F, new_tail = fir(x, carry.fir_tail)       # (batch, L, interp, 2)
+        Ft = F.reshape(batch, -1, 2).transpose(1, 0, 2)   # (T, batch, 2)
+        # Static row-gather: (S_pad*W, batch) windows, reshaped per step
+        # with the stream axis split (R sublane groups, B lanes).
+        w_re = jnp.take(Ft[:, :, 0], row_idx,
+                        axis=0).reshape(S_pad, W, R, B)
+        w_im = jnp.take(Ft[:, :, 1], row_idx,
+                        axis=0).reshape(S_pad, W, R, B)
 
         f_in, i_in = _pack_carry(carry._replace(
-            tick=jnp.zeros_like(carry.tick)))
+            tick=jnp.zeros_like(carry.tick)), R, B)
 
         # base[s] = offsets[s] - delta, common to all streams.
         base = jnp.broadcast_to(jnp.asarray(base_np)[:, None, None],
@@ -427,8 +453,10 @@ def make_pallas_batch_demod(cfg: DemodConfig, batch: int,
             base, w_re, w_im, f_in, i_in, jnp.asarray(table_np))
 
         carry1 = _unpack_carry(f_out, i_out, new_tail)
-        outs = BlockOutput(sym_re=sym_re[:S, 0].T, sym_im=sym_im[:S, 0].T,
-                           valid=valid[:S, 0].T, locked_once=lonce[:S, 0].T)
+        # (S, R, B) -> (batch, S) with stream index r*B + b.
+        tr = lambda a: a[:S].transpose(1, 2, 0).reshape(batch, S)
+        outs = BlockOutput(sym_re=tr(sym_re), sym_im=tr(sym_im),
+                           valid=tr(valid), locked_once=tr(lonce))
         return carry1, outs
 
     return demod

@@ -80,3 +80,45 @@ def test_pallas_chains_across_blocks():
     m = np.asarray(ro2.valid).astype(bool)
     np.testing.assert_allclose(np.asarray(po2.sym_re)[m],
                                np.asarray(ro2.sym_re)[m], rtol=5e-4, atol=0.1)
+
+
+def test_pallas_sublane_packed_matches_flat():
+    """The sublane-packed layout (R stream groups x lanes — production runs
+    R = batch/128) must be decision-identical to the flat R=1 layout and to
+    the scan path: packing only changes register geometry, not math.
+    Exercised at lanes=4 so interpret mode stays cheap."""
+    cfg = DemodConfig(samplerate=230400, block_len=1024)
+    B = 8
+    x = np.stack([
+        synth_psk(500, cfg.samplerate, carrier_hz=60.0 + 20 * b,
+                  amplitude=6000.0, snr_db=22.0, seed=b)[0][:cfg.block_len]
+        for b in range(B)])
+    xf = iq_to_f32(x)
+
+    flat_fn = make_pallas_batch_demod(cfg, B, interpret=True, group=4)
+    packed_fn = make_pallas_batch_demod(cfg, B, interpret=True, group=4,
+                                        lanes=4)               # R=2
+    ref_fn = jax.jit(jax.vmap(make_block_demod(cfg)))
+
+    fc, fo = flat_fn(batch_carry(cfg, B), jnp.asarray(xf))
+    pc, po = packed_fn(batch_carry(cfg, B), jnp.asarray(xf))
+    rc, ro = ref_fn(batch_carry(cfg, B), xf)
+
+    np.testing.assert_array_equal(np.asarray(fo.valid), np.asarray(po.valid))
+    np.testing.assert_array_equal(np.asarray(ro.valid), np.asarray(po.valid))
+    np.testing.assert_array_equal(np.asarray(fo.locked_once),
+                                  np.asarray(po.locked_once))
+    # Values: the two layouts compile to different XLA programs whose FMA
+    # contraction may differ, so symbols agree to float32-FMA tolerance
+    # (same bound as kernel-vs-scan), decisions bitwise above.
+    np.testing.assert_allclose(np.asarray(fo.sym_re), np.asarray(po.sym_re),
+                               rtol=5e-4, atol=0.05)
+    np.testing.assert_allclose(np.asarray(fo.sym_im), np.asarray(po.sym_im),
+                               rtol=5e-4, atol=0.05)
+    for k in fc._fields:
+        a, b = np.asarray(getattr(fc, k)), np.asarray(getattr(pc, k))
+        if a.dtype.kind == "i":
+            np.testing.assert_array_equal(a, b, err_msg=k)
+        else:
+            np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-3,
+                                       err_msg=k)
