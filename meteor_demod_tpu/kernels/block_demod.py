@@ -104,17 +104,15 @@ def _lut_tanh_rows(v, iota32, table_col):
     return jnp.sum(jnp.where(sel, table_col, _F32(0.0)), axis=0)
 
 
-def _make_kernel(cfg: DemodConfig, R: int, B: int, G: int,
-                 tanh_table: np.ndarray) -> Callable:
-    """Kernel processing G symbol steps per grid iteration for R*B streams.
+def _make_step(cfg: DemodConfig, R: int, B: int) -> Callable:
+    """Shared per-step recurrence body for both kernel variants.
 
-    Grouping amortizes the per-grid-step costs (window-tile DMA issue,
-    output-block bookkeeping) that dominate over the arithmetic; loop states
-    live in registers across the G inner steps and touch VMEM scratch once
-    per grid iteration. Grid steps past S pad the grid to a multiple of G
-    and are dead (`live` masks every effect), so the decision trajectory is
-    identical to the per-step scan path.
-    """
+    Returns step(st, tiles, wre, wim, base_j, live) -> (st', out) where st
+    is the 16-tuple of (R, B) state tiles in packed-row order, tiles the
+    loop-invariant (kiota, ksB, wc, iota32, table_col) tuple, wre/wim the
+    (W, R, B) candidate window for this step, base_j the window's tick
+    origin (scalar or (R, B)), live the dead-step mask, and out the
+    (sym_re, sym_im, valid, locked_once) tiles."""
     a_t, b_t = cfg.timing_gains
     a_p, b_p = cfg.pll_gains
     t_center = cfg.timing_freq
@@ -123,8 +121,6 @@ def _make_kernel(cfg: DemodConfig, R: int, B: int, G: int,
     block_ticks = cfg.block_ticks
     K = cfg.gate_candidates
     W = cfg.window_common
-    S = cfg.steps_per_block
-    S_pad = -(-S // G) * G
     oqpsk = cfg.oqpsk
 
     bias_keep = _F32(1.0 - C.AGC_BIAS_POLE)
@@ -136,6 +132,180 @@ def _make_kernel(cfg: DemodConfig, R: int, B: int, G: int,
     sweep = _F32(C.SWEEP_STEP)
     half_pi = _F32(np.pi / 2)
 
+    def step(st, tiles, wre, wim, base_j, live):
+        (tp, tf, prev, pp, pf, perr, updown, gain, bias_re, bias_im,
+         inphase, locked, lonce, slot, t, flags) = st
+        kiota, ksB, wc, iota32, table_col = tiles
+
+        if oqpsk:
+            thresh = slot.astype(jnp.float32) * _PI
+        else:
+            thresh = jnp.full_like(tp, _TWO_PI)
+
+        # ---- closed-form timing gate (scan.py docstring item 4) ----------
+        diff = thresh - tp                          # (R, B)
+        rem = block_ticks - t                       # (R, B) i32
+        prod = ksB * tf                             # (K, R, B)
+        ok = jnp.logical_and(prod >= diff,
+                             ksB <= rem.astype(jnp.float32))
+        kcand = jnp.where(ok, kiota, K)
+        k_min = jnp.min(kcand, axis=0)
+        fired = jnp.logical_and(k_min < K, live)
+        k_idx = jnp.where(fired, k_min, jnp.minimum(rem, K) - 1)
+        k_idx = jnp.where(live, k_idx, -1)
+        # Selected precomputed product: add is never fused with the mul.
+        prod_sel = jnp.sum(jnp.where(kiota == k_idx, prod, _F32(0.0)),
+                           axis=0)
+        tau = t + k_idx
+        tp = tp + prod_sel
+        t = t + k_idx + 1
+
+        # ---- select fired tick from the (W, R, B) window tile ------------
+        c = tau - base_j                           # (R, B) window coord
+        sel = jnp.logical_and(wc == c, fired)      # (W, R, B)
+        z_re = jnp.sum(jnp.where(sel, wre, _F32(0.0)), axis=0)
+        z_im = jnp.sum(jnp.where(sel, wim, _F32(0.0)), axis=0)
+        miss = jnp.logical_and(fired, jnp.logical_or(c < 0, c >= W))
+
+        # ---- AGC (agc.c:12-25) -------------------------------------------
+        bias_re_n = bias_re * bias_keep + bias_pole * z_re
+        bias_im_n = bias_im * bias_keep + bias_pole * z_im
+        zr = (z_re - bias_re_n) * gain
+        zi = (z_im - bias_im_n) * gain
+        mag = jnp.sqrt(zr * zr + zi * zi)
+        gain_n = jnp.maximum(_F32(0.0),
+                             gain + gain_pole * (agc_target - mag))
+
+        # ---- PLL mix (pll.c:50-97) ---------------------------------------
+        sn = _fast_sin_rows(-pp)
+        cs = _fast_sin_rows(-pp + half_pi)
+        mre = zr * cs - zi * sn
+        mim = zr * sn + zi * cs
+        pp_adv = pp + pf
+        pp_adv = jnp.where(pp_adv >= _TWO_PI, pp_adv - _TWO_PI, pp_adv)
+
+        # ---- assemble symbol (OQPSK: demod.c:62-87) ----------------------
+        if oqpsk:
+            is1 = slot == 1
+            fire1 = jnp.logical_and(fired, is1)
+            do_update = jnp.logical_and(fired, ~is1)
+            sym_re = inphase                   # previous half-symbol I
+            sym_im = mim
+            inphase = jnp.where(fire1, mre, inphase)
+            slot = jnp.where(fired, jnp.where(is1, 2, 1), slot)
+        else:
+            do_update = fired
+            sym_re = mre
+            sym_im = mim
+
+        # ---- M&M retiming (timing.c:59-95) -------------------------------
+        sgn_prev = jnp.where(prev < 0, _F32(-1.0), _F32(1.0))
+        sgn_cur = jnp.where(sym_im < 0, _F32(-1.0), _F32(1.0))
+        err_t = sgn_prev * sym_im - sgn_cur * prev
+        tp = jnp.where(do_update, tp - (_TWO_PI + a_t * err_t), tp)
+        fd = jnp.clip((tf - t_center) - b_t * err_t, -t_dev, t_dev)
+        tf = jnp.where(do_update, t_center + fd, tf)
+        prev = jnp.where(do_update, sym_im, prev)
+
+        # ---- Costas update (pll.c:99-130) --------------------------------
+        e = (_lut_tanh_rows(sym_re, iota32, table_col) * sym_im
+             - _lut_tanh_rows(sym_im, iota32, table_col) * sym_re)
+        pp_upd = jnp.fmod(pp_adv + a_p * e, _TWO_PI)
+        pf_upd = pf + b_p * e
+        err_upd = perr * err_keep + jnp.abs(e) * err_pole
+        lock_now = jnp.logical_and(err_upd < _F32(C.LOCK_THRESH),
+                                   locked == 0)
+        unlock_now = jnp.logical_and(err_upd > _F32(C.UNLOCK_THRESH),
+                                     locked == 1)
+        locked_upd = jnp.where(lock_now, 1,
+                               jnp.where(unlock_now, 0, locked))
+        lonce_upd = jnp.maximum(lonce, lock_now.astype(jnp.int32))
+        pf_upd = jnp.where(locked_upd == 0, pf_upd + sweep * updown,
+                           pf_upd)
+        updown_upd = jnp.where(pf_upd >= fmax, _F32(-1.0),
+                               jnp.where(pf_upd <= -fmax, _F32(1.0),
+                                         updown))
+        pf_upd = jnp.clip(pf_upd, -fmax, fmax)
+
+        # ---- gated register updates --------------------------------------
+        pp = jnp.where(do_update, pp_upd, jnp.where(fired, pp_adv, pp))
+        pf = jnp.where(do_update, pf_upd, pf)
+        perr = jnp.where(do_update, err_upd, perr)
+        locked = jnp.where(do_update, locked_upd, locked)
+        lonce_out = jnp.where(do_update, lonce_upd, lonce)
+        lonce = lonce_out
+        updown = jnp.where(do_update, updown_upd, updown)
+        gain = jnp.where(fired, gain_n, gain)
+        bias_re = jnp.where(fired, bias_re_n, bias_re)
+        bias_im = jnp.where(fired, bias_im_n, bias_im)
+        flags = flags | jnp.where(miss, FLAG_WINDOW_MISS, 0)
+
+        st_new = (tp, tf, prev, pp, pf, perr, updown, gain, bias_re,
+                  bias_im, inphase, locked, lonce, slot, t, flags)
+        out = (sym_re, sym_im, do_update.astype(jnp.int32), lonce_out)
+        return st_new, out
+
+    return step
+
+
+def _load_states(fs_ref, is_ref):
+    return (fs_ref[F_TPHASE], fs_ref[F_TFREQ], fs_ref[F_TPREV],
+            fs_ref[F_PPHASE], fs_ref[F_PFREQ], fs_ref[F_PERR],
+            fs_ref[F_UPDOWN], fs_ref[F_GAIN], fs_ref[F_BIASRE],
+            fs_ref[F_BIASIM], fs_ref[F_INPHASE], is_ref[I_LOCKED],
+            is_ref[I_LOCKED_ONCE], is_ref[I_SLOT], is_ref[I_TICK],
+            is_ref[I_FLAGS])
+
+
+def _store_states(fs_ref, is_ref, st):
+    (tp, tf, prev, pp, pf, perr, updown, gain, bias_re, bias_im,
+     inphase, locked, lonce, slot, t, flags) = st
+    fs_ref[F_TPHASE] = tp
+    fs_ref[F_TFREQ] = tf
+    fs_ref[F_TPREV] = prev
+    fs_ref[F_PPHASE] = pp
+    fs_ref[F_PFREQ] = pf
+    fs_ref[F_PERR] = perr
+    fs_ref[F_UPDOWN] = updown
+    fs_ref[F_GAIN] = gain
+    fs_ref[F_BIASRE] = bias_re
+    fs_ref[F_BIASIM] = bias_im
+    fs_ref[F_INPHASE] = inphase
+    is_ref[I_LOCKED] = locked
+    is_ref[I_LOCKED_ONCE] = lonce
+    is_ref[I_SLOT] = slot
+    is_ref[I_TICK] = t
+    is_ref[I_FLAGS] = flags
+
+
+def _make_tiles(R, B, K, W, table_ref):
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (K, R, B), 0)
+    ksB = (kiota + 1).astype(jnp.float32)
+    wc = jax.lax.broadcasted_iota(jnp.int32, (W, R, B), 0)
+    iota32 = jax.lax.broadcasted_iota(jnp.int32, (32, R, B), 0)
+    table_col = table_ref[:, :][:, None, :]              # (32, 1, B)
+    return kiota, ksB, wc, iota32, table_col
+
+
+def _make_kernel(cfg: DemodConfig, R: int, B: int, G: int,
+                 tanh_table: np.ndarray) -> Callable:
+    """Kernel processing G symbol steps per grid iteration for R*B streams,
+    consuming prematerialized (G, W, R, B) window tiles.
+
+    Grouping amortizes the per-grid-step costs (window-tile DMA issue,
+    output-block bookkeeping) that dominate over the arithmetic; loop states
+    live in registers across the G inner steps and touch VMEM scratch once
+    per grid iteration. Grid steps past S pad the grid to a multiple of G
+    and are dead (`live` masks every effect), so the decision trajectory is
+    identical to the per-step scan path.
+    """
+    K = cfg.gate_candidates
+    W = cfg.window_common
+    S = cfg.steps_per_block
+    S_pad = -(-S // G) * G
+    block_ticks = cfg.block_ticks
+    step = _make_step(cfg, R, B)
+
     def kernel(base_ref, wre_ref, wim_ref, fin_ref, iin_ref, table_ref,
                symre_ref, symim_ref, valid_ref, lout_ref,
                fout_ref, iout_ref, fs_ref, is_ref):
@@ -146,163 +316,16 @@ def _make_kernel(cfg: DemodConfig, R: int, B: int, G: int,
             fs_ref[...] = fin_ref[...]
             is_ref[...] = iin_ref[...]
 
-        # ---- load states into registers, once per grid iteration ---------
-        # Each state is an (R, B) tile: R stream-groups in the sublanes,
-        # B streams in the lanes.
-        tp = fs_ref[F_TPHASE]
-        tf = fs_ref[F_TFREQ]
-        prev = fs_ref[F_TPREV]
-        pp = fs_ref[F_PPHASE]
-        pf = fs_ref[F_PFREQ]
-        perr = fs_ref[F_PERR]
-        updown = fs_ref[F_UPDOWN]
-        gain = fs_ref[F_GAIN]
-        bias_re = fs_ref[F_BIASRE]
-        bias_im = fs_ref[F_BIASIM]
-        inphase = fs_ref[F_INPHASE]
-        locked = is_ref[I_LOCKED]
-        lonce = is_ref[I_LOCKED_ONCE]
-        slot = is_ref[I_SLOT]
-        t = is_ref[I_TICK]
-        flags = is_ref[I_FLAGS]
-
-        wc = jax.lax.broadcasted_iota(jnp.int32, (W, R, B), 0)
-        kiota = jax.lax.broadcasted_iota(jnp.int32, (K, R, B), 0)
-        ksB = (kiota + 1).astype(jnp.float32)
-        # Loop-invariant tanh-LUT tiles (see _lut_tanh_rows).
-        iota32 = jax.lax.broadcasted_iota(jnp.int32, (32, R, B), 0)
-        table_col = table_ref[:, :][:, None, :]              # (32, 1, B)
+        st = _load_states(fs_ref, is_ref)
+        tiles = _make_tiles(R, B, K, W, table_ref)
 
         for j in range(G):
             live = (s * G + j) < S
+            st, out = step(st, tiles, wre_ref[j], wim_ref[j],
+                           base_ref[j], live)
+            symre_ref[j], symim_ref[j], valid_ref[j], lout_ref[j] = out
 
-            if oqpsk:
-                thresh = slot.astype(jnp.float32) * _PI
-            else:
-                thresh = jnp.full_like(tp, _TWO_PI)
-
-            # ---- closed-form timing gate (scan.py docstring item 4) ------
-            diff = thresh - tp                          # (R, B)
-            rem = block_ticks - t                       # (R, B) i32
-            prod = ksB * tf                             # (K, R, B)
-            ok = jnp.logical_and(prod >= diff,
-                                 ksB <= rem.astype(jnp.float32))
-            kcand = jnp.where(ok, kiota, K)
-            k_min = jnp.min(kcand, axis=0)
-            fired = jnp.logical_and(k_min < K, live)
-            k_idx = jnp.where(fired, k_min, jnp.minimum(rem, K) - 1)
-            k_idx = jnp.where(live, k_idx, -1)
-            # Selected precomputed product: add is never fused with the mul.
-            prod_sel = jnp.sum(jnp.where(kiota == k_idx, prod, _F32(0.0)),
-                               axis=0)
-            tau = t + k_idx
-            tp = tp + prod_sel
-            t = t + k_idx + 1
-
-            # ---- select fired tick from the (W, R, B) window tile --------
-            # base[s*G+j, b] = tau-origin of window row j (host-precomputed).
-            c = tau - base_ref[j]                      # (R, B) window coord
-            sel = jnp.logical_and(wc == c, fired)      # (W, R, B)
-            z_re = jnp.sum(jnp.where(sel, wre_ref[j], _F32(0.0)), axis=0)
-            z_im = jnp.sum(jnp.where(sel, wim_ref[j], _F32(0.0)), axis=0)
-            miss = jnp.logical_and(fired, jnp.logical_or(c < 0, c >= W))
-
-            # ---- AGC (agc.c:12-25) ---------------------------------------
-            bias_re_n = bias_re * bias_keep + bias_pole * z_re
-            bias_im_n = bias_im * bias_keep + bias_pole * z_im
-            zr = (z_re - bias_re_n) * gain
-            zi = (z_im - bias_im_n) * gain
-            mag = jnp.sqrt(zr * zr + zi * zi)
-            gain_n = jnp.maximum(_F32(0.0),
-                                 gain + gain_pole * (agc_target - mag))
-
-            # ---- PLL mix (pll.c:50-97) -----------------------------------
-            sn = _fast_sin_rows(-pp)
-            cs = _fast_sin_rows(-pp + half_pi)
-            mre = zr * cs - zi * sn
-            mim = zr * sn + zi * cs
-            pp_adv = pp + pf
-            pp_adv = jnp.where(pp_adv >= _TWO_PI, pp_adv - _TWO_PI, pp_adv)
-
-            # ---- assemble symbol (OQPSK: demod.c:62-87) ------------------
-            if oqpsk:
-                is1 = slot == 1
-                fire1 = jnp.logical_and(fired, is1)
-                do_update = jnp.logical_and(fired, ~is1)
-                sym_re = inphase                   # previous half-symbol I
-                sym_im = mim
-                inphase = jnp.where(fire1, mre, inphase)
-                slot = jnp.where(fired, jnp.where(is1, 2, 1), slot)
-            else:
-                do_update = fired
-                sym_re = mre
-                sym_im = mim
-
-            # ---- M&M retiming (timing.c:59-95) ---------------------------
-            sgn_prev = jnp.where(prev < 0, _F32(-1.0), _F32(1.0))
-            sgn_cur = jnp.where(sym_im < 0, _F32(-1.0), _F32(1.0))
-            err_t = sgn_prev * sym_im - sgn_cur * prev
-            tp = jnp.where(do_update, tp - (_TWO_PI + a_t * err_t), tp)
-            fd = jnp.clip((tf - t_center) - b_t * err_t, -t_dev, t_dev)
-            tf = jnp.where(do_update, t_center + fd, tf)
-            prev = jnp.where(do_update, sym_im, prev)
-
-            # ---- Costas update (pll.c:99-130) ----------------------------
-            e = (_lut_tanh_rows(sym_re, iota32, table_col) * sym_im
-                 - _lut_tanh_rows(sym_im, iota32, table_col) * sym_re)
-            pp_upd = jnp.fmod(pp_adv + a_p * e, _TWO_PI)
-            pf_upd = pf + b_p * e
-            err_upd = perr * err_keep + jnp.abs(e) * err_pole
-            lock_now = jnp.logical_and(err_upd < _F32(C.LOCK_THRESH),
-                                       locked == 0)
-            unlock_now = jnp.logical_and(err_upd > _F32(C.UNLOCK_THRESH),
-                                         locked == 1)
-            locked_upd = jnp.where(lock_now, 1,
-                                   jnp.where(unlock_now, 0, locked))
-            lonce_upd = jnp.maximum(lonce, lock_now.astype(jnp.int32))
-            pf_upd = jnp.where(locked_upd == 0, pf_upd + sweep * updown,
-                               pf_upd)
-            updown_upd = jnp.where(pf_upd >= fmax, _F32(-1.0),
-                                   jnp.where(pf_upd <= -fmax, _F32(1.0),
-                                             updown))
-            pf_upd = jnp.clip(pf_upd, -fmax, fmax)
-
-            # ---- gated register updates ----------------------------------
-            pp = jnp.where(do_update, pp_upd, jnp.where(fired, pp_adv, pp))
-            pf = jnp.where(do_update, pf_upd, pf)
-            perr = jnp.where(do_update, err_upd, perr)
-            locked = jnp.where(do_update, locked_upd, locked)
-            lonce_out = jnp.where(do_update, lonce_upd, lonce)
-            lonce = lonce_out
-            updown = jnp.where(do_update, updown_upd, updown)
-            gain = jnp.where(fired, gain_n, gain)
-            bias_re = jnp.where(fired, bias_re_n, bias_re)
-            bias_im = jnp.where(fired, bias_im_n, bias_im)
-            flags = flags | jnp.where(miss, FLAG_WINDOW_MISS, 0)
-
-            # ---- per-step outputs (blocks are (G, R, B)) -----------------
-            symre_ref[j] = sym_re
-            symim_ref[j] = sym_im
-            valid_ref[j] = do_update.astype(jnp.int32)
-            lout_ref[j] = lonce_out
-
-        # ---- write registers back to scratch -----------------------------
-        fs_ref[F_TPHASE] = tp
-        fs_ref[F_TFREQ] = tf
-        fs_ref[F_TPREV] = prev
-        fs_ref[F_PPHASE] = pp
-        fs_ref[F_PFREQ] = pf
-        fs_ref[F_PERR] = perr
-        fs_ref[F_UPDOWN] = updown
-        fs_ref[F_GAIN] = gain
-        fs_ref[F_BIASRE] = bias_re
-        fs_ref[F_BIASIM] = bias_im
-        fs_ref[F_INPHASE] = inphase
-        is_ref[I_LOCKED] = locked
-        is_ref[I_LOCKED_ONCE] = lonce
-        is_ref[I_SLOT] = slot
-        is_ref[I_TICK] = t
-        is_ref[I_FLAGS] = flags
+        _store_states(fs_ref, is_ref, st)
 
         # ---- final iteration: unconsumed-tick flags + carry out ----------
         @pl.when(s == (S_pad // G) - 1)
@@ -311,6 +334,162 @@ def _make_kernel(cfg: DemodConfig, R: int, B: int, G: int,
             is_ref[I_FLAGS] = (is_ref[I_FLAGS]
                                | jnp.where(unconsumed, FLAG_UNCONSUMED, 0))
             is_ref[I_TICK] = jnp.zeros((R, B), jnp.int32)
+            fout_ref[...] = fs_ref[...]
+            iout_ref[...] = is_ref[...]
+
+    return kernel
+
+
+def _make_dma_demod(cfg: DemodConfig, batch: int, interpret: bool, G: int,
+                    tanh_table, banks) -> Callable:
+    """Wrapper for the DMA-streaming kernel (see _make_kernel_dma)."""
+    from ..dsp.fir import polyphase_fir_block_tmajor
+    S = cfg.steps_per_block
+    B = batch
+    S_pad = -(-S // G) * G
+    n_grid = S_pad // G
+    W = cfg.window_common
+    delta = cfg.window_delta_common
+    T = cfg.block_ticks
+    offsets = np.asarray(cfg.window_offsets, dtype=np.int64)      # (S,)
+    offsets_pad = np.concatenate(
+        [offsets, np.full(S_pad - S, offsets[-1], np.int64)])
+    og = offsets_pad.reshape(n_grid, G)
+    span = int(W + (og[:, -1] - og[:, 0]).max())
+    span = min(-(-span // 8) * 8, T)
+    # Per-group span start rows and per-step offsets within the span; the
+    # clips shift edge windows inward (strictly wider effective coverage
+    # than the gather path's row clamping — a fire outside still flags).
+    gstart = np.clip(og[:, 0] - delta, 0, T - span).astype(np.int32)
+    offw = np.clip(offsets_pad - delta - np.repeat(gstart, G),
+                   0, span - W).astype(np.int32)
+    kernel = _make_kernel_dma(cfg, B, G, span, n_grid)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),                # Ft
+            pl.BlockSpec((NF, 1, B), lambda s, g, o: (0, 0, 0)),
+            pl.BlockSpec((NI, 1, B), lambda s, g, o: (0, 0, 0)),
+            pl.BlockSpec((32, B), lambda s, g, o: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((G, 1, B), lambda s, g, o: (s, 0, 0)),
+            pl.BlockSpec((G, 1, B), lambda s, g, o: (s, 0, 0)),
+            pl.BlockSpec((G, 1, B), lambda s, g, o: (s, 0, 0)),
+            pl.BlockSpec((G, 1, B), lambda s, g, o: (s, 0, 0)),
+            pl.BlockSpec((NF, 1, B), lambda s, g, o: (0, 0, 0)),
+            pl.BlockSpec((NI, 1, B), lambda s, g, o: (0, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NF, 1, B), jnp.float32),
+            pltpu.VMEM((NI, 1, B), jnp.int32),
+            pltpu.VMEM((2 * span, 2, B), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((S_pad, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((S_pad, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((S_pad, 1, B), jnp.int32),
+            jax.ShapeDtypeStruct((S_pad, 1, B), jnp.int32),
+            jax.ShapeDtypeStruct((NF, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((NI, 1, B), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+    table_np = np.broadcast_to(
+        np.asarray(tanh_table, dtype=np.float32)[:, None], (32, B)).copy()
+
+    def demod(carry: DemodCarry, x: jnp.ndarray):
+        xt = x.transpose(1, 0, 2)                        # (L, B, 2)
+        tail_t = carry.fir_tail.transpose(1, 0, 2)       # (taps-1, B, 2)
+        Ft, new_tail_t = polyphase_fir_block_tmajor(xt, tail_t, banks)
+        f_in, i_in = _pack_carry(carry._replace(
+            tick=jnp.zeros_like(carry.tick)), 1, B)
+        sym_re, sym_im, valid, lonce, f_out, i_out = call(
+            jnp.asarray(gstart), jnp.asarray(offw), Ft, f_in, i_in,
+            jnp.asarray(table_np))
+        carry1 = _unpack_carry(f_out, i_out,
+                               new_tail_t.transpose(1, 0, 2))
+        tr = lambda a: a[:S].transpose(1, 2, 0).reshape(batch, S)
+        outs = BlockOutput(sym_re=tr(sym_re), sym_im=tr(sym_im),
+                           valid=tr(valid), locked_once=tr(lonce))
+        return carry1, outs
+
+    return demod
+
+
+def _make_kernel_dma(cfg: DemodConfig, B: int, G: int, span: int,
+                     n_grid: int) -> Callable:
+    """Kernel variant that streams the tick-major FIR array itself.
+
+    The gather path materializes (S_pad, W, B) candidate windows host-side
+    — ~25x the raw FIR data (W=96 rows per step at ~13-tick step spacing)
+    written AND re-read through HBM, which measures 2.5x the kernel's own
+    runtime (docs/PERF.md). Here the kernel instead double-buffers a
+    (span, 2, B) row span of the FIR array Ft (T, 2, B) per G-step group
+    with explicit async copies: consecutive steps' windows overlap almost
+    entirely inside a group, so HBM traffic drops to ~span/(G*step) ~ 2x
+    the raw FIR data. Each step's (W, B) window is a dynamic row-slice of
+    the VMEM span (leading dims are untiled — address math, no relayout).
+    Per-group span starts and per-step row offsets are static host numpy,
+    delivered via scalar prefetch."""
+    K = cfg.gate_candidates
+    W = cfg.window_common
+    S = cfg.steps_per_block
+    block_ticks = cfg.block_ticks
+    step = _make_step(cfg, 1, B)
+
+    def kernel(gstart_ref, offw_ref, ft_ref, fin_ref, iin_ref, table_ref,
+               symre_ref, symim_ref, valid_ref, lout_ref,
+               fout_ref, iout_ref, fs_ref, is_ref, buf_ref, sem_ref):
+        s = pl.program_id(0)
+
+        def span_copy(i, slot):
+            return pltpu.make_async_copy(
+                ft_ref.at[pl.ds(gstart_ref[i], span)],
+                buf_ref.at[pl.ds(slot * span, span)],
+                sem_ref.at[slot])
+
+        @pl.when(s == 0)
+        def _():
+            fs_ref[...] = fin_ref[...]
+            is_ref[...] = iin_ref[...]
+            span_copy(0, 0).start()
+
+        @pl.when(s + 1 < n_grid)
+        def _():
+            span_copy(s + 1, (s + 1) % 2).start()
+
+        slot = jax.lax.rem(s, 2)
+        span_copy(s, slot).wait()
+
+        st = _load_states(fs_ref, is_ref)
+        tiles = _make_tiles(1, B, K, W, table_ref)
+
+        for j in range(G):
+            live = (s * G + j) < S
+            off = offw_ref[s * G + j]
+            rowbase = slot * span + off
+            wre = buf_ref[pl.ds(rowbase, W), 0:1, :]     # (W, 1, B)
+            wim = buf_ref[pl.ds(rowbase, W), 1:2, :]
+            base_j = gstart_ref[s] + off                 # scalar tick origin
+            st, out = step(st, tiles, wre, wim, base_j, live)
+            symre_ref[j], symim_ref[j], valid_ref[j], lout_ref[j] = out
+
+        _store_states(fs_ref, is_ref, st)
+
+        @pl.when(s == n_grid - 1)
+        def _():
+            unconsumed = is_ref[I_TICK] < block_ticks
+            is_ref[I_FLAGS] = (is_ref[I_FLAGS]
+                               | jnp.where(unconsumed, FLAG_UNCONSUMED, 0))
+            is_ref[I_TICK] = jnp.zeros((1, B), jnp.int32)
             fout_ref[...] = fs_ref[...]
             iout_ref[...] = is_ref[...]
 
@@ -354,7 +533,8 @@ def _unpack_carry(f, i, fir_tail) -> DemodCarry:
 def make_pallas_batch_demod(cfg: DemodConfig, batch: int,
                             interpret: bool = False,
                             group: int = 8,
-                            lanes: int = 128) -> Callable:
+                            lanes: int | None = None,
+                            windows: str = "auto") -> Callable:
     """Batched block demodulator with the Pallas recurrence kernel.
 
     Returns demod(carry, x) -> (carry', BlockOutput) where carry leaves have
@@ -362,18 +542,29 @@ def make_pallas_batch_demod(cfg: DemodConfig, batch: int,
     contract as jax.vmap(make_block_demod(cfg)). `group` symbol steps run
     per grid iteration (see _make_kernel).
 
-    When batch is a multiple of `lanes` (the VPU lane width, 128 — tests
-    shrink it to exercise the packed layout cheaply), the streams pack as
-    R = batch/lanes sublane groups x lanes, so every state-row op is a full
-    (R, lanes) vreg tile (module docstring); otherwise R=1 with batch in
-    the lanes.
+    `windows` selects how candidate windows reach the kernel: "gather"
+    prematerializes (S_pad, W, batch) tiles host-side (the portable path);
+    "dma" streams row spans of the tick-major FIR array with in-kernel
+    async copies (~10x less HBM traffic, see _make_kernel_dma); "auto"
+    picks dma on TPU, gather elsewhere.
+
+    `lanes` opts into the sublane-packed layout (R = batch/lanes stream
+    groups in the sublanes — see the module docstring). Measured on a v5e,
+    explicit packing is ~20% SLOWER than the flat layout at every R in
+    2..8 (Mosaic already tiles (W, batch) efficiently and the kernel is
+    throughput- not occupancy-bound — docs/PERF.md), so the default is the
+    flat R=1 layout; the packed path stays for tests and future hardware.
     """
     cfg.validate()
     from ..dsp.loops import TANH_TABLE
     banks = make_fir_banks(cfg)
     S, G = cfg.steps_per_block, group
     W = cfg.window_common
-    if batch % lanes == 0:
+    if windows == "auto":
+        windows = "dma" if jax.default_backend() == "tpu" else "gather"
+    if windows == "dma":
+        return _make_dma_demod(cfg, batch, interpret, G, TANH_TABLE, banks)
+    if lanes is not None and batch % lanes == 0:
         R, B = batch // lanes, lanes
     else:
         R, B = 1, batch

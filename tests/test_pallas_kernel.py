@@ -122,3 +122,44 @@ def test_pallas_sublane_packed_matches_flat():
         else:
             np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-3,
                                        err_msg=k)
+
+
+@pytest.mark.parametrize("mode", ["qpsk", "oqpsk"])
+def test_pallas_dma_windows_match_scan(mode):
+    """The DMA-streaming window path (in-kernel async row-span copies of
+    the tick-major FIR array — the TPU production path) must reproduce the
+    scan path's decision structure exactly, like the gather path."""
+    oq = mode == "oqpsk"
+    cfg = DemodConfig(samplerate=230400, block_len=1024,
+                      symrate=80000.0 if oq else 72000.0, oqpsk=oq)
+    B = 4
+    x = np.stack([
+        synth_psk(500, cfg.samplerate, symrate=cfg.symrate, oqpsk=oq,
+                  carrier_hz=60.0 + 30 * b, amplitude=6000.0, snr_db=22.0,
+                  seed=b, dc_offset=25 - 10j)[0][:cfg.block_len]
+        for b in range(B)])
+    xf = iq_to_f32(x)
+
+    ref_fn = jax.jit(jax.vmap(make_block_demod(cfg)))
+    dma_fn = make_pallas_batch_demod(cfg, B, interpret=True, group=4,
+                                     windows="dma")
+
+    rc, ro = ref_fn(batch_carry(cfg, B), xf)
+    pc, po = dma_fn(batch_carry(cfg, B), jnp.asarray(xf))
+
+    np.testing.assert_array_equal(np.asarray(ro.valid), np.asarray(po.valid))
+    np.testing.assert_array_equal(np.asarray(ro.locked_once),
+                                  np.asarray(po.locked_once))
+    m = np.asarray(ro.valid).astype(bool)
+    assert m.sum() > 50
+    np.testing.assert_allclose(np.asarray(po.sym_re)[m],
+                               np.asarray(ro.sym_re)[m], rtol=5e-4, atol=0.05)
+    np.testing.assert_allclose(np.asarray(po.sym_im)[m],
+                               np.asarray(ro.sym_im)[m], rtol=5e-4, atol=0.05)
+    for k in rc._fields:
+        a, b = np.asarray(getattr(rc, k)), np.asarray(getattr(pc, k))
+        if a.dtype.kind == "i":
+            np.testing.assert_array_equal(a, b, err_msg=k)
+        else:
+            np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-3, err_msg=k)
+    assert int(np.asarray(pc.flags).sum()) == 0
