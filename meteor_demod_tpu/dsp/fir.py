@@ -151,11 +151,17 @@ def polyphase_fir_block_tmajor(x: jnp.ndarray, tail_t: jnp.ndarray,
     win = jnp.concatenate([a, ext], axis=1)            # (k, U, B, 2)
     winf = win.transpose(0, 1, 3, 2).reshape(k, u_len, 2 * Bb)
     wm_t = jnp.asarray(_toeplitz_weight(np.asarray(banks), ch).T)  # (O, U)
-    dot = lambda rhs: jax.lax.dot_general(
-        wm_t, rhs, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)            # (O, 2B)
-    out = jnp.stack([dot(winf[i]) for i in range(k)])  # (k, O, 2B)
+
+    def chunk_dot(_, rhs):
+        # (O, U) @ (U, 2B): the scan stacks chunk outputs on the leading
+        # axis, which IS the tick-major nesting — no output transpose, and
+        # the body compiles once regardless of the chunk count.
+        return None, jax.lax.dot_general(
+            wm_t, rhs, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)        # (O, 2B)
+
+    _, out = jax.lax.scan(chunk_dot, None, winf)       # (k, O, 2B)
     Ft = out.reshape(L * interp, 2, Bb)
     return Ft, new_tail
 
