@@ -35,7 +35,7 @@ to float32-FMA tolerance.
 
 from __future__ import annotations
 
-
+import os
 from typing import Callable
 
 import numpy as np
@@ -561,7 +561,8 @@ def make_pallas_batch_demod(cfg: DemodConfig, batch: int,
     S, G = cfg.steps_per_block, group
     W = cfg.window_common
     if windows == "auto":
-        windows = "dma" if jax.default_backend() == "tpu" else "gather"
+        windows = os.environ.get("METEOR_DEMOD_WINDOWS") or (
+            "dma" if jax.default_backend() == "tpu" else "gather")
     if windows == "dma":
         return _make_dma_demod(cfg, batch, interpret, G, TANH_TABLE, banks)
     if lanes is not None and batch % lanes == 0:
