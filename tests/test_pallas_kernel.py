@@ -163,3 +163,29 @@ def test_pallas_dma_windows_match_scan(mode):
         else:
             np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-3, err_msg=k)
     assert int(np.asarray(pc.flags).sum()) == 0
+
+
+def test_pallas_dma_chains_across_blocks():
+    """DMA-path carry feeds the next call exactly (block-boundary spans and
+    FIR tail handling are the parts the gather path does differently)."""
+    cfg = DemodConfig(samplerate=230400, block_len=1024)
+    B = 2
+    x = np.stack([
+        synth_psk(1200, cfg.samplerate, carrier_hz=80.0, amplitude=6000.0,
+                  snr_db=22.0, seed=9 + b)[0][:2 * cfg.block_len]
+        for b in range(B)])
+    xf = iq_to_f32(x)
+
+    ref_fn = jax.jit(jax.vmap(make_block_demod(cfg)))
+    dma_fn = make_pallas_batch_demod(cfg, B, interpret=True, group=4,
+                                     windows="dma")
+
+    rc, _ = ref_fn(batch_carry(cfg, B), xf[:, :cfg.block_len])
+    rc, ro2 = ref_fn(rc, xf[:, cfg.block_len:])
+    pc, _ = dma_fn(batch_carry(cfg, B), jnp.asarray(xf[:, :cfg.block_len]))
+    pc, po2 = dma_fn(pc, jnp.asarray(xf[:, cfg.block_len:]))
+
+    np.testing.assert_array_equal(np.asarray(ro2.valid), np.asarray(po2.valid))
+    m = np.asarray(ro2.valid).astype(bool)
+    np.testing.assert_allclose(np.asarray(po2.sym_re)[m],
+                               np.asarray(ro2.sym_re)[m], rtol=5e-4, atol=0.1)
