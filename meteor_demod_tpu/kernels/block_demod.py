@@ -561,8 +561,13 @@ def make_pallas_batch_demod(cfg: DemodConfig, batch: int,
     S, G = cfg.steps_per_block, group
     W = cfg.window_common
     if windows == "auto":
+        # DMA spans need the lane dim aligned to the 128-lane vreg tiling
+        # (Mosaic rejects slicing a (span, 2, B) VMEM ref otherwise), so
+        # small batches — e.g. the single live stream of the CLI — stay on
+        # the gather path.
         windows = os.environ.get("METEOR_DEMOD_WINDOWS") or (
-            "dma" if jax.default_backend() == "tpu" else "gather")
+            "dma" if jax.default_backend() == "tpu" and batch % 128 == 0
+            else "gather")
     if windows == "dma":
         return _make_dma_demod(cfg, batch, interpret, G, TANH_TABLE, banks)
     if lanes is not None and batch % lanes == 0:
