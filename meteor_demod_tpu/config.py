@@ -105,6 +105,22 @@ class DemodConfig:
         return self.fire_spacing / float(self.timing_freq)
 
     @property
+    def fires_per_step(self) -> int:
+        """Gate fires evaluated per scan step. QPSK: one (a symbol). OQPSK:
+        two — the I half-fire and the Q fire of one symbol PAIRED into one
+        step, so the serial scan runs per-SYMBOL for both modes instead of
+        2.2x more steps for OQPSK. The M&M/Costas update block runs once
+        per step either way (slot-1 fires never update, demod.c:62-87), so
+        pairing removes the masked-discard update of every I step. Block
+        boundaries can leave a symbol split across blocks (carry slot==2);
+        a masked completion pre-fire at block entry re-aligns (scan.py)."""
+        return 2 if self.oqpsk else 1
+
+    @property
+    def ticks_per_step(self) -> float:
+        return self.ticks_per_fire * self.fires_per_step
+
+    @property
     def max_ticks_per_step(self) -> int:
         """Static bound on ticks consumed per scan step.
 
@@ -133,48 +149,59 @@ class DemodConfig:
 
     @property
     def steps_per_block(self) -> int:
-        """Scan steps per block: nominal fire count plus slack for timing
-        frequency deviation (clamped to 2**-12 relative, timing.c:7) and the
-        acquisition transient."""
-        nominal = self.block_ticks / self.ticks_per_fire
+        """Scan steps per block: nominal SYMBOL count (fires /
+        fires_per_step) plus slack for timing frequency deviation (clamped
+        to 2**-12 relative, timing.c:7) and the acquisition transient."""
+        nominal = self.block_ticks / self.ticks_per_step
         return int(math.ceil(nominal * (1 + 2.0 ** -(C.FREQ_DEV_EXP - 1)))) + 8
+
+    @property
+    def _pair_extra(self) -> int:
+        """Upper-side window extension covering a step's later fires
+        (OQPSK pairing: the Q fire lands ~ticks_per_fire after the I fire
+        the window is centered on)."""
+        return ((self.fires_per_step - 1)
+                * int(math.ceil(self.ticks_per_fire)))
 
     @property
     def window_delta(self) -> int:
         """Half-width (in ticks) of the prematerialized FIR candidate window
-        around each step's predicted fire tick. Must cover cumulative timing
-        frequency drift over the block plus per-symbol phase jitter."""
-        drift = math.ceil(self.steps_per_block * self.ticks_per_fire
+        around each step's predicted FIRST fire tick. Must cover cumulative
+        timing frequency drift over the block plus per-symbol phase
+        jitter."""
+        drift = math.ceil(self.steps_per_block * self.ticks_per_step
                           * 2.0 ** -C.FREQ_DEV_EXP)
         jitter = math.ceil(4.0 / float(self.timing_freq))
         return int(drift + jitter + 8)
 
     @property
     def window(self) -> int:
-        w = 2 * self.window_delta
+        w = 2 * self.window_delta + self._pair_extra
         return (w + 7) // 8 * 8
 
     @property
     def window_delta_common(self) -> int:
         """Half-width of the stream-independent candidate window (the Pallas
-        kernel path): the per-stream first-fire tick tau0 in [0, ticks_per_fire]
-        folds into the half-width, so one window base serves every lane and
-        the host-side window extraction is a static row-gather."""
+        kernel path): the per-stream first-fire tick tau0 in
+        [0, ticks_per_step] folds into the half-width, so one window base
+        serves every lane and the host-side window extraction is a static
+        row-gather."""
         return self.window_delta + int(math.ceil(self.ticks_per_fire)) + 1
 
     @property
     def window_common(self) -> int:
-        w = 2 * self.window_delta_common
+        w = 2 * self.window_delta_common + self._pair_extra
         return (w + 7) // 8 * 8
 
     @property
     def window_offsets(self) -> np.ndarray:
-        """Static per-step predicted fire-tick offsets, shape (S,), int32.
+        """Static per-step predicted first-fire-tick offsets, shape (S,),
+        int32.
 
         Step k's window covers ticks tau0_hat + offsets[k] - delta + [0, window).
         """
         k = np.arange(self.steps_per_block, dtype=np.float64)
-        return np.round(k * self.ticks_per_fire).astype(np.int32)
+        return np.round(k * self.ticks_per_step).astype(np.int32)
 
     def validate(self) -> None:
         if self.samplerate <= 0:

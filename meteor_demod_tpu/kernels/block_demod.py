@@ -248,6 +248,165 @@ def _make_step(cfg: DemodConfig, R: int, B: int) -> Callable:
     return step
 
 
+def _make_paired_step_tiles(cfg: DemodConfig, R: int, B: int) -> Callable:
+    """OQPSK paired-fire step on (R, B) tiles — the kernel mirror of
+    demod/scan.py's _make_paired_step (see its docstring for the pairing
+    semantics and the alignment invariant). Fire-for-fire float op order
+    matches the single-fire body, so decisions are bit-identical to the
+    scan path."""
+    a_t, b_t = cfg.timing_gains
+    a_p, b_p = cfg.pll_gains
+    t_center = cfg.timing_freq
+    t_dev = cfg.timing_dev_max
+    fmax = cfg.pll_fmax
+    block_ticks = cfg.block_ticks
+    K = cfg.gate_candidates
+    W = cfg.window_common
+
+    bias_keep = _F32(1.0 - C.AGC_BIAS_POLE)
+    bias_pole = _F32(C.AGC_BIAS_POLE)
+    gain_pole = _F32(C.AGC_GAIN_POLE)
+    agc_target = _F32(C.AGC_TARGET)
+    err_keep = _F32(1.0 - C.ERR_POLE)
+    err_pole = _F32(C.ERR_POLE)
+    sweep = _F32(C.SWEEP_STEP)
+    half_pi = _F32(np.pi / 2)
+
+    def step(st, tiles, wre, wim, base_j, live):
+        (tp, tf, prev, pp, pf, perr, updown, gain, bias_re, bias_im,
+         inphase, locked, lonce, slot, t, flags) = st
+        kiota, ksB, wc, iota32, table_col = tiles
+
+        def fire(thresh, tpv, tv, attempt):
+            rem = block_ticks - tv
+            prod = ksB * tf                             # (K, R, B)
+            ok = jnp.logical_and(prod >= (thresh - tpv),
+                                 ksB <= rem.astype(jnp.float32))
+            kcand = jnp.where(ok, kiota, K)
+            k_min = jnp.min(kcand, axis=0)
+            fired_raw = k_min < K
+            fired = jnp.logical_and(jnp.logical_and(fired_raw, attempt),
+                                    live)
+            k_idx = jnp.where(fired, k_min, jnp.minimum(rem, K) - 1)
+            k_idx = jnp.where(jnp.logical_and(attempt, live), k_idx, -1)
+            prod_sel = jnp.sum(jnp.where(kiota == k_idx, prod, _F32(0.0)),
+                               axis=0)
+            defer = jnp.logical_and(
+                jnp.logical_and(jnp.logical_and(~fired_raw, attempt), live),
+                rem > K)
+            tau = tv + k_idx
+            tp_n = tpv + prod_sel
+            t_n = jnp.where(jnp.logical_and(attempt, live),
+                            tv + k_idx + 1, tv)
+            return fired, tau, tp_n, t_n, defer
+
+        def select(tau, fired):
+            c = tau - base_j
+            sel = jnp.logical_and(wc == c, fired)       # (W, R, B)
+            z_re = jnp.sum(jnp.where(sel, wre, _F32(0.0)), axis=0)
+            z_im = jnp.sum(jnp.where(sel, wim, _F32(0.0)), axis=0)
+            miss = jnp.logical_and(fired,
+                                   jnp.logical_or(c < 0, c >= W))
+            return z_re, z_im, miss
+
+        # ---- transaction A: the I half-fire ------------------------------
+        threshA = slot.astype(jnp.float32) * _PI
+        firedA, tauA, tp1, t1, _ = fire(threshA, tp, t, slot > 0)
+        zAre, zAim, missA = select(tauA, firedA)
+        biasAre = bias_re * bias_keep + bias_pole * zAre
+        biasAim = bias_im * bias_keep + bias_pole * zAim
+        zrA = (zAre - biasAre) * gain
+        ziA = (zAim - biasAim) * gain
+        magA = jnp.sqrt(zrA * zrA + ziA * ziA)
+        gainA = jnp.maximum(_F32(0.0),
+                            gain + gain_pole * (agc_target - magA))
+        snA = _fast_sin_rows(-pp)
+        csA = _fast_sin_rows(-pp + half_pi)
+        mreA = zrA * csA - ziA * snA
+        ppA = pp + pf
+        ppA = jnp.where(ppA >= _TWO_PI, ppA - _TWO_PI, ppA)
+
+        gain1 = jnp.where(firedA, gainA, gain)
+        bre1 = jnp.where(firedA, biasAre, bias_re)
+        bim1 = jnp.where(firedA, biasAim, bias_im)
+        pp1 = jnp.where(firedA, ppA, pp)
+        is1A = slot == 1
+        inphase1 = jnp.where(jnp.logical_and(firedA, is1A), mreA, inphase)
+        slotB = jnp.where(firedA, jnp.where(is1A, 2, 1), slot)
+
+        # ---- transaction B: the Q fire -----------------------------------
+        threshB = slotB.astype(jnp.float32) * _PI
+        firedB, tauB, tp2, t2, deferB = fire(threshB, tp1, t1, firedA)
+        zBre, zBim, missB = select(tauB, firedB)
+        biasBre = bre1 * bias_keep + bias_pole * zBre
+        biasBim = bim1 * bias_keep + bias_pole * zBim
+        zrB = (zBre - biasBre) * gain1
+        ziB = (zBim - biasBim) * gain1
+        magB = jnp.sqrt(zrB * zrB + ziB * ziB)
+        gainB = jnp.maximum(_F32(0.0),
+                            gain1 + gain_pole * (agc_target - magB))
+        snB = _fast_sin_rows(-pp1)
+        csB = _fast_sin_rows(-pp1 + half_pi)
+        mimB = zrB * snB + ziB * csB
+        ppB = pp1 + pf
+        ppB = jnp.where(ppB >= _TWO_PI, ppB - _TWO_PI, ppB)
+
+        gain2 = jnp.where(firedB, gainB, gain1)
+        bre2 = jnp.where(firedB, biasBre, bre1)
+        bim2 = jnp.where(firedB, biasBim, bim1)
+        pp2 = jnp.where(firedB, ppB, pp1)
+        slot_f = jnp.where(firedB, jnp.where(slotB == 1, 2, 1), slotB)
+
+        # ---- the symbol + ONE update block (Q fires only) ----------------
+        do_update = jnp.logical_and(firedB, slotB == 2)
+        sym_re = inphase1
+        sym_im = mimB
+
+        sgn_prev = jnp.where(prev < 0, _F32(-1.0), _F32(1.0))
+        sgn_cur = jnp.where(sym_im < 0, _F32(-1.0), _F32(1.0))
+        err_t = sgn_prev * sym_im - sgn_cur * prev
+        tp_f = jnp.where(do_update, tp2 - (_TWO_PI + a_t * err_t), tp2)
+        fd = jnp.clip((tf - t_center) - b_t * err_t, -t_dev, t_dev)
+        tf_f = jnp.where(do_update, t_center + fd, tf)
+        prev_f = jnp.where(do_update, sym_im, prev)
+
+        e = (_lut_tanh_rows(sym_re, iota32, table_col) * sym_im
+             - _lut_tanh_rows(sym_im, iota32, table_col) * sym_re)
+        pp_upd = jnp.fmod(pp2 + a_p * e, _TWO_PI)
+        pf_upd = pf + b_p * e
+        err_upd = perr * err_keep + jnp.abs(e) * err_pole
+        lock_now = jnp.logical_and(err_upd < _F32(C.LOCK_THRESH),
+                                   locked == 0)
+        unlock_now = jnp.logical_and(err_upd > _F32(C.UNLOCK_THRESH),
+                                     locked == 1)
+        locked_upd = jnp.where(lock_now, 1,
+                               jnp.where(unlock_now, 0, locked))
+        lonce_upd = jnp.maximum(lonce, lock_now.astype(jnp.int32))
+        pf_upd = jnp.where(locked_upd == 0, pf_upd + sweep * updown,
+                           pf_upd)
+        updown_upd = jnp.where(pf_upd >= fmax, _F32(-1.0),
+                               jnp.where(pf_upd <= -fmax, _F32(1.0),
+                                         updown))
+        pf_upd = jnp.clip(pf_upd, -fmax, fmax)
+
+        pp_n = jnp.where(do_update, pp_upd, pp2)
+        pf_n = jnp.where(do_update, pf_upd, pf)
+        perr_n = jnp.where(do_update, err_upd, perr)
+        locked_n = jnp.where(do_update, locked_upd, locked)
+        lonce_out = jnp.where(do_update, lonce_upd, lonce)
+        updown_n = jnp.where(do_update, updown_upd, updown)
+        miss = jnp.logical_or(jnp.logical_or(missA, missB), deferB)
+        flags_n = flags | jnp.where(miss, FLAG_WINDOW_MISS, 0)
+
+        st_new = (tp_f, tf_f, prev_f, pp_n, pf_n, perr_n, updown_n,
+                  gain2, bre2, bim2, inphase1, locked_n, lonce_out,
+                  slot_f, t2, flags_n)
+        out = (sym_re, sym_im, do_update.astype(jnp.int32), lonce_out)
+        return st_new, out
+
+    return step
+
+
 def _load_states(fs_ref, is_ref):
     return (fs_ref[F_TPHASE], fs_ref[F_TFREQ], fs_ref[F_TPREV],
             fs_ref[F_PPHASE], fs_ref[F_PFREQ], fs_ref[F_PERR],
@@ -287,6 +446,43 @@ def _make_tiles(R, B, K, W, table_ref):
     return kiota, ksB, wc, iota32, table_col
 
 
+def _assemble_outs(res, S, batch, oqpsk) -> BlockOutput:
+    """Kernel results -> BlockOutput (batch, S[+1]): per-step rows
+    truncated to S, with the OQPSK completion pre-fire's symbol prepended
+    (stream order: the pre-fire is the block's first fire)."""
+    sym_re, sym_im, valid, lonce = (a[:S] for a in res[:4])
+    if oqpsk:
+        psr, psi, pv, plo = res[4], res[5], res[6], res[7]
+        cat = lambda p, a: jnp.concatenate([p, a], axis=0)
+        sym_re, sym_im = cat(psr, sym_re), cat(psi, sym_im)
+        valid, lonce = cat(pv, valid), cat(plo, lonce)
+    n = sym_re.shape[0]
+    tr = lambda a: a.transpose(1, 2, 0).reshape(batch, n)
+    return BlockOutput(sym_re=tr(sym_re), sym_im=tr(sym_im),
+                       valid=tr(valid), locked_once=tr(lonce))
+
+
+def _kernel_prefire(cfg, R, B, pre_step, tiles, fs_ref, is_ref,
+                    wre0, wim0, base0, pre_sr, pre_si, pre_v, pre_l):
+    """OQPSK block-entry completion pre-fire (see scan.py demod_block): a
+    symbol split across the block boundary left slot==2; run one masked
+    single-fire transaction so the paired scan enters aligned, and emit
+    its symbol into the dedicated (1, R, B) pre-output row. A deferred
+    completion leaves slot==2 and flags (alignment invariant broken —
+    oracle fallback recomputes)."""
+    st0 = _load_states(fs_ref, is_ref)
+    pend = st0[13] == 2
+    st1, outp = pre_step(st0, tiles, wre0, wim0, base0, True)
+    stm = tuple(jnp.where(pend, a, b) for a, b in zip(st1, st0))
+    flags = stm[15] | jnp.where(jnp.logical_and(pend, stm[13] == 2),
+                                FLAG_WINDOW_MISS, 0)
+    _store_states(fs_ref, is_ref, stm[:15] + (flags,))
+    pre_sr[0] = jnp.where(pend, outp[0], _F32(0.0))
+    pre_si[0] = jnp.where(pend, outp[1], _F32(0.0))
+    pre_v[0] = outp[2] * pend.astype(jnp.int32)
+    pre_l[0] = jnp.where(pend, outp[3], st0[12])
+
+
 def _make_kernel(cfg: DemodConfig, R: int, B: int, G: int,
                  tanh_table: np.ndarray) -> Callable:
     """Kernel processing G symbol steps per grid iteration for R*B streams,
@@ -304,17 +500,32 @@ def _make_kernel(cfg: DemodConfig, R: int, B: int, G: int,
     S = cfg.steps_per_block
     S_pad = -(-S // G) * G
     block_ticks = cfg.block_ticks
-    step = _make_step(cfg, R, B)
+    oqpsk = cfg.oqpsk
+    step = (_make_paired_step_tiles(cfg, R, B) if oqpsk
+            else _make_step(cfg, R, B))
+    pre_step = _make_step(cfg, R, B) if oqpsk else None
 
-    def kernel(base_ref, wre_ref, wim_ref, fin_ref, iin_ref, table_ref,
-               symre_ref, symim_ref, valid_ref, lout_ref,
-               fout_ref, iout_ref, fs_ref, is_ref):
+    def kernel(*refs):
+        if oqpsk:
+            (base_ref, wre_ref, wim_ref, fin_ref, iin_ref, table_ref,
+             symre_ref, symim_ref, valid_ref, lout_ref,
+             pre_sr, pre_si, pre_v, pre_l,
+             fout_ref, iout_ref, fs_ref, is_ref) = refs
+        else:
+            (base_ref, wre_ref, wim_ref, fin_ref, iin_ref, table_ref,
+             symre_ref, symim_ref, valid_ref, lout_ref,
+             fout_ref, iout_ref, fs_ref, is_ref) = refs
         s = pl.program_id(0)
 
         @pl.when(s == 0)
         def _():
             fs_ref[...] = fin_ref[...]
             is_ref[...] = iin_ref[...]
+            if oqpsk:
+                _kernel_prefire(cfg, R, B, pre_step,
+                                _make_tiles(R, B, K, W, table_ref),
+                                fs_ref, is_ref, wre_ref[0], wim_ref[0],
+                                base_ref[0], pre_sr, pre_si, pre_v, pre_l)
 
         st = _load_states(fs_ref, is_ref)
         tiles = _make_tiles(R, B, K, W, table_ref)
@@ -365,6 +576,14 @@ def _make_dma_demod(cfg: DemodConfig, batch: int, interpret: bool, G: int,
                    0, span - W).astype(np.int32)
     kernel = _make_kernel_dma(cfg, B, G, span, n_grid)
 
+    oqpsk = cfg.oqpsk
+    pre_specs = ([pl.BlockSpec((1, 1, B), lambda s, g, o: (0, 0, 0))] * 4
+                 if oqpsk else [])
+    pre_shapes = ([jax.ShapeDtypeStruct((1, 1, B), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1, B), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1, B), jnp.int32),
+                   jax.ShapeDtypeStruct((1, 1, B), jnp.int32)]
+                  if oqpsk else [])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_grid,),
@@ -379,6 +598,7 @@ def _make_dma_demod(cfg: DemodConfig, batch: int, interpret: bool, G: int,
             pl.BlockSpec((G, 1, B), lambda s, g, o: (s, 0, 0)),
             pl.BlockSpec((G, 1, B), lambda s, g, o: (s, 0, 0)),
             pl.BlockSpec((G, 1, B), lambda s, g, o: (s, 0, 0)),
+        ] + pre_specs + [
             pl.BlockSpec((NF, 1, B), lambda s, g, o: (0, 0, 0)),
             pl.BlockSpec((NI, 1, B), lambda s, g, o: (0, 0, 0)),
         ],
@@ -397,6 +617,7 @@ def _make_dma_demod(cfg: DemodConfig, batch: int, interpret: bool, G: int,
             jax.ShapeDtypeStruct((S_pad, 1, B), jnp.float32),
             jax.ShapeDtypeStruct((S_pad, 1, B), jnp.int32),
             jax.ShapeDtypeStruct((S_pad, 1, B), jnp.int32),
+        ] + pre_shapes + [
             jax.ShapeDtypeStruct((NF, 1, B), jnp.float32),
             jax.ShapeDtypeStruct((NI, 1, B), jnp.int32),
         ],
@@ -411,14 +632,12 @@ def _make_dma_demod(cfg: DemodConfig, batch: int, interpret: bool, G: int,
         Ft, new_tail_t = polyphase_fir_block_tmajor(xt, tail_t, banks)
         f_in, i_in = _pack_carry(carry._replace(
             tick=jnp.zeros_like(carry.tick)), 1, B)
-        sym_re, sym_im, valid, lonce, f_out, i_out = call(
-            jnp.asarray(gstart), jnp.asarray(offw), Ft, f_in, i_in,
-            jnp.asarray(table_np))
+        res = call(jnp.asarray(gstart), jnp.asarray(offw), Ft, f_in, i_in,
+                   jnp.asarray(table_np))
+        f_out, i_out = res[-2:]
         carry1 = _unpack_carry(f_out, i_out,
                                new_tail_t.transpose(1, 0, 2))
-        tr = lambda a: a[:S].transpose(1, 2, 0).reshape(batch, S)
-        outs = BlockOutput(sym_re=tr(sym_re), sym_im=tr(sym_im),
-                           valid=tr(valid), locked_once=tr(lonce))
+        outs = _assemble_outs(res, S, batch, oqpsk)
         return carry1, outs
 
     return demod
@@ -443,11 +662,21 @@ def _make_kernel_dma(cfg: DemodConfig, B: int, G: int, span: int,
     W = cfg.window_common
     S = cfg.steps_per_block
     block_ticks = cfg.block_ticks
-    step = _make_step(cfg, 1, B)
+    oqpsk = cfg.oqpsk
+    step = (_make_paired_step_tiles(cfg, 1, B) if oqpsk
+            else _make_step(cfg, 1, B))
+    pre_step = _make_step(cfg, 1, B) if oqpsk else None
 
-    def kernel(gstart_ref, offw_ref, ft_ref, fin_ref, iin_ref, table_ref,
-               symre_ref, symim_ref, valid_ref, lout_ref,
-               fout_ref, iout_ref, fs_ref, is_ref, buf_ref, sem_ref):
+    def kernel(*refs):
+        if oqpsk:
+            (gstart_ref, offw_ref, ft_ref, fin_ref, iin_ref, table_ref,
+             symre_ref, symim_ref, valid_ref, lout_ref,
+             pre_sr, pre_si, pre_v, pre_l,
+             fout_ref, iout_ref, fs_ref, is_ref, buf_ref, sem_ref) = refs
+        else:
+            (gstart_ref, offw_ref, ft_ref, fin_ref, iin_ref, table_ref,
+             symre_ref, symim_ref, valid_ref, lout_ref,
+             fout_ref, iout_ref, fs_ref, is_ref, buf_ref, sem_ref) = refs
         s = pl.program_id(0)
 
         def span_copy(i, slot):
@@ -468,6 +697,17 @@ def _make_kernel_dma(cfg: DemodConfig, B: int, G: int, span: int,
 
         slot = jax.lax.rem(s, 2)
         span_copy(s, slot).wait()
+
+        @pl.when(s == 0)
+        def _():
+            # After the slot-0 span is resident (gstart[0] == 0, so rows
+            # [0, W) are the block's first ticks).
+            if oqpsk:
+                _kernel_prefire(cfg, 1, B, pre_step,
+                                _make_tiles(1, B, K, W, table_ref),
+                                fs_ref, is_ref,
+                                buf_ref[0:W, 0:1, :], buf_ref[0:W, 1:2, :],
+                                gstart_ref[0], pre_sr, pre_si, pre_v, pre_l)
 
         st = _load_states(fs_ref, is_ref)
         tiles = _make_tiles(1, B, K, W, table_ref)
@@ -588,6 +828,14 @@ def make_pallas_batch_demod(cfg: DemodConfig, batch: int,
     base_np = (offsets_pad - delta).astype(np.int32)              # (S_pad,)
     kernel = _make_kernel(cfg, R, B, G, TANH_TABLE)
 
+    oqpsk = cfg.oqpsk
+    pre_specs = ([pl.BlockSpec((1, R, B), lambda s: (0, 0, 0))] * 4
+                 if oqpsk else [])
+    pre_shapes = ([jax.ShapeDtypeStruct((1, R, B), jnp.float32),
+                   jax.ShapeDtypeStruct((1, R, B), jnp.float32),
+                   jax.ShapeDtypeStruct((1, R, B), jnp.int32),
+                   jax.ShapeDtypeStruct((1, R, B), jnp.int32)]
+                  if oqpsk else [])
     grid_spec = pl.GridSpec(
         grid=(S_pad // G,),
         scratch_shapes=[
@@ -607,6 +855,7 @@ def make_pallas_batch_demod(cfg: DemodConfig, batch: int,
             pl.BlockSpec((G, R, B), lambda s: (s, 0, 0)),
             pl.BlockSpec((G, R, B), lambda s: (s, 0, 0)),
             pl.BlockSpec((G, R, B), lambda s: (s, 0, 0)),
+        ] + pre_specs + [
             pl.BlockSpec((NF, R, B), lambda s: (0, 0, 0)),
             pl.BlockSpec((NI, R, B), lambda s: (0, 0, 0)),
         ],
@@ -619,6 +868,7 @@ def make_pallas_batch_demod(cfg: DemodConfig, batch: int,
             jax.ShapeDtypeStruct((S_pad, R, B), jnp.float32),
             jax.ShapeDtypeStruct((S_pad, R, B), jnp.int32),
             jax.ShapeDtypeStruct((S_pad, R, B), jnp.int32),
+        ] + pre_shapes + [
             jax.ShapeDtypeStruct((NF, R, B), jnp.float32),
             jax.ShapeDtypeStruct((NI, R, B), jnp.int32),
         ],
@@ -646,14 +896,10 @@ def make_pallas_batch_demod(cfg: DemodConfig, batch: int,
         base = jnp.broadcast_to(jnp.asarray(base_np)[:, None, None],
                                 (S_pad, 1, B))
 
-        sym_re, sym_im, valid, lonce, f_out, i_out = call(
-            base, w_re, w_im, f_in, i_in, jnp.asarray(table_np))
-
+        res = call(base, w_re, w_im, f_in, i_in, jnp.asarray(table_np))
+        f_out, i_out = res[-2:]
         carry1 = _unpack_carry(f_out, i_out, new_tail)
-        # (S, R, B) -> (batch, S) with stream index r*B + b.
-        tr = lambda a: a[:S].transpose(1, 2, 0).reshape(batch, S)
-        outs = BlockOutput(sym_re=tr(sym_re), sym_im=tr(sym_im),
-                           valid=tr(valid), locked_once=tr(lonce))
+        outs = _assemble_outs(res, S, batch, oqpsk)
         return carry1, outs
 
     return demod
