@@ -5,8 +5,9 @@ TPU-native restructuring of the reference's per-sample pull pipeline
 
 1. Every feedback state (AGC gain/bias, PLL phase/freq, timing freq, M&M
    prev) mutates ONLY when the timing gate fires — once per symbol for QPSK,
-   twice for OQPSK. So the sequential recurrence is per-FIRE, ~16x sparser
-   than per-sample-tick.
+   twice for OQPSK. So the sequential recurrence runs per SYMBOL, ~16x
+   sparser than per-sample-tick; OQPSK's two fires are PAIRED into one
+   step (_make_paired_step) so its scan is per-symbol too.
 2. The FIR outputs ("ticks") have no feedback, so a whole block of them is
    computed densely up front (dsp/fir.py).
 3. Which tick a scan step consumes is data-dependent but tightly bounded:
