@@ -149,7 +149,7 @@ def _bench_turbo(cfg, chunks=FLEET_BATCH, kb=128, max_passes=4):
     dispatch, EVERY pass, and the per-pass convergence egress."""
     from meteor_demod_tpu.demod.turbo import (
         _chunk_fn_packed, gauge_fixpoint, default_warmup_blocks,
-        pack_carry_np, unpack_carry_np)
+        finish_warmup_carry, pack_carry_np, unpack_carry_np)
 
     L = cfg.block_len
     taps = cfg.taps
@@ -183,19 +183,14 @@ def _bench_turbo(cfg, chunks=FLEET_BATCH, kb=128, max_passes=4):
     if ws >= taps - 1:
         wtails[1:] = xf[ws - (taps - 1):ws]
 
-    init_np = jax.tree_util.tree_map(np.asarray, batch_carry(cfg, 1))
     put = lambda t: tuple(map(jnp.asarray, t))
 
     def one_recording():
         w0 = jax.tree_util.tree_map(
             np.array, batch_carry(cfg, chunks)._replace(fir_tail=wtails))
         wpf, _, _ = run_w(put(pack_carry_np(w0)), wblocks)
-        w_np = jax.tree_util.tree_map(
-            lambda a, a0: np.concatenate([a0, np.asarray(a)[1:]], axis=0),
-            unpack_carry_np(*egress(wpf)), init_np)
-        w_np = w_np._replace(fir_tail=tails_np,
-                             tick=np.zeros_like(w_np.tick),
-                             flags=np.zeros_like(w_np.flags))
+        w_np = finish_warmup_carry(cfg, unpack_carry_np(*egress(wpf)),
+                                   tails_np)
         f_np, _, _, passes, converged, _ = gauge_fixpoint(
             cfg, run, put, blocks, w_np, tails_np, max_passes)
         assert int(np.asarray(f_np.flags).sum()) == 0

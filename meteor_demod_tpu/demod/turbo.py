@@ -346,6 +346,22 @@ def _decisions_settled(g_new, g_prev):
     return resid < GAUGE_ENTRY_TOL, resid
 
 
+def finish_warmup_carry(cfg, wf: DemodCarry, tails_np) -> DemodCarry:
+    """Warmup exit carry -> gauge anchor w (numpy): lane 0 is replaced by
+    the exact initial state (lane 0 IS the sequential start; its warmup on
+    its own prefix is discarded), fir_tail becomes the data-exact main
+    tails, tick and flags reset. Shared by demod_array_turbo and
+    bench.py's device-resident variant so the warmup contract lives in one
+    place."""
+    init_np = jax.tree_util.tree_map(np.asarray, batch_carry(cfg, 1))
+    w = jax.tree_util.tree_map(
+        lambda a, a0: np.concatenate([a0, np.asarray(a)[1:]], axis=0),
+        wf, init_np)
+    return w._replace(fir_tail=tails_np,
+                      tick=np.zeros_like(w.tick),
+                      flags=np.zeros_like(w.flags))
+
+
 def gauge_fixpoint(cfg, run, put_packed, blocks, w_np, tails_np, max_passes):
     """Shared gauge-mode fixpoint driver (demod_array_turbo and bench.py).
 
@@ -552,15 +568,8 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
         w0 = jax.tree_util.tree_map(
             np.array, batch_carry(cfg, chunks)._replace(fir_tail=wtails))
         wpf, _, _ = run_w(put_packed(pack_carry_np(w0)), wblocks)
-        wf = unpack_carry_np(*egress(wpf))
-        # Lane 0 warms up with its own prefix; replace with the exact
-        # initial state (lane 0 IS the sequential start).
-        w_np = jax.tree_util.tree_map(
-            lambda a, a0: np.concatenate([a0, np.asarray(a)[1:]], axis=0),
-            wf, init_np)
-        w_np = w_np._replace(fir_tail=tails,
-                             tick=np.zeros_like(w_np.tick),
-                             flags=np.zeros_like(w_np.flags))
+        w_np = finish_warmup_carry(cfg, unpack_carry_np(*egress(wpf)),
+                                   tails)
         f_np, outs, K, passes, converged, max_residual = gauge_fixpoint(
             cfg, run_g, put_packed, blocks, w_np, tails, max_passes)
     else:
@@ -650,14 +659,15 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
             # the emitted stream: symbols transform by e^{-j K pi/2}, so
             # the NCO phase shifts by +K pi/2 (scan.py mixes with
             # e^{-j p_phase}). t_prev (previous symbol Q, gauge 0) is the
-            # last assembled symbol's Q.
+            # last assembled symbol's Q — searched across chunks, since
+            # the final chunk may have emitted nothing.
             pp = np.mod(float(tail_c.p_phase)
                         + (int(K[-1]) % 4) * float(_HALF_PI),
                         2 * np.pi)
-            tail_c = tail_c._replace(
-                p_phase=np.float32(pp),
-                t_prev=np.float32(parts[-1]["im"][-1]
-                                  if len(parts[-1]) else 0.0))
+            prev_q = next((float(p["im"][-1]) for p in reversed(parts)
+                           if len(p)), 0.0)
+            tail_c = tail_c._replace(p_phase=np.float32(pp),
+                                     t_prev=np.float32(prev_q))
         d = StreamDemodulator(cfg, backend=backend)
         d._carry = jax.tree_util.tree_map(jnp.asarray, tail_c)
         parts.append(d.process(f32_to_iq(xf[turbo_n:])))

@@ -809,8 +809,13 @@ def make_pallas_batch_demod(cfg: DemodConfig, batch: int,
             "dma" if jax.default_backend() == "tpu" and batch % 128 == 0
             else "gather")
     if windows == "dma":
+        if lanes is not None:
+            raise ValueError("lanes (sublane packing) applies to the "
+                             "gather window path only")
         return _make_dma_demod(cfg, batch, interpret, G, TANH_TABLE, banks)
-    if lanes is not None and batch % lanes == 0:
+    if lanes is not None:
+        if batch % lanes:
+            raise ValueError(f"batch {batch} not divisible by lanes {lanes}")
         R, B = batch // lanes, lanes
     else:
         R, B = 1, batch

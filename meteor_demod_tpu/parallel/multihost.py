@@ -28,6 +28,7 @@ import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import DemodConfig
+from ..demod.pipeline import egress
 from ..demod.state import DemodCarry, init_carry
 from ..dsp.fir import iq_to_f32
 from .mesh import make_fleet_demod, make_mesh
@@ -58,7 +59,8 @@ class MultiHostFleet:
     """
 
     def __init__(self, cfg: DemodConfig, streams_per_device: int,
-                 backend: str = "auto", axis_name: str = "streams"):
+                 backend: str = "auto", axis_name: str = "streams",
+                 recover_flagged: bool = True):
         cfg.validate()
         self.cfg = cfg
         self.axis_name = axis_name
@@ -76,6 +78,9 @@ class MultiHostFleet:
                                 (self.n_local,) + x.shape).copy()),
             c)
         self.telemetry = None
+        self.recover_flagged = recover_flagged
+        self.recovered_streams = 0
+        self.local_stream_flags = None
 
     def local_stream_slice(self) -> slice:
         """Global stream rows owned by this process (its devices' shards)."""
@@ -96,19 +101,88 @@ class MultiHostFleet:
         want = (self.n_local, self.cfg.block_len, 2)
         if local_blocks.shape != want:
             raise ValueError(f"expected {want}, got {local_blocks.shape}")
+        prev_carry = self.carry
         x = jax.make_array_from_process_local_data(self._sharding,
                                                    local_blocks)
         self.carry, outs, telemetry = self._fn(self.carry, x)
-        # Telemetry is replicated (P()): every process reads the global psum.
-        self.telemetry = jax.tree_util.tree_map(np.asarray,
-                                                jax.device_get(telemetry))
-        return jax.tree_util.tree_map(self._local_rows, outs)
+        # Telemetry is replicated (P()): every process reads the global
+        # psum. egress, not device_get — direct transfers of loop-program
+        # outputs are UNIMPLEMENTED on the tunneled backend (CLAUDE.md).
+        self.telemetry = {k: np.asarray(v)
+                          for k, v in egress(telemetry).items()}
+        outs_local = jax.tree_util.tree_map(self._local_rows, outs)
+        self.local_stream_flags = self._local_rows(self.carry.flags)
+        # Collective recovery trigger: the psum'd flag count is replicated,
+        # so EVERY process enters the rebuild (make_array_from_process_
+        # local_data is called by all) whenever ANY host flagged a stream;
+        # each recovers only its own rows. Same always-exact contract as
+        # the single-host FleetDemodulator.
+        if self.recover_flagged and int(self.telemetry["flags"]) != 0:
+            outs_local = self._recover_local(prev_carry, local_blocks,
+                                             outs_local)
+        return outs_local
+
+    def _recover_local(self, prev_carry: DemodCarry,
+                       local_blocks: np.ndarray, outs_local):
+        """Re-demodulate this process's flagged streams with the exact
+        scalar oracle (mirror of FleetDemodulator._recover, on local rows),
+        then collectively rebuild the global carry from every process's
+        corrected local rows. telemetry['flags'] is reset; the other
+        telemetry fields still describe the pre-recovery step."""
+        from ..demod import scalar
+        from ..demod.pipeline import (numpy_carry_to_scalar_state,
+                                      scalar_state_to_numpy_carry)
+        from ..dsp.fir import f32_to_iq
+
+        flagged = np.nonzero(np.asarray(self.local_stream_flags))[0]
+        prev_np = jax.tree_util.tree_map(self._local_rows,
+                                         prev_carry)._asdict()
+        cur = {k: np.array(self._local_rows(v))
+               for k, v in self.carry._asdict().items()}
+        outs_local = outs_local.__class__(
+            *(np.array(v) for v in outs_local))
+        S = outs_local.sym_re.shape[1]
+        for i in flagged:
+            st = numpy_carry_to_scalar_state(
+                self.cfg, {k: v[i] for k, v in prev_np.items()})
+            sym, st = scalar.demod_stream_np(
+                self.cfg, f32_to_iq(local_blocks[i]), st)
+            n = len(sym)
+            if n > S:
+                raise RuntimeError(
+                    f"local stream {i}: oracle produced {n} symbols > {S}")
+            for k, v in scalar_state_to_numpy_carry(self.cfg, st).items():
+                cur[k][i] = v
+            outs_local.sym_re[i] = 0.0
+            outs_local.sym_im[i] = 0.0
+            outs_local.valid[i] = 0
+            outs_local.sym_re[i, :n] = sym["re"]
+            outs_local.sym_im[i, :n] = sym["im"]
+            outs_local.valid[i, :n] = 1
+            outs_local.locked_once[i, :n] = sym["locked_once"]
+            outs_local.locked_once[i, n:] = st["locked_once"]
+        self.recovered_streams += len(flagged)
+        self.carry = DemodCarry(**{
+            k: jax.make_array_from_process_local_data(self._sharding, v)
+            for k, v in cur.items()})
+        self.telemetry = dict(self.telemetry, flags=np.int32(0))
+        return outs_local
+
+    def flagged_local_streams(self) -> np.ndarray:
+        """Local stream rows that tripped a safety flag in the last block
+        (already recovered exactly when recover_flagged, the default)."""
+        if self.local_stream_flags is None:
+            return np.zeros(0, dtype=np.int64)
+        return np.nonzero(np.asarray(self.local_stream_flags))[0]
 
     @staticmethod
     def _local_rows(arr) -> np.ndarray:
         shards = sorted(arr.addressable_shards,
                         key=lambda s: s.index[0].start or 0)
-        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+        # egress per shard: single-device arrays transfer reliably only
+        # through the jitted-copy path on the tunneled backend.
+        return np.concatenate([np.asarray(egress(s.data)) for s in shards],
+                              axis=0)
 
 
 def global_fleet(cfg: DemodConfig, streams_per_device: int = 128,

@@ -107,14 +107,31 @@ def main() -> None:
             sync(carry)
         print(f"trace written to {args.trace}", file=sys.stderr)
 
-    # Derived geometry/roofline numbers.
+    # Derived geometry/roofline numbers, per the window path actually
+    # compiled (kernels/block_demod.py `windows` selection).
     S = cfg.steps_per_block
     G = 8
     S_pad = -(-S // G) * G
+    n_grid = S_pad // G
     W = cfg.window_common
+    on_tpu = jax.devices()[0].platform == "tpu"
+    mode = os.environ.get("METEOR_DEMOD_WINDOWS") or (
+        "dma" if on_tpu and B % 128 == 0 else "gather")
+    if mode == "dma":
+        offsets = np.asarray(cfg.window_offsets, dtype=np.int64)
+        offsets_pad = np.concatenate(
+            [offsets, np.full(S_pad - S, offsets[-1], np.int64)])
+        og = offsets_pad.reshape(n_grid, G)
+        span = int(W + (og[:, -1] - og[:, 0]).max())
+        span = min(-(-span // 8) * 8, cfg.block_ticks)
+        # read-only in-kernel span copies of the tick-major FIR array
+        win_bytes = n_grid * span * B * 4 * 2
+    else:
+        # prematerialized (S_pad, W, B) tiles: written by the gather AND
+        # re-read by the kernel
+        win_bytes = S_pad * W * B * 4 * 2 * 2
     block_ms = dt * 1e3 / chain
     step_us = dt * 1e6 / (chain * S)
-    win_bytes = S_pad * W * B * 4 * 2          # re+im f32 window stream
     hbm_gbps = 819.0                           # v5e HBM ~819 GB/s
     win_ms_at_hbm = win_bytes / (hbm_gbps * 1e9) * 1e3
     sps = chain * cfg.block_len * B / dt
@@ -122,6 +139,7 @@ def main() -> None:
     print(json.dumps({
         "config": args.config, "batch": B, "chain": chain,
         "block_len": cfg.block_len, "device": jax.devices()[0].platform,
+        "windows": mode,
         "compile_plus_first_dispatch_s": round(compile_s, 1),
         "msamples_per_s": round(sps / 1e6, 2),
         "block_ms": round(block_ms, 3),

@@ -87,9 +87,14 @@ def main() -> None:
               f"{rows[-1]['msps_per_device']:6.2f} /device  "
               f"step {rows[-1]['step_ms']:7.1f} ms", file=sys.stderr)
 
-    base = rows[0]["msps_per_device"]
+    # Efficiency is relative to the SMALLEST run in this invocation — the
+    # key names the actual baseline device count so a --devices list that
+    # omits 1 cannot masquerade as a vs-1-device number.
+    base_row = min(rows, key=lambda r: r["devices"])
+    base = base_row["msps_per_device"]
+    key = f"efficiency_vs_{base_row['devices']}dev"
     for r in rows:
-        r["efficiency_vs_1dev"] = round(r["msps_per_device"] / base, 3)
+        r[key] = round(r["msps_per_device"] / base, 3)
     print(json.dumps({"host_cores": ncore,
                       "forced_virtual_cpu": not args.no_force,
                       "block_len": args.block, "spd": args.spd,

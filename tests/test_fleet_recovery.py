@@ -105,3 +105,44 @@ def test_fleet_sticky_flags_without_recovery():
         assert fleet.flagged_streams().tolist() == expect, b
     assert fleet.recovered_streams == 0
     assert int(fleet.telemetry["flags"]) != 0
+
+
+def test_multihost_fleet_recovers_flagged_stream_exactly():
+    """The always-exact contract holds through MultiHostFleet too: its
+    local-row recovery must end bit-identical to StreamDemodulator for a
+    flagged stream (single-process view of the global mesh; the 2-process
+    rendezvous path is covered by tests/test_multihost.py)."""
+    from meteor_demod_tpu.parallel.multihost import MultiHostFleet
+    import jax
+
+    cfg = DemodConfig(samplerate=230400, block_len=2048)
+    n_devices = len(jax.devices())
+    spd = 1
+    n_streams = n_devices * spd
+    n_blocks = 7
+    data = _mixed_fleet(cfg, n_streams, n_blocks)
+
+    fleet = MultiHostFleet(cfg, spd)
+    assert fleet.n_streams == n_streams
+    got = {i: [] for i in range(n_streams)}
+    flagged_seen = 0
+    for b in range(n_blocks):
+        outs = fleet.process_local_blocks(
+            data[:, b * cfg.block_len:(b + 1) * cfg.block_len])
+        flagged_seen += len(fleet.flagged_local_streams())
+        for i in range(n_streams):
+            m = np.asarray(outs.valid[i]).astype(bool)
+            got[i].append((np.asarray(outs.sym_re[i])[m],
+                           np.asarray(outs.sym_im[i])[m]))
+    assert flagged_seen >= 1
+    assert fleet.recovered_streams == flagged_seen
+    assert int(fleet.telemetry["flags"]) == 0
+
+    for i in range(n_streams):
+        d = StreamDemodulator(cfg)
+        seq = np.concatenate(
+            [d.process(data[i]), d.finish()])
+        re = np.concatenate([r for r, _ in got[i]])
+        im = np.concatenate([q for _, q in got[i]])
+        np.testing.assert_array_equal(re, seq["re"], err_msg=f"stream {i}")
+        np.testing.assert_array_equal(im, seq["im"], err_msg=f"stream {i}")
