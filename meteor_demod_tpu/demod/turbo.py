@@ -56,6 +56,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 
 
 import numpy as np
@@ -122,6 +123,7 @@ def _chunk_fn(cfg: DemodConfig, chunks: int, kb: int, backend: str,
 
 
 _HALF_PI = np.float32(np.pi / 2)
+_TWO_PI = np.float32(2 * np.pi)
 # Gauge residuals must sit far from the pi/4 quantization boundary for the
 # quadrant measurement to be trustworthy; pi/8 leaves a 2x margin over the
 # worst residual observed at 6 dB SNR (~0.26 rad).
@@ -181,6 +183,20 @@ def unpack_carry_np(fl, il, tail) -> DemodCarry:
     return DemodCarry(fir_tail=np.asarray(tail), **kw)
 
 
+def _unpack_j(pc):
+    """Traced packed carry (fl (NF, C), il (NI, C), tail) -> DemodCarry."""
+    fl, il, tail = pc
+    kw = {n: fl[i] for i, n in enumerate(_FLOAT_FIELDS)}
+    kw.update({n: il[i] for i, n in enumerate(_INT_FIELDS)})
+    return DemodCarry(fir_tail=tail, **kw)
+
+
+def _pack_j(c):
+    return (jnp.stack([getattr(c, n) for n in _FLOAT_FIELDS]),
+            jnp.stack([getattr(c, n) for n in _INT_FIELDS]),
+            c.fir_tail)
+
+
 @functools.lru_cache(maxsize=16)
 def _chunk_fn_packed(cfg: DemodConfig, chunks: int, kb: int, backend: str,
                      mesh=None, axis_name: str = "chunks"):
@@ -191,17 +207,7 @@ def _chunk_fn_packed(cfg: DemodConfig, chunks: int, kb: int, backend: str,
     decision fingerprint is fused into the program — one dispatch and one
     egress per pass instead of a dispatch per fingerprint and a round trip
     per carry leaf. `outs` stays device-resident for the final assembly."""
-
-    def unpack_j(pc):
-        fl, il, tail = pc
-        kw = {n: fl[i] for i, n in enumerate(_FLOAT_FIELDS)}
-        kw.update({n: il[i] for i, n in enumerate(_INT_FIELDS)})
-        return DemodCarry(fir_tail=tail, **kw)
-
-    def pack_j(c):
-        return (jnp.stack([getattr(c, n) for n in _FLOAT_FIELDS]),
-                jnp.stack([getattr(c, n) for n in _INT_FIELDS]),
-                c.fir_tail)
+    unpack_j, pack_j = _unpack_j, _pack_j
 
     if mesh is None:
         demod = make_batch_demod(cfg, chunks, backend)
@@ -362,7 +368,8 @@ def finish_warmup_carry(cfg, wf: DemodCarry, tails_np) -> DemodCarry:
                       flags=np.zeros_like(w.flags))
 
 
-def gauge_fixpoint(cfg, run, put_packed, blocks, w_np, tails_np, max_passes):
+def gauge_fixpoint(cfg, run, put_packed, blocks, w_np, tails_np, max_passes,
+                   resume=None):
     """Shared gauge-mode fixpoint driver (demod_array_turbo and bench.py).
 
     run: a _chunk_fn_packed runner — jitted (packed_carry, blocks) ->
@@ -380,6 +387,12 @@ def gauge_fixpoint(cfg, run, put_packed, blocks, w_np, tails_np, max_passes):
     mod 4, every gauge residual far from the pi/4 boundary, and no pending
     lock transition that could flip future decisions (_decisions_settled).
 
+    resume: optional (g_np, prev_fp, k_prev, passes_done) continuing a
+    fixpoint whose first passes ran elsewhere (the fused 2-pass program,
+    _fused_gauge_fn); the loop then starts at pass passes_done+1 with the
+    given entries and measures gauges against them, exactly as if the
+    earlier passes had run here.
+
     Returns (f_np, outs, K, passes, converged, max_resid): outs is the
     LAST pass's device-side BlockOutput, K the cumulative per-lane
     quadrants rotating it into chunk 0's gauge, max_resid the larger of
@@ -393,7 +406,10 @@ def gauge_fixpoint(cfg, run, put_packed, blocks, w_np, tails_np, max_passes):
     f_np = outs = None
     k = np.zeros(0, np.int64)
     k_prev = None
-    for p in range(max_passes):
+    if resume is not None:
+        g_np, prev_fp, k_prev, passes = resume
+        k = k_prev
+    for p in range(passes, max_passes):
         pf, outs, fpv = run(put_packed(pack_carry_np(g_np)), blocks)
         (fl, il, tail), (fp_n, fp_cs) = egress((pf, fpv))
         f_np = unpack_carry_np(fl, il, tail)
@@ -422,6 +438,218 @@ def gauge_fixpoint(cfg, run, put_packed, blocks, w_np, tails_np, max_passes):
         g_np = g_new
     K = np.concatenate([[0], np.cumsum(k)])
     return f_np, outs, K, passes, converged, max_resid
+
+
+# ---------------------------------------------------------------------------
+# Fused gauge turbo: warmup + pass 1 + gauge shift + pass 2 + convergence
+# detection in ONE jitted program. The per-pass host round-trips of the
+# loop above (dispatch latency + one egress per pass on the tunneled
+# backend) cost ~3x the device compute at the default geometry; here the
+# whole O(1)-pass fixpoint runs device-side and a single flattened egress
+# returns the exit carry, quadrants, fingerprints and convergence stats.
+# The math mirrors gauge_fixpoint step for step (float32 on device instead
+# of the host's float64 gauge bookkeeping — the entries it perturbs are
+# estimates, and the decision fingerprint criterion is unchanged).
+# ---------------------------------------------------------------------------
+
+def _lane_fp_block(outs, kblk, S):
+    """One block's contribution to the per-lane decision fingerprint.
+
+    Identical math to _lane_fp_body evaluated incrementally: weights for
+    block k are ((k*S + s) % 8191) + 1, and int32 wrapping addition is
+    associative/commutative, so summing per-block contributions equals the
+    stacked-outs checksum bit for bit."""
+    v = outs.valid.astype(jnp.int32)               # (C, S)
+    sr = jnp.where(outs.sym_re >= 0, 1, -1) * v
+    si = jnp.where(outs.sym_im >= 0, 1, -1) * v
+    lo = outs.locked_once.astype(jnp.int32)
+    w = (jnp.arange(S, dtype=jnp.int32)[None, :] + kblk * S) % 8191 + 1
+    cs = jnp.sum(w * (7 * v + 3 * sr + 5 * si + 11 * lo), axis=1)
+    return jnp.sum(v, axis=1), cs
+
+
+def _gauge_measure_j(f, w):
+    """Traced _gauge_measure (without the cumulative K)."""
+    diff = f.p_phase[:-1] - w.p_phase[1:]
+    k = jnp.round(diff / _HALF_PI).astype(jnp.int32)
+    delta = diff - k.astype(jnp.float32) * _HALF_PI
+    return k, delta
+
+
+def _gauge_shift_j(init, f, w, k, tails):
+    """Traced _gauge_shift_np: next-pass entries in each lane's own gauge."""
+    g = jax.tree_util.tree_map(
+        lambda a0, a: jnp.concatenate([a0, a[:-1]], axis=0), init, f)
+    rot = jnp.mod(g.p_phase[1:] - k.astype(jnp.float32) * _HALF_PI, _TWO_PI)
+    pp = jnp.concatenate([g.p_phase[:1], rot])
+    km = k % 4
+    tp_rest = jnp.where(km == 2, -g.t_prev[1:], g.t_prev[1:])
+    tp_rest = jnp.where(km % 2 == 1, w.t_prev[1:], tp_rest)
+    tp = jnp.concatenate([g.t_prev[:1], tp_rest])
+    return g._replace(p_phase=pp, t_prev=tp, fir_tail=tails,
+                      tick=jnp.zeros_like(g.tick),
+                      flags=jnp.zeros_like(g.flags))
+
+
+def _settled_j(g_new, g_prev):
+    """Traced _decisions_settled. Returns (settled bool, resid f32)."""
+    ieq = jnp.bool_(True)
+    for name in ("locked", "locked_once", "slot", "flags"):
+        ieq = jnp.logical_and(
+            ieq, jnp.all(getattr(g_new, name) == getattr(g_prev, name)))
+    a, b = g_new.p_err, g_prev.p_err
+    safe = jnp.logical_and(a < np.float32(GAUGE_PERR_SAFE),
+                           b < np.float32(GAUGE_PERR_SAFE))
+    rel = jnp.abs(a - b) / jnp.maximum(np.float32(1.0), a + b)
+    resid = jnp.max(jnp.where(safe, np.float32(0.0), rel))
+    resid = jnp.where(ieq, resid, np.float32(1.0))
+    return jnp.logical_and(ieq, resid < np.float32(GAUGE_ENTRY_TOL)), resid
+
+
+def _bc_f32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _fused_gauge_fn(cfg: DemodConfig, chunks: int, kb: int, kb_w: int,
+                    backend: str, mesh=None, axis_name: str = "chunks"):
+    """Jitted fused gauge turbo (see the section comment above).
+
+    (pw0, wblocks, blocks, tails) -> (small_vec, g3_pc, w_pc, outs2, fp2)
+    where small_vec is ONE flat f32 vector carrying the pass-2 exit carry,
+    per-boundary quadrants k2, fingerprints and convergence stats (int
+    payloads bitcast, not value-cast — see _unpack_small) so the happy path
+    costs a single host round-trip; g3_pc / w_pc (next-pass entries and the
+    gauge anchor) and the device-resident outs2 serve the rare
+    not-converged continuation and the final assembly. The exact initial
+    state for lane 0 is baked in as a trace-time constant."""
+    S = cfg.steps_per_block
+    n_dev = 1 if mesh is None else mesh.devices.size
+    demod = make_batch_demod(cfg, chunks // n_dev, backend)
+
+    def warm_phase(c, blocks):
+        c2, _ = jax.lax.scan(lambda cc, x: (demod(cc, x)[0], None), c, blocks)
+        return c2
+
+    def _pass_body(cc, x):
+        c, kblk, fn, fcs = cc
+        c2, outs = demod(c, x)
+        n, cs = _lane_fp_block(outs, kblk, S)
+        return (c2, kblk + 1, fn + n, fcs + cs), outs
+
+    def pass_fp(c, blocks):
+        z = jnp.zeros(c.p_phase.shape[0], jnp.int32)
+        (c2, _, fn, fcs), _ = jax.lax.scan(
+            lambda cc, x: (_pass_body(cc, x)[0], None),
+            (c, jnp.int32(0), z, z), blocks)
+        return c2, (fn, fcs)
+
+    def pass_fp_outs(c, blocks):
+        z = jnp.zeros(c.p_phase.shape[0], jnp.int32)
+        (c2, _, fn, fcs), outs = jax.lax.scan(
+            _pass_body, (c, jnp.int32(0), z, z), blocks)
+        return c2, outs, (fn, fcs)
+
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        lane = P(axis_name)
+        blk = P(None, axis_name)
+        warm_phase = shard_map(warm_phase, mesh=mesh, in_specs=(lane, blk),
+                               out_specs=lane, check_vma=False)
+        pass_fp = shard_map(pass_fp, mesh=mesh, in_specs=(lane, blk),
+                            out_specs=(lane, (lane, lane)), check_vma=False)
+        pass_fp_outs = shard_map(
+            pass_fp_outs, mesh=mesh, in_specs=(lane, blk),
+            out_specs=(lane, blk, (lane, lane)), check_vma=False)
+
+    def fused(pw0, wblocks, blocks, tails):
+        init = batch_carry(cfg, 1)                     # leaves (1, ...)
+        w_raw = warm_phase(_unpack_j(pw0), wblocks)
+        # finish_warmup_carry, traced: lane 0 <- exact initial state.
+        w = jax.tree_util.tree_map(
+            lambda a0, a: jnp.concatenate([a0, a[1:]], axis=0), init, w_raw)
+        w = w._replace(fir_tail=tails, tick=jnp.zeros_like(w.tick),
+                       flags=jnp.zeros_like(w.flags))
+
+        f1, fp1 = pass_fp(w, blocks)
+        k1, _ = _gauge_measure_j(f1, w)
+        g2 = _gauge_shift_j(init, f1, w, k1, tails)
+
+        f2, outs2, fp2 = pass_fp_outs(g2, blocks)
+        k2, delta2 = _gauge_measure_j(f2, g2)
+        g3 = _gauge_shift_j(init, f2, w, k2, tails)
+
+        settled, resid = _settled_j(g3, g2)
+        fp_eq = jnp.logical_and(jnp.all(fp1[0] == fp2[0]),
+                                jnp.all(fp1[1] == fp2[1]))
+        k_st = jnp.all((k2 - k1) % 4 == 0)
+        maxd = jnp.max(jnp.abs(delta2)) if chunks > 1 else jnp.float32(0.0)
+        conv = functools.reduce(jnp.logical_and, [
+            fp_eq, k_st, maxd < np.float32(GAUGE_DELTA_TOL), settled])
+        sti = jnp.stack([conv, settled, fp_eq, k_st]).astype(jnp.int32)
+
+        fl, il, tail = _pack_j(f2)
+        small = jnp.concatenate([
+            fl.reshape(-1), _bc_f32(il).reshape(-1), tail.reshape(-1),
+            _bc_f32(k2), _bc_f32(fp2[0]), _bc_f32(fp2[1]), _bc_f32(sti),
+            jnp.stack([maxd, resid])])
+        return small, _pack_j(g3), _pack_j(w), outs2, fp2
+
+    return jax.jit(fused)
+
+
+def _unpack_small(cfg, chunks, small):
+    """Host decode of the fused program's flat f32 vector -> (f2 DemodCarry,
+    k2, fp2 tuple, stats dict)."""
+    C = chunks
+    nf, ni, nt = len(_FLOAT_FIELDS), len(_INT_FIELDS), (cfg.taps - 1) * 2
+    v = np.asarray(small, np.float32)
+    o = 0
+    fl = v[o:o + nf * C].reshape(nf, C); o += nf * C
+    il = v[o:o + ni * C].view(np.int32).reshape(ni, C); o += ni * C
+    tail = v[o:o + C * nt].reshape(C, cfg.taps - 1, 2); o += C * nt
+    k2 = v[o:o + C - 1].view(np.int32).astype(np.int64); o += C - 1
+    fp_n = v[o:o + C].view(np.int32); o += C
+    fp_cs = v[o:o + C].view(np.int32); o += C
+    sti = v[o:o + 4].view(np.int32); o += 4
+    maxd, resid = float(v[o]), float(v[o + 1])
+    f2 = unpack_carry_np(fl, il, tail)
+    stats = dict(converged=bool(sti[0]), settled=bool(sti[1]),
+                 fp_eq=bool(sti[2]), k_stable=bool(sti[3]),
+                 max_delta=maxd, resid=resid)
+    return f2, k2, (fp_n, fp_cs), stats
+
+
+def fused_gauge_run(cfg, chunks, kb, kb_w, backend, mesh, put_packed,
+                    w0_np, wblocks, blocks, tails_dev, tails_np,
+                    max_passes, pw0_dev=None):
+    """Run the fused 2-pass gauge turbo; continue on the per-pass loop in
+    the rare not-converged case (shared by demod_array_turbo and bench.py).
+
+    w0_np: numpy warmup entry carry (warmup FIR tails installed); wblocks /
+    blocks / tails_dev already placed on device (sharded under a mesh).
+    pw0_dev: optionally the packed warmup carry already on device (skips
+    the per-call pack+upload for callers that reuse it).
+    Returns the gauge_fixpoint contract (f_np, outs, K, passes, converged,
+    max_resid)."""
+    fused = _fused_gauge_fn(cfg, chunks, kb, kb_w, backend, mesh)
+    if pw0_dev is None:
+        pw0_dev = put_packed(pack_carry_np(w0_np))
+    small, g3_pc, w_pc, outs2, _ = fused(pw0_dev, wblocks, blocks, tails_dev)
+    f2, k2, fp2, stats = _unpack_small(cfg, chunks, egress(small))
+    max_resid = max(stats["max_delta"], stats["resid"])
+    if stats["converged"] or max_passes <= 2:
+        K = np.concatenate([[0], np.cumsum(k2)])
+        return f2, outs2, K, 2, stats["converged"], max_resid
+    # Not converged with budget left: continue the per-pass loop from the
+    # fused program's pass-3 entries and gauge anchor.
+    run = _chunk_fn_packed(cfg, chunks, kb, backend, mesh)
+    g3 = unpack_carry_np(*egress(g3_pc))
+    w_np = unpack_carry_np(*egress(w_pc))
+    prev_fp = tuple((int(n), int(c)) for n, c in zip(*fp2))
+    return gauge_fixpoint(cfg, run, put_packed, blocks, w_np, tails_np,
+                          max_passes, resume=(g3, prev_fp, k2, 2))
 
 
 @functools.lru_cache(maxsize=4)
@@ -552,8 +780,6 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
         kb_w = min(warmup_blocks or default_warmup_blocks(L, kb), kb)
         wblocks_np, wtails = build_warmup(xt, chunks, chunk_len, kb_w, L,
                                           taps)
-        run_w = _chunk_fn_packed(cfg, chunks, kb_w, backend, mesh)
-        run_g = _chunk_fn_packed(cfg, chunks, kb, backend, mesh)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             axis = mesh.axis_names[0]
@@ -562,16 +788,27 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
                                      jax.device_put(pc[1], lane_shard),
                                      jax.device_put(pc[2], c_shard))
             wblocks = jax.device_put(wblocks_np, b_shard)
+            tails_dev = jax.device_put(tails, c_shard)
         else:
             put_packed = lambda pc: tuple(map(jnp.asarray, pc))
             wblocks = jnp.asarray(wblocks_np)
-        w0 = jax.tree_util.tree_map(
+            tails_dev = jnp.asarray(tails)
+        w0_np = jax.tree_util.tree_map(
             np.array, batch_carry(cfg, chunks)._replace(fir_tail=wtails))
-        wpf, _, _ = run_w(put_packed(pack_carry_np(w0)), wblocks)
-        w_np = finish_warmup_carry(cfg, unpack_carry_np(*egress(wpf)),
-                                   tails)
-        f_np, outs, K, passes, converged, max_residual = gauge_fixpoint(
-            cfg, run_g, put_packed, blocks, w_np, tails, max_passes)
+        if max_passes >= 2 and not os.environ.get("METEOR_DEMOD_NO_FUSED"):
+            # Fused fast path: warmup + both passes + convergence detection
+            # in one dispatch and one small egress (see _fused_gauge_fn).
+            f_np, outs, K, passes, converged, max_residual = fused_gauge_run(
+                cfg, chunks, kb, kb_w, backend, mesh, put_packed, w0_np,
+                wblocks, blocks, tails_dev, tails, max_passes)
+        else:
+            run_w = _chunk_fn_packed(cfg, chunks, kb_w, backend, mesh)
+            run_g = _chunk_fn_packed(cfg, chunks, kb, backend, mesh)
+            wpf, _, _ = run_w(put_packed(pack_carry_np(w0_np)), wblocks)
+            w_np = finish_warmup_carry(cfg, unpack_carry_np(*egress(wpf)),
+                                       tails)
+            f_np, outs, K, passes, converged, max_residual = gauge_fixpoint(
+                cfg, run_g, put_packed, blocks, w_np, tails, max_passes)
     else:
         run = _chunk_fn(cfg, chunks, kb, backend, mesh)
         g_np = jax.tree_util.tree_map(

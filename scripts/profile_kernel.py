@@ -45,6 +45,8 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--chain", type=int, default=16)
     ap.add_argument("--block", type=int, default=8192)
+    ap.add_argument("--group", type=int, default=None,
+                    help="kernel steps per grid iteration (G; default 8)")
     ap.add_argument("--seconds", type=float, default=3.0)
     ap.add_argument("--trace", default=None,
                     help="capture a jax.profiler trace of one dispatch")
@@ -66,7 +68,12 @@ def main() -> None:
 
     cfg = make_cfg(args.config, args.block)
     B, chain = args.batch, args.chain
-    demod = make_batch_demod(cfg, B)
+    if args.group is not None:
+        from meteor_demod_tpu.kernels.block_demod import \
+            make_pallas_batch_demod
+        demod = make_pallas_batch_demod(cfg, B, group=args.group)
+    else:
+        demod = make_batch_demod(cfg, B)
 
     def chained(carry, blocks):
         carry, outs = jax.lax.scan(demod, carry, blocks)
@@ -110,7 +117,7 @@ def main() -> None:
     # Derived geometry/roofline numbers, per the window path actually
     # compiled (kernels/block_demod.py `windows` selection).
     S = cfg.steps_per_block
-    G = 8
+    G = args.group or 8
     S_pad = -(-S // G) * G
     n_grid = S_pad // G
     W = cfg.window_common

@@ -211,6 +211,55 @@ def test_turbo_gauge_slow_state_propagation_blocks_convergence():
     assert res.max_residual > 0.0
 
 
+def test_turbo_gauge_fused_equals_loop(monkeypatch):
+    """The fused single-dispatch gauge program (demod/turbo.py
+    _fused_gauge_fn) must reproduce the per-pass host loop: same
+    convergence verdict, same pass count, and the same decision stream.
+    (Soft values may differ in the last float32 bit: the loop does its
+    gauge bookkeeping in host float64, the fused program in device
+    float32 — decisions are compared, not raw floats.)"""
+    cfg = DemodConfig(samplerate=230400, block_len=2048)
+    chunks, kb = 8, 16
+    n = chunks * kb * cfg.block_len
+    x, _ = synth_psk(int(n * cfg.symrate / cfg.samplerate) + 64,
+                     cfg.samplerate, carrier_hz=150.0, amplitude=6000.0,
+                     snr_db=18.0, seed=31)
+    x = x[:n]
+
+    fused = demod_array_turbo(cfg, x, chunks=chunks, max_passes=4)
+    monkeypatch.setenv("METEOR_DEMOD_NO_FUSED", "1")
+    loop = demod_array_turbo(cfg, x, chunks=chunks, max_passes=4)
+
+    assert fused.converged == loop.converged
+    assert fused.passes == loop.passes
+    assert len(fused.symbols) == len(loop.symbols)
+    np.testing.assert_array_equal(np.sign(fused.symbols["re"]),
+                                  np.sign(loop.symbols["re"]))
+    np.testing.assert_array_equal(np.sign(fused.symbols["im"]),
+                                  np.sign(loop.symbols["im"]))
+    np.testing.assert_array_equal(fused.symbols["locked_once"],
+                                  loop.symbols["locked_once"])
+
+
+def test_turbo_gauge_fused_continuation_resumes_loop():
+    """When the fused program's two passes do not converge and budget
+    remains, fused_gauge_run must hand the pass-3 entries to the per-pass
+    loop (gauge_fixpoint resume=...) instead of giving up at pass 2: with
+    chunks shorter than the p_err EMA memory the third pass runs, and the
+    result is still a valid demodulation."""
+    cfg = DemodConfig(samplerate=230400, block_len=2048)
+    chunks = 4
+    n = chunks * 2 * cfg.block_len        # 2 blocks/chunk: EMA >> chunk
+    x, _ = synth_psk(int(n * cfg.symrate / cfg.samplerate) + 64,
+                     cfg.samplerate, carrier_hz=150.0, amplitude=6000.0,
+                     snr_db=22.0, seed=21)
+    x = x[:n]
+    res = demod_array_turbo(cfg, x, chunks=chunks, max_passes=3)
+    assert res.passes == 3                # pass 3 ran on the resumed loop
+    assert not res.fell_back
+    assert res.symbols["locked_once"][-1] == 1
+
+
 def test_turbo_gauge_rejects_oqpsk():
     cfg = DemodConfig(samplerate=240000, symrate=80000.0, oqpsk=True,
                       block_len=2048)
