@@ -85,6 +85,7 @@ class TurboResult:
     passes: int                  # passes executed
     max_residual: float          # largest |g' - g| float-leaf residual, last pass
     fell_back: bool = False      # True if safety flags forced a sequential redo
+    gauges: np.ndarray | None = None  # per-lane cumulative quadrant K (gauge mode)
 
 
 @functools.lru_cache(maxsize=16)
@@ -239,9 +240,19 @@ def _chunk_fn_packed(cfg: DemodConfig, chunks: int, kb: int, backend: str,
     return jax.jit(sharded)
 
 
-def _gauge_measure(f, w):
+def _gauge_measure(f, w, cfg=None):
     """Per-boundary quadrant between chunk c-1's exit and chunk c's own
     warmup estimate of the same physical state (host numpy, O(chunks)).
+
+    QPSK: the gauge group is the Costas quadrant alone. OQPSK (cfg given
+    and cfg.oqpsk): a pi/2 carrier rotation only yields a stable lock
+    together with a half-symbol shift of the I/Q labeling (the half-symbol
+    FIRE grid is the same for every lane — timing locks to the eye
+    pattern; only which instants are called I vs Q shifts), so the group
+    is still Z4 with timing parity == k mod 2. The parity is measured
+    independently from the ticks-to-next-Q-fire of the two estimates and
+    must agree with the quadrant measurement; a mismatch poisons delta so
+    the convergence test cannot pass on that boundary.
 
     Returns (k, delta, K): k[c-1] is the signed quadrant count at boundary
     c, delta the leftover radians after removing it (loop noise — small iff
@@ -251,11 +262,22 @@ def _gauge_measure(f, w):
         w.p_phase, np.float64)[1:]
     k = np.round(diff / _HALF_PI).astype(np.int64)
     delta = diff - k * float(_HALF_PI)
+    if cfg is not None and cfg.oqpsk:
+        # Ticks until the next symbol-completing (Q) fire: t_phase runs
+        # 0 -> pi (I fire) -> 2*pi (Q fire, reset) regardless of slot.
+        nq = lambda c: ((2 * np.pi - np.asarray(c.t_phase, np.float64))
+                        / np.asarray(c.t_freq, np.float64))
+        h2 = np.pi / float(cfg.timing_freq)          # half-symbol in ticks
+        m = np.round((nq(f)[:-1] - nq(w)[1:]) / h2).astype(np.int64)
+        # The instant correction (one fire's p_freq, ~1e-2 rad) is far
+        # below the pi/8 delta tolerance and cannot move the pi/2
+        # quantization; only the parity consistency matters.
+        delta = np.where((k - m) % 2 == 0, delta, np.pi)
     K = np.concatenate([[0], np.cumsum(k)])
     return k, delta, K
 
 
-def _gauge_shift_np(init_np, f, w, k, tails):
+def _gauge_shift_np(init_np, f, w, k, tails, cfg=None):
     """Pass p+1 entry carries: predecessor exits rotated into each lane's
     OWN gauge (host numpy).
 
@@ -267,20 +289,43 @@ def _gauge_shift_np(init_np, f, w, k, tails):
     even quadrants; odd quadrants would need the unstored I component, so
     the lane's own warmup estimate — the same physical symbol in the right
     gauge — stands in. Everything else in the carry is gauge-invariant.
-    FIR tails are data-exact; tick and flags reset per pass."""
+    FIR tails are data-exact; tick and flags reset per pass.
+
+    OQPSK (cfg given and cfg.oqpsk): an odd quadrant also shifts the lane's
+    I/Q labeling by half a symbol, so EVERY grid-dependent leaf (slot,
+    t_phase, inphase, t_prev, p_phase) comes from the lane's own warmup
+    estimate — the same physical state in the lane's labeling — while the
+    contractive, gauge-invariant leaves (t_freq, p_freq, p_err, lock
+    state, sweep direction, AGC — AGC acts on the raw pre-mix FIR output,
+    which no gauge touches) refine from the predecessor's exit. Even
+    quadrants keep the grid: k%4==2 negates the pending half-symbol
+    `inphase` along with t_prev (the constellation flips sign)."""
+    oqpsk = cfg is not None and cfg.oqpsk
     g = jax.tree_util.tree_map(
         lambda a0, a: np.concatenate([a0, a[:-1]], axis=0), init_np, f)
     pp = g.p_phase.copy()
     pp[1:] = np.mod(pp[1:].astype(np.float64) - k * float(_HALF_PI),
                     2 * np.pi).astype(np.float32)
     km = k % 4
-    tp = g.t_prev.copy()
-    tp[1:][km == 2] = -tp[1:][km == 2]
+    flip = km == 2
     odd = (km % 2) == 1
+    tp = g.t_prev.copy()
+    tp[1:][flip] = -tp[1:][flip]
     tp[1:][odd] = w.t_prev[1:][odd]
-    return g._replace(p_phase=pp, t_prev=tp, fir_tail=tails,
-                      tick=np.zeros_like(g.tick),
-                      flags=np.zeros_like(g.flags))
+    g = g._replace(p_phase=pp, t_prev=tp, fir_tail=tails,
+                   tick=np.zeros_like(g.tick),
+                   flags=np.zeros_like(g.flags))
+    if oqpsk:
+        ip = g.inphase.copy()
+        ip[1:][flip] = -ip[1:][flip]
+        sub = lambda a, b: np.concatenate(
+            [a[:1], np.where(odd, b[1:], a[1:])], axis=0)
+        g = g._replace(
+            inphase=sub(ip, w.inphase),
+            slot=sub(g.slot, w.slot),
+            t_phase=sub(g.t_phase, w.t_phase),
+            p_phase=sub(g.p_phase, w.p_phase))
+    return g
 
 
 def rotate_quadrant(re, im, r):
@@ -294,6 +339,91 @@ def rotate_quadrant(re, im, r):
     if r == 2:
         return -re, -im
     return -im, re
+
+
+# Gauge-0 value of a lane's emitted components, by K % 4 (rows) — the sign
+# pattern of m = m0 * e^{j K pi/2} evaluated at the component's half-symbol
+# instant: column 0 multiplies sym_re (the lane's stored I half), column 1
+# multiplies sym_im (the lane's Q half). For even K the lane's labels match
+# gauge 0 and this is plain rotation by K*pi/2 restricted to the stored
+# components; for odd K the lane's "I" sits on a gauge-0 Q instant and vice
+# versa, so the signed values land on the SHIFTED grid and must be re-paired
+# (_assemble_oqpsk_gauge).
+_OQ_SIGNS = np.array([[1, 1], [-1, 1], [-1, -1], [1, -1]], np.float32)
+
+
+def _assemble_oqpsk_gauge(sym_re, sym_im, valid, lonce, K, exit_slot,
+                          exit_inphase, exit_lonce, tail_syms):
+    """Gauge-mode OQPSK assembly: global half-symbol re-pairing.
+
+    OQPSK's gauge group couples the Costas quadrant with the I/Q labeling
+    of the shared half-symbol fire grid (see _gauge_measure): a lane with
+    odd cumulative gauge K[c] calls gauge-0 Q instants "I" and vice versa,
+    so rotating its output into chunk 0's gauge does not map symbol ->
+    symbol. Instead each emitted pair is split into its two half-symbol
+    VALUES, the values are rotated into gauge 0 (the _OQ_SIGNS flips), and
+    the global half-value stream is re-paired on chunk 0's grid.
+
+    At each odd-parity boundary exactly one of two stitches applies,
+    decided by the predecessor's exit slot:
+      - slot==2 (a stored I half pending): that half-value was never
+        emitted — lane c-1 holds it unemitted in its carry, and lane c's
+        opposite labeling treats the instant as an already-completed Q.
+        Insert it from the exit carry's `inphase` (exact), rotated by
+        K[c-1].
+      - slot==1: the predecessor's final Q instant is ALSO covered by lane
+        c's completion pre-fire (whose sym_re came from the lane's warmup
+        state). Drop lane c's duplicate first half-value and keep the
+        predecessor's in-chunk exact one.
+    Even-parity boundaries continue seamlessly through the shifted carry
+    (slot/inphase hand-off), exactly like the sequential demodulator.
+
+    The sub-multiple tail (tail_syms, may be None) was demodulated in the
+    LAST lane's gauge with its carry untouched; its symbols join the
+    half-value stream before pairing. A trailing unpaired half-value is
+    dropped — the sequential demodulator likewise never emits a pending I.
+
+    locked_once per re-paired symbol is taken at the Q half (the update
+    instant, matching scan.py's do_update semantics)."""
+    chunks = sym_re.shape[1]
+    vals, los = [], []
+    for c in range(chunks):
+        m = valid[:, c, :].reshape(-1).astype(bool)
+        re = sym_re[:, c, :].reshape(-1)[m]
+        im = sym_im[:, c, :].reshape(-1)[m]
+        lo = lonce[:, c, :].reshape(-1)[m]
+        sr, si = _OQ_SIGNS[int(K[c]) % 4]
+        v = np.empty(2 * len(re), np.float32)
+        v[0::2] = sr * re
+        v[1::2] = si * im
+        l2 = np.repeat(lo, 2)
+        if c > 0 and (int(K[c]) - int(K[c - 1])) % 2:
+            if int(exit_slot[c - 1]) == 2:
+                sp = _OQ_SIGNS[int(K[c - 1]) % 4][0]
+                v = np.concatenate(
+                    [[sp * np.float32(exit_inphase[c - 1])], v])
+                l2 = np.concatenate(
+                    [[np.int32(exit_lonce[c - 1])], l2])
+            elif len(v):
+                v = v[1:]
+                l2 = l2[1:]
+        vals.append(v)
+        los.append(l2)
+    if tail_syms is not None and len(tail_syms):
+        sr, si = _OQ_SIGNS[int(K[-1]) % 4]
+        v = np.empty(2 * len(tail_syms), np.float32)
+        v[0::2] = sr * tail_syms["re"]
+        v[1::2] = si * tail_syms["im"]
+        vals.append(v)
+        los.append(np.repeat(tail_syms["locked_once"], 2))
+    F = np.concatenate(vals) if vals else np.zeros(0, np.float32)
+    L2 = np.concatenate(los) if los else np.zeros(0, np.int64)
+    n = len(F) // 2
+    s = np.zeros(n, dtype=_SYM_DTYPE)
+    s["re"] = F[0:2 * n:2]
+    s["im"] = F[1:2 * n:2]
+    s["locked_once"] = L2[1:2 * n:2]
+    return s
 
 
 def build_warmup(xf, chunks, chunk_len, kb_w, L, taps):
@@ -422,10 +552,10 @@ def gauge_fixpoint(cfg, run, put_packed, blocks, w_np, tails_np, max_passes,
         # the diff still yields the FULL per-boundary quadrant, but now
         # between same-maturity states — delta collapses to pass-to-pass
         # drift, and a pass-1 quadrant mistake shows up as k changing.
-        k, delta, _ = _gauge_measure(f_np, w_np if p == 0 else g_np)
+        k, delta, _ = _gauge_measure(f_np, w_np if p == 0 else g_np, cfg)
         max_delta = float(np.max(np.abs(delta))) if len(delta) else 0.0
         fp = tuple((int(n), int(c)) for n, c in zip(fp_n, fp_cs))
-        g_new = _gauge_shift_np(init_np, f_np, w_np, k, tails_np)
+        g_new = _gauge_shift_np(init_np, f_np, w_np, k, tails_np, cfg)
         settled, resid = _decisions_settled(g_new, g_np)
         max_resid = max(max_delta, resid)
         k_stable = k_prev is not None and not np.any((k - k_prev) % 4)
@@ -695,32 +825,30 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
         local devices (when >1 and chunks divides evenly); or an explicit
         1-D jax.sharding.Mesh. N-device output is bit-identical to
         1-device output (tests/test_turbo_mesh.py).
-      converge: stopping criterion. "auto" picks "gauge" for QPSK and
-        "symbols" for OQPSK.
-        "gauge" (QPSK only): warmup acquisition per lane, one-shot quadrant
-        gauge resolution, then iterate until two consecutive passes emit
-        the identical sign-level decision stream — O(1) passes independent
-        of chunks (typically 2-3; see the module docstring). Needs
-        max_passes >= 2 to be able to report convergence.
+      converge: stopping criterion. "auto" picks "gauge".
+        "gauge" (the default): warmup acquisition per lane, one-shot gauge
+        resolution, then iterate until two consecutive passes emit the
+        identical sign-level decision stream — O(1) passes independent of
+        chunks (typically 2-3; see the module docstring). For OQPSK the
+        gauge group couples the quadrant with the half-symbol I/Q
+        labeling; assembly re-pairs the half-value stream globally
+        (_assemble_oqpsk_gauge). Needs max_passes >= 2 to be able to
+        report convergence.
         "bitwise": iterate until the boundary carries reach the exact
         fixpoint — result provably equals the sequential chaining of the
         same program, but exactness propagates only one chunk per pass, so
         worst case needs chunks+1 passes.
         "symbols": stop when two consecutive passes produce identical
-        int8-quantized output (the product's actual emission); the OQPSK
-        fallback (the OQPSK gauge group couples quadrant with half-symbol
-        slot parity — not resolved here). Needs max_passes >= 2.
+        int8-quantized output (the product's actual emission); O(chunks)
+        passes when lanes lock in different gauges. Needs max_passes >= 2.
       warmup_blocks: gauge-mode warmup length in blocks (default: enough
         samples for cold carrier lock, see default_warmup_blocks).
     """
     cfg.validate()
     if converge == "auto":
-        converge = "symbols" if cfg.oqpsk else "gauge"
+        converge = "gauge"
     if converge not in ("bitwise", "symbols", "gauge"):
         raise ValueError(f"converge {converge!r}")
-    if converge == "gauge" and cfg.oqpsk:
-        raise ValueError("gauge convergence requires QPSK; use 'auto' or "
-                         "'symbols' for OQPSK")
     if mesh == "auto":
         devs = jax.devices()
         mesh = (make_chunk_mesh(devs)
@@ -795,9 +923,11 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
             tails_dev = jnp.asarray(tails)
         w0_np = jax.tree_util.tree_map(
             np.array, batch_carry(cfg, chunks)._replace(fir_tail=wtails))
-        if max_passes >= 2 and not os.environ.get("METEOR_DEMOD_NO_FUSED"):
+        if max_passes >= 2 and not cfg.oqpsk \
+                and not os.environ.get("METEOR_DEMOD_NO_FUSED"):
             # Fused fast path: warmup + both passes + convergence detection
             # in one dispatch and one small egress (see _fused_gauge_fn).
+            # QPSK only so far; OQPSK gauge runs the per-pass loop below.
             f_np, outs, K, passes, converged, max_residual = fused_gauge_run(
                 cfg, chunks, kb, kb_w, backend, mesh, put_packed, w0_np,
                 wblocks, blocks, tails_dev, tails, max_passes)
@@ -872,6 +1002,27 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
     sym_im = np.asarray(o.sym_im)
     valid = np.asarray(o.valid).astype(bool)
     lonce = np.asarray(o.locked_once)
+
+    if K is not None and cfg.oqpsk:
+        # OQPSK gauge assembly: the sub-multiple tail continues in the LAST
+        # lane's gauge (carry untouched — rotating an odd-gauge carry would
+        # need grid-dependent surgery), then the whole half-value stream is
+        # re-paired globally (see _assemble_oqpsk_gauge).
+        tail_syms = None
+        if turbo_n < N:
+            from .pipeline import StreamDemodulator
+            tail_c = jax.tree_util.tree_map(lambda a: np.asarray(a[-1]),
+                                            f_np)
+            d = StreamDemodulator(cfg, backend=backend)
+            d._carry = jax.tree_util.tree_map(jnp.asarray, tail_c)
+            tail_syms = np.concatenate([d.process(f32_to_iq(xf[turbo_n:])),
+                                        d.finish()])
+        syms = _assemble_oqpsk_gauge(
+            sym_re, sym_im, np.asarray(o.valid), lonce, K,
+            np.asarray(f_np.slot), np.asarray(f_np.inphase),
+            np.asarray(f_np.locked_once), tail_syms)
+        return TurboResult(symbols=syms, converged=converged, passes=passes,
+                           max_residual=max_residual, gauges=K)
     parts = []
     for c in range(chunks):
         m = valid[:, c, :].reshape(-1)
@@ -911,4 +1062,4 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
         parts.append(d.finish())
 
     return TurboResult(symbols=np.concatenate(parts), converged=converged,
-                      passes=passes, max_residual=max_residual)
+                       passes=passes, max_residual=max_residual, gauges=K)

@@ -69,8 +69,9 @@ def test_turbo_sequential_tail_non_multiple_lengths():
 
 
 def test_turbo_oqpsk():
-    """OQPSK turbo: the dual-slot state machine's parity is part of the
-    carry, so the fixpoint handles it like any other loop state."""
+    """OQPSK turbo in 'symbols' mode: the dual-slot state machine's parity
+    is part of the carry, so the fixpoint handles it like any other loop
+    state (gauge mode has its own test below)."""
     cfg = DemodConfig(samplerate=240000, symrate=80000.0, oqpsk=True,
                       block_len=2048)
     chunks = 4
@@ -82,7 +83,8 @@ def test_turbo_oqpsk():
 
     d = StreamDemodulator(cfg)
     seq = np.concatenate([d.process(x), d.finish()])
-    res = demod_array_turbo(cfg, x, chunks=chunks, max_passes=chunks + 1)
+    res = demod_array_turbo(cfg, x, chunks=chunks, max_passes=chunks + 1,
+                            converge="symbols")
     assert res.converged
     assert len(res.symbols) == len(seq)
     skip = len(seq) // 4
@@ -260,13 +262,41 @@ def test_turbo_gauge_fused_continuation_resumes_loop():
     assert res.symbols["locked_once"][-1] == 1
 
 
-def test_turbo_gauge_rejects_oqpsk():
+def test_turbo_gauge_oqpsk():
+    """OQPSK gauge mode (the OQPSK default): the coupled quadrant x
+    half-symbol-labeling gauge group is resolved in O(1) passes, and
+    assembly re-pairs the global half-value stream with insert/drop
+    stitches at odd-parity boundaries (demod/turbo.py
+    _assemble_oqpsk_gauge). Decisions must match the sequential
+    demodulator exactly past acquisition, including through the
+    final-lane-gauge sequential tail."""
     cfg = DemodConfig(samplerate=240000, symrate=80000.0, oqpsk=True,
                       block_len=2048)
-    x = np.zeros(8 * cfg.block_len, np.complex64)
-    try:
-        demod_array_turbo(cfg, x, chunks=4, converge="gauge")
-    except ValueError as e:
-        assert "QPSK" in str(e)
-    else:
-        raise AssertionError("gauge + OQPSK must raise")
+    chunks, kb = 8, 16
+    n = chunks * kb * cfg.block_len
+    x, _ = synth_psk(int(n * cfg.symrate / cfg.samplerate) + 64,
+                     cfg.samplerate, symrate=cfg.symrate, oqpsk=True,
+                     carrier_hz=120.0, amplitude=6000.0, snr_db=18.0,
+                     seed=33)
+    x = x[:n + 5000]                      # exercise the odd-gauge tail path
+
+    res = demod_array_turbo(cfg, x, chunks=chunks, max_passes=4)
+    assert res.converged, res.max_residual
+    assert res.passes <= 3, res.passes    # O(1), NOT O(chunks)
+    assert not res.fell_back
+    # The whole point is resolving nontrivial gauges: this seed must
+    # produce at least one odd-parity (label-shifting) lane, or the
+    # re-pairing machinery went untested.
+    assert res.gauges is not None and np.any(np.asarray(res.gauges) % 2), \
+        res.gauges
+
+    d = StreamDemodulator(cfg)
+    seq = np.concatenate([d.process(x), d.finish()])
+    assert len(res.symbols) == len(seq)
+    skip = len(seq) // 8
+    np.testing.assert_array_equal(np.sign(res.symbols["re"][skip:]),
+                                  np.sign(seq["re"][skip:]))
+    np.testing.assert_array_equal(np.sign(res.symbols["im"][skip:]),
+                                  np.sign(seq["im"][skip:]))
+    np.testing.assert_array_equal(res.symbols["locked_once"][skip:],
+                                  seq["locked_once"][skip:])
