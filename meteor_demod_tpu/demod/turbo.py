@@ -582,14 +582,17 @@ def gauge_fixpoint(cfg, run, put_packed, blocks, w_np, tails_np, max_passes,
 # estimates, and the decision fingerprint criterion is unchanged).
 # ---------------------------------------------------------------------------
 
-def _lane_fp_block(outs, kblk, S):
+def _lane_fp_block(outs, kblk):
     """One block's contribution to the per-lane decision fingerprint.
 
     Identical math to _lane_fp_body evaluated incrementally: weights for
     block k are ((k*S + s) % 8191) + 1, and int32 wrapping addition is
     associative/commutative, so summing per-block contributions equals the
-    stacked-outs checksum bit for bit."""
+    stacked-outs checksum bit for bit. S is taken from the output itself:
+    OQPSK blocks emit steps_per_block + 1 rows (the completion pre-fire is
+    prepended, scan.py demod_block)."""
     v = outs.valid.astype(jnp.int32)               # (C, S)
+    S = v.shape[1]
     sr = jnp.where(outs.sym_re >= 0, 1, -1) * v
     si = jnp.where(outs.sym_im >= 0, 1, -1) * v
     lo = outs.locked_once.astype(jnp.int32)
@@ -598,27 +601,50 @@ def _lane_fp_block(outs, kblk, S):
     return jnp.sum(v, axis=1), cs
 
 
-def _gauge_measure_j(f, w):
-    """Traced _gauge_measure (without the cumulative K)."""
+def _gauge_measure_j(f, w, cfg=None):
+    """Traced _gauge_measure (without the cumulative K). Device float32
+    instead of the host's float64 bookkeeping; OQPSK parity cross-check
+    as in _gauge_measure."""
     diff = f.p_phase[:-1] - w.p_phase[1:]
     k = jnp.round(diff / _HALF_PI).astype(jnp.int32)
     delta = diff - k.astype(jnp.float32) * _HALF_PI
+    if cfg is not None and cfg.oqpsk:
+        nq = lambda c: (_TWO_PI - c.t_phase) / c.t_freq
+        h2 = np.float32(np.pi / float(cfg.timing_freq))
+        m = jnp.round((nq(f)[:-1] - nq(w)[1:]) / h2).astype(jnp.int32)
+        delta = jnp.where((k - m) % 2 == 0, delta, np.float32(np.pi))
     return k, delta
 
 
-def _gauge_shift_j(init, f, w, k, tails):
+def _gauge_shift_j(init, f, w, k, tails, cfg=None):
     """Traced _gauge_shift_np: next-pass entries in each lane's own gauge."""
     g = jax.tree_util.tree_map(
         lambda a0, a: jnp.concatenate([a0, a[:-1]], axis=0), init, f)
     rot = jnp.mod(g.p_phase[1:] - k.astype(jnp.float32) * _HALF_PI, _TWO_PI)
     pp = jnp.concatenate([g.p_phase[:1], rot])
     km = k % 4
-    tp_rest = jnp.where(km == 2, -g.t_prev[1:], g.t_prev[1:])
-    tp_rest = jnp.where(km % 2 == 1, w.t_prev[1:], tp_rest)
+    flip = km == 2
+    odd = km % 2 == 1
+    tp_rest = jnp.where(flip, -g.t_prev[1:], g.t_prev[1:])
+    tp_rest = jnp.where(odd, w.t_prev[1:], tp_rest)
     tp = jnp.concatenate([g.t_prev[:1], tp_rest])
-    return g._replace(p_phase=pp, t_prev=tp, fir_tail=tails,
-                      tick=jnp.zeros_like(g.tick),
-                      flags=jnp.zeros_like(g.flags))
+    g = g._replace(p_phase=pp, t_prev=tp, fir_tail=tails,
+                   tick=jnp.zeros_like(g.tick),
+                   flags=jnp.zeros_like(g.flags))
+    if cfg is not None and cfg.oqpsk:
+        # Odd quadrants shift the lane's I/Q labeling: every grid-dependent
+        # leaf comes from the lane's own warmup estimate (see
+        # _gauge_shift_np's docstring for the full argument).
+        ip_rest = jnp.where(flip, -g.inphase[1:], g.inphase[1:])
+        ip = jnp.concatenate([g.inphase[:1], ip_rest])
+        sub = lambda a, b: jnp.concatenate(
+            [a[:1], jnp.where(odd, b[1:], a[1:])], axis=0)
+        g = g._replace(
+            inphase=sub(ip, w.inphase),
+            slot=sub(g.slot, w.slot),
+            t_phase=sub(g.t_phase, w.t_phase),
+            p_phase=sub(g.p_phase, w.p_phase))
+    return g
 
 
 def _settled_j(g_new, g_prev):
@@ -653,7 +679,6 @@ def _fused_gauge_fn(cfg: DemodConfig, chunks: int, kb: int, kb_w: int,
     gauge anchor) and the device-resident outs2 serve the rare
     not-converged continuation and the final assembly. The exact initial
     state for lane 0 is baked in as a trace-time constant."""
-    S = cfg.steps_per_block
     n_dev = 1 if mesh is None else mesh.devices.size
     demod = make_batch_demod(cfg, chunks // n_dev, backend)
 
@@ -664,7 +689,7 @@ def _fused_gauge_fn(cfg: DemodConfig, chunks: int, kb: int, kb_w: int,
     def _pass_body(cc, x):
         c, kblk, fn, fcs = cc
         c2, outs = demod(c, x)
-        n, cs = _lane_fp_block(outs, kblk, S)
+        n, cs = _lane_fp_block(outs, kblk)
         return (c2, kblk + 1, fn + n, fcs + cs), outs
 
     def pass_fp(c, blocks):
@@ -703,12 +728,12 @@ def _fused_gauge_fn(cfg: DemodConfig, chunks: int, kb: int, kb_w: int,
                        flags=jnp.zeros_like(w.flags))
 
         f1, fp1 = pass_fp(w, blocks)
-        k1, _ = _gauge_measure_j(f1, w)
-        g2 = _gauge_shift_j(init, f1, w, k1, tails)
+        k1, _ = _gauge_measure_j(f1, w, cfg)
+        g2 = _gauge_shift_j(init, f1, w, k1, tails, cfg)
 
         f2, outs2, fp2 = pass_fp_outs(g2, blocks)
-        k2, delta2 = _gauge_measure_j(f2, g2)
-        g3 = _gauge_shift_j(init, f2, w, k2, tails)
+        k2, delta2 = _gauge_measure_j(f2, g2, cfg)
+        g3 = _gauge_shift_j(init, f2, w, k2, tails, cfg)
 
         settled, resid = _settled_j(g3, g2)
         fp_eq = jnp.logical_and(jnp.all(fp1[0] == fp2[0]),
@@ -923,11 +948,9 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
             tails_dev = jnp.asarray(tails)
         w0_np = jax.tree_util.tree_map(
             np.array, batch_carry(cfg, chunks)._replace(fir_tail=wtails))
-        if max_passes >= 2 and not cfg.oqpsk \
-                and not os.environ.get("METEOR_DEMOD_NO_FUSED"):
+        if max_passes >= 2 and not os.environ.get("METEOR_DEMOD_NO_FUSED"):
             # Fused fast path: warmup + both passes + convergence detection
             # in one dispatch and one small egress (see _fused_gauge_fn).
-            # QPSK only so far; OQPSK gauge runs the per-pass loop below.
             f_np, outs, K, passes, converged, max_residual = fused_gauge_run(
                 cfg, chunks, kb, kb_w, backend, mesh, put_packed, w0_np,
                 wblocks, blocks, tails_dev, tails, max_passes)

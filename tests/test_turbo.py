@@ -243,6 +243,39 @@ def test_turbo_gauge_fused_equals_loop(monkeypatch):
                                   loop.symbols["locked_once"])
 
 
+def test_turbo_gauge_fused_oqpsk_equals_loop(monkeypatch):
+    """The fused gauge program's OQPSK branch (device-side parity
+    cross-check and warmup-grid substitution) must reproduce the per-pass
+    host loop at the decision level, including identical gauges — the
+    assembly re-pairing consumes both identically."""
+    cfg = DemodConfig(samplerate=240000, symrate=80000.0, oqpsk=True,
+                      block_len=2048)
+    chunks, kb = 8, 16
+    n = chunks * kb * cfg.block_len
+    x, _ = synth_psk(int(n * cfg.symrate / cfg.samplerate) + 64,
+                     cfg.samplerate, symrate=cfg.symrate, oqpsk=True,
+                     carrier_hz=120.0, amplitude=6000.0, snr_db=18.0,
+                     seed=33)
+    x = x[:n]
+
+    fused = demod_array_turbo(cfg, x, chunks=chunks, max_passes=4)
+    monkeypatch.setenv("METEOR_DEMOD_NO_FUSED", "1")
+    loop = demod_array_turbo(cfg, x, chunks=chunks, max_passes=4)
+
+    assert fused.converged == loop.converged
+    assert fused.passes == loop.passes
+    np.testing.assert_array_equal(np.asarray(fused.gauges),
+                                  np.asarray(loop.gauges))
+    assert np.any(np.asarray(fused.gauges) % 2), fused.gauges
+    assert len(fused.symbols) == len(loop.symbols)
+    np.testing.assert_array_equal(np.sign(fused.symbols["re"]),
+                                  np.sign(loop.symbols["re"]))
+    np.testing.assert_array_equal(np.sign(fused.symbols["im"]),
+                                  np.sign(loop.symbols["im"]))
+    np.testing.assert_array_equal(fused.symbols["locked_once"],
+                                  loop.symbols["locked_once"])
+
+
 def test_turbo_gauge_fused_continuation_resumes_loop():
     """When the fused program's two passes do not converge and budget
     remains, fused_gauge_run must hand the pass-3 entries to the per-pass
