@@ -63,7 +63,8 @@ def log(msg):
 
 def _make_signal(cfg, n_samples, seed=0):
     nsym = int(n_samples * cfg.symrate / cfg.samplerate) + 64
-    x, _ = synth_psk(nsym, cfg.samplerate, carrier_hz=400.0,
+    x, _ = synth_psk(nsym, cfg.samplerate, symrate=cfg.symrate,
+                     oqpsk=cfg.oqpsk, carrier_hz=400.0,
                      amplitude=6000.0, snr_db=18.0, seed=seed)
     return x[:n_samples]
 
@@ -140,7 +141,7 @@ def _bench(cfg, batch, seconds):
     return sps
 
 
-def _bench_turbo(cfg, chunks=FLEET_BATCH, kb=128, max_passes=4):
+def _bench_turbo(cfg, chunks=FLEET_BATCH, kb=128, max_passes=4, seed=3):
     """ONE recording of chunks*kb*block_len samples (the default geometry
     is 134 Msamples, a representative ~10-minute 230.4 ksps LRPT pass),
     demodulated with the FUSED gauge fixpoint (demod/turbo.py
@@ -154,6 +155,16 @@ def _bench_turbo(cfg, chunks=FLEET_BATCH, kb=128, max_passes=4):
 
     L = cfg.block_len
     taps = cfg.taps
+    # The recording is ONE chunk tiled across the lanes (synth cost stays
+    # bounded). The tiling is only physically coherent if the chunk holds
+    # an integer number of symbols — otherwise every seam jumps the symbol
+    # clock by a fraction of a symbol (e.g. 128*8192 samples at 80 ksym/s /
+    # 230.4 ksps is 34133.33 symbols). Snap kb down to the nearest
+    # symbol-periodic chunk length (QPSK 72k: every kb; OQPSK 80k: kb % 9).
+    from fractions import Fraction
+    fr = Fraction(float(cfg.symrate) / float(cfg.samplerate))
+    step = (L * fr.limit_denominator(4096)).denominator
+    kb = max(step, kb // step * step)
     n_samples = chunks * kb * L
     kb_w = min(default_warmup_blocks(L, kb), kb)
 
@@ -165,8 +176,9 @@ def _bench_turbo(cfg, chunks=FLEET_BATCH, kb=128, max_passes=4):
     carrier = round(400.0 * chunk_len / cfg.samplerate) \
         * cfg.samplerate / chunk_len
     nsym = int(chunk_len * cfg.symrate / cfg.samplerate) + 64
-    x, _ = synth_psk(nsym, cfg.samplerate, carrier_hz=carrier,
-                     amplitude=6000.0, snr_db=18.0, seed=3)
+    x, _ = synth_psk(nsym, cfg.samplerate, symrate=cfg.symrate,
+                     oqpsk=cfg.oqpsk, carrier_hz=carrier,
+                     amplitude=6000.0, snr_db=18.0, seed=seed)
     xf = iq_to_f32(x[:chunk_len])                             # (kb*L, 2)
     # Upload the 1-chunk signal once (a few MB over the slow host link),
     # broadcast across the chunk lanes ON DEVICE (~270 MB HBM at the
@@ -236,6 +248,13 @@ def main():
     hifi_sps = maybe("hifi-fleet", lambda: _bench(
         DemodConfig(samplerate=SAMPLERATE, rrc_order=64, interp=10,
                     block_len=BLOCK_LEN), FLEET_BATCH, 2.0))
+    # OQPSK single recording through the fused gauge fixpoint (the OQPSK
+    # gauge couples the PLL quadrant with the half-symbol timing slot —
+    # demod/turbo.py _gauge_measure/_gauge_shift_np). Last: least critical
+    # field if the erratic remote compile eats the budget.
+    turbo_oq = maybe("turbo-oqpsk", lambda: _bench_turbo(
+        DemodConfig(samplerate=SAMPLERATE, symrate=80000.0, oqpsk=True,
+                    block_len=BLOCK_LEN), seed=5))
 
     value = fleet_sps / 1e6
     turbo_sps, turbo_passes, turbo_conv = turbo if turbo else (None, None, None)
@@ -256,6 +275,9 @@ def main():
             round(turbo_sps / REALTIME_SPS, 1) if turbo_sps else None,
         "turbo_passes": turbo_passes,
         "turbo_converged": turbo_conv,
+        "turbo_oqpsk_single_recording_msamples_per_s":
+            round(turbo_oq[0] / 1e6, 1) if turbo_oq else None,
+        "turbo_oqpsk_passes": turbo_oq[1] if turbo_oq else None,
         "oqpsk_fleet_msamples_per_s":
             round(oqpsk_sps / 1e6, 2) if oqpsk_sps else None,
         "hifi_o64_x10_fleet_msamples_per_s":

@@ -45,7 +45,19 @@ def synth_psk(num_symbols: int,
             decim = int(round(d))
             break
     if R is None:
-        R, decim = 64, max(1, int(round(64 * symrate / samplerate)))
+        # Exact rational grid for arbitrary ratios: decim/R must equal
+        # symrate/samplerate EXACTLY — rounding it (the old fallback)
+        # synthesizes a signal whose true baud is off by up to ~1%, far
+        # beyond the demod's 2^-12 M&M clamp, producing marginal
+        # pseudo-locks instead of a clean signal (e.g. 230400/80000 needs
+        # R = 72k, not any small candidate).
+        from fractions import Fraction
+        fr = Fraction(float(symrate) / float(samplerate))
+        fr = fr.limit_denominator(4096)
+        k = max(1, -(-16 // fr.denominator))     # fine grid >= 16 samp/sym
+        if fr.denominator * k % 2:
+            k *= 2                               # R even: exact R//2 Q delay
+        R, decim = k * fr.denominator, k * fr.numerator
 
     up_i = np.zeros(num_symbols * R)
     up_q = np.zeros(num_symbols * R)

@@ -333,3 +333,39 @@ def test_turbo_gauge_oqpsk():
                                   np.sign(seq["im"][skip:]))
     np.testing.assert_array_equal(res.symbols["locked_once"][skip:],
                                   seq["locked_once"][skip:])
+
+
+def test_turbo_gauge_oqpsk_fractional_ratio():
+    """OQPSK gauge mode at the production LRPT ratio 230.4 ksps / 80 ksym/s
+    (2.88 samples/symbol — NOT an integer). Regression: sim.synth_psk's old
+    fallback grid rounded this ratio to an effective 79.2 kbaud — a 1%
+    symbol-clock error, 40x the demod's M&M clamp — so every acquisition
+    landed in a different marginal pseudo-lock and the gauge fixpoint
+    (correctly) never converged. With the exact rational synth grid the
+    coupled quadrant/half-symbol gauge group must resolve in O(1) passes
+    and match the sequential demodulator exactly."""
+    cfg = DemodConfig(samplerate=230400, symrate=80000.0, oqpsk=True,
+                      block_len=2048)
+    chunks, kb = 4, 45            # chunk long enough to mature the warmup
+                                  # freq integrator (default_warmup_blocks)
+    n = chunks * kb * cfg.block_len
+    x, _ = synth_psk(int(n * cfg.symrate / cfg.samplerate) + 64,
+                     cfg.samplerate, symrate=cfg.symrate, oqpsk=True,
+                     carrier_hz=400.0, amplitude=6000.0, snr_db=18.0,
+                     seed=5)
+    x = x[:n]
+
+    res = demod_array_turbo(cfg, x, chunks=chunks, max_passes=4)
+    assert res.converged, res.max_residual
+    assert res.passes <= 3, res.passes
+
+    d = StreamDemodulator(cfg)
+    seq = np.concatenate([d.process(x), d.finish()])
+    assert len(res.symbols) == len(seq)
+    skip = len(seq) // 8
+    np.testing.assert_array_equal(np.sign(res.symbols["re"][skip:]),
+                                  np.sign(seq["re"][skip:]))
+    np.testing.assert_array_equal(np.sign(res.symbols["im"][skip:]),
+                                  np.sign(seq["im"][skip:]))
+    np.testing.assert_array_equal(res.symbols["locked_once"][skip:],
+                                  seq["locked_once"][skip:])
