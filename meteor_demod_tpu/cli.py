@@ -360,7 +360,8 @@ def _run_turbo(opts: Options, cfg: DemodConfig, samples_file, soft_file,
     if not opts.quiet:
         print(f"Turbo: {len(x)} samples across {opts.turbo_chunks} lanes",
               file=sys.stderr if opts.stdout_mode else sys.stdout)
-    res = demod_array_turbo(cfg, x, chunks=opts.turbo_chunks, mesh="auto")
+    res = demod_array_turbo(cfg, x, chunks=opts.turbo_chunks, mesh="auto",
+                            strict=True)
     w = SymbolWriter(soft_file)
     w.feed(quantize_symbols(res.symbols), res.symbols["locked_once"])
     w.flush_partial()

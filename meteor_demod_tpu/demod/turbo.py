@@ -836,7 +836,8 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
                       backend: str = "auto",
                       mesh=None,
                       converge: str = "auto",
-                      warmup_blocks: int | None = None) -> TurboResult:
+                      warmup_blocks: int | None = None,
+                      strict: bool = False) -> TurboResult:
     """Demodulate a full recording with chunk-parallel fixpoint iteration.
 
     Args:
@@ -868,6 +869,12 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
         passes when lanes lock in different gauges. Needs max_passes >= 2.
       warmup_blocks: gauge-mode warmup length in blocks (default: enough
         samples for cold carrier lock, see default_warmup_blocks).
+      strict: if True, a non-converged fixpoint falls back to the exact
+        sequential demodulation instead of returning the best-effort
+        assembly — the reference's always-exact contract
+        (/root/reference/demod.c per-sample path). The CLI -T path sets
+        this; library callers who prefer speed can inspect `converged`
+        themselves.
     """
     cfg.validate()
     if converge == "auto":
@@ -1016,6 +1023,11 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
     # affected stream positions — redo the whole recording sequentially (the
     # sequential driver routes flagged blocks to the exact scalar oracle).
     if int(np.asarray(f_np.flags).sum()) != 0:
+        return _sequential(tag_converged=False)
+
+    # Strict contract: a non-converged fixpoint may carry decision-level
+    # errors near chunk boundaries — redo exactly rather than emit them.
+    if strict and not converged:
         return _sequential(tag_converged=False)
 
     # Assemble symbols in stream order from the final pass; in gauge mode

@@ -369,3 +369,24 @@ def test_turbo_gauge_oqpsk_fractional_ratio():
                                   np.sign(seq["im"][skip:]))
     np.testing.assert_array_equal(res.symbols["locked_once"][skip:],
                                   seq["locked_once"][skip:])
+
+
+def test_turbo_strict_falls_back_when_not_converged():
+    """strict=True (the CLI -T contract): a fixpoint that cannot report
+    convergence (max_passes=1 in gauge mode) must fall back to the exact
+    sequential demodulation instead of emitting the best-effort assembly."""
+    cfg = DemodConfig(samplerate=230400, block_len=2048)
+    chunks = 4
+    n = chunks * 4 * cfg.block_len
+    x, _ = synth_psk(int(n * cfg.symrate / cfg.samplerate) + 64,
+                     cfg.samplerate, carrier_hz=150.0, amplitude=6000.0,
+                     snr_db=22.0, seed=21)
+    x = x[:n]
+
+    res = demod_array_turbo(cfg, x, chunks=chunks, max_passes=1, strict=True)
+    assert res.fell_back and not res.converged
+
+    d = StreamDemodulator(cfg)
+    seq = np.concatenate([d.process(x), d.finish()])
+    np.testing.assert_array_equal(res.symbols["re"], seq["re"])
+    np.testing.assert_array_equal(res.symbols["im"], seq["im"])
