@@ -237,6 +237,14 @@ def main():
     dev = jax.devices()[0]
     cfg = DemodConfig(samplerate=SAMPLERATE, block_len=BLOCK_LEN)
 
+    # The first actual device op pays the tunnel's chip-claim handshake
+    # (measured 3-4 MINUTES on this relay, independent of program size —
+    # compile of the cached fleet program is ~1 s, its dispatch ~0.2 s).
+    # Pay it here so per-config timings below are honest.
+    t0 = time.time()
+    _ = int(np.sum(egress(jnp.zeros(8, jnp.int32))))
+    log(f"device claim + first transfer: {time.time()-t0:.1f}s")
+
     def maybe(name, thunk):
         """Run a section; report None on failure without sinking the rest
         (the remote compile service is erratic)."""
