@@ -671,14 +671,14 @@ def _fused_gauge_fn(cfg: DemodConfig, chunks: int, kb: int, kb_w: int,
                     backend: str, mesh=None, axis_name: str = "chunks"):
     """Jitted fused gauge turbo (see the section comment above).
 
-    (pw0, wblocks, blocks, tails) -> (small_vec, g3_pc, w_pc, outs2, fp2)
+    (pw0, wblocks, blocks, tails) -> (small_vec, g3_pc, w_pc, outs2)
     where small_vec is ONE flat f32 vector carrying the pass-2 exit carry,
     per-boundary quadrants k2, fingerprints and convergence stats (int
     payloads bitcast, not value-cast — see _unpack_small) so the happy path
     costs a single host round-trip; g3_pc / w_pc (next-pass entries and the
-    gauge anchor) and the device-resident outs2 serve the rare
-    not-converged continuation and the final assembly. The exact initial
-    state for lane 0 is baked in as a trace-time constant."""
+    gauge anchor) serve the rare not-converged continuation and the
+    device-resident outs2 the final assembly. The exact initial state for
+    lane 0 is baked in as a trace-time constant."""
     n_dev = 1 if mesh is None else mesh.devices.size
     demod = make_batch_demod(cfg, chunks // n_dev, backend)
 
@@ -749,7 +749,7 @@ def _fused_gauge_fn(cfg: DemodConfig, chunks: int, kb: int, kb_w: int,
             fl.reshape(-1), _bc_f32(il).reshape(-1), tail.reshape(-1),
             _bc_f32(k2), _bc_f32(fp2[0]), _bc_f32(fp2[1]), _bc_f32(sti),
             jnp.stack([maxd, resid])])
-        return small, _pack_j(g3), _pack_j(w), outs2, fp2
+        return small, _pack_j(g3), _pack_j(w), outs2
 
     return jax.jit(fused)
 
@@ -791,7 +791,7 @@ def fused_gauge_run(cfg, chunks, kb, kb_w, backend, mesh, put_packed,
     fused = _fused_gauge_fn(cfg, chunks, kb, kb_w, backend, mesh)
     if pw0_dev is None:
         pw0_dev = put_packed(pack_carry_np(w0_np))
-    small, g3_pc, w_pc, outs2, _ = fused(pw0_dev, wblocks, blocks, tails_dev)
+    small, g3_pc, w_pc, outs2 = fused(pw0_dev, wblocks, blocks, tails_dev)
     f2, k2, fp2, stats = _unpack_small(cfg, chunks, egress(small))
     max_resid = max(stats["max_delta"], stats["resid"])
     if stats["converged"] or max_passes <= 2:
@@ -955,7 +955,9 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
             tails_dev = jnp.asarray(tails)
         w0_np = jax.tree_util.tree_map(
             np.array, batch_carry(cfg, chunks)._replace(fir_tail=wtails))
-        if max_passes >= 2 and not os.environ.get("METEOR_DEMOD_NO_FUSED"):
+        no_fused = os.environ.get("METEOR_DEMOD_NO_FUSED", "").lower() \
+            not in ("", "0", "false", "no")
+        if max_passes >= 2 and not no_fused:
             # Fused fast path: warmup + both passes + convergence detection
             # in one dispatch and one small egress (see _fused_gauge_fn).
             f_np, outs, K, passes, converged, max_residual = fused_gauge_run(
@@ -1053,7 +1055,7 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
             tail_syms = np.concatenate([d.process(f32_to_iq(xf[turbo_n:])),
                                         d.finish()])
         syms = _assemble_oqpsk_gauge(
-            sym_re, sym_im, np.asarray(o.valid), lonce, K,
+            sym_re, sym_im, valid, lonce, K,
             np.asarray(f_np.slot), np.asarray(f_np.inphase),
             np.asarray(f_np.locked_once), tail_syms)
         return TurboResult(symbols=syms, converged=converged, passes=passes,

@@ -69,6 +69,12 @@ def main() -> None:
     cfg = make_cfg(args.config, args.block)
     B, chain = args.batch, args.chain
     if args.group is not None:
+        # --group tunes the Pallas kernel's step grouping — it has no
+        # meaning for the scan backend, so require the TPU rather than
+        # crash inside a CPU pallas_call.
+        if jax.devices()[0].platform != "tpu":
+            raise SystemExit("--group requires the TPU (Pallas kernel); "
+                             "run without --group for the CPU scan backend")
         from meteor_demod_tpu.kernels.block_demod import \
             make_pallas_batch_demod
         demod = make_pallas_batch_demod(cfg, B, group=args.group)

@@ -45,7 +45,7 @@ def test_mesh_turbo_equals_single_device(recording):
 
 
 def test_mesh_turbo_oqpsk_gauge_equals_single_device():
-    """The OQPSK gauge path (per-pass loop over _chunk_fn_packed + global
+    """The OQPSK fused gauge path (one-dispatch fixpoint + global
     half-value re-pairing) sharded over 8 devices must match 1 device at
     the DECISION level: same symbol count, gauges, signs and lock
     telemetry. Bitwise float equality across the two program shapes is not
@@ -55,7 +55,9 @@ def test_mesh_turbo_oqpsk_gauge_equals_single_device():
     difference then drifts one lane's soft values within loop noise (the
     same tolerance gauge convergence itself is defined by). The bitwise
     sharding claim is covered by test_mesh_turbo_equals_single_device,
-    whose fused program is shape-identical per lane."""
+    whose fused program is shape-identical per lane; the mesh-sharded
+    PER-PASS loop (the continuation path after a non-converged fused run)
+    is covered by test_mesh_turbo_loop_equals_single_device below."""
     cfg = DemodConfig(samplerate=240000, symrate=80000.0, oqpsk=True,
                       block_len=2048)
     chunks, kb = 8, 16
@@ -94,3 +96,39 @@ def test_mesh_turbo_auto_and_validation(recording):
     # ... and an explicit mesh that does not divide the chunks is rejected.
     with pytest.raises(ValueError):
         demod_array_turbo(cfg, x, chunks=6, mesh=make_chunk_mesh())
+
+
+def test_mesh_turbo_loop_equals_single_device(monkeypatch):
+    """The mesh-sharded PER-PASS gauge loop (gauge_fixpoint over
+    _chunk_fn_packed with shard_map — the production continuation path
+    when the fused 2-pass program does not converge) against 1 device.
+    Decision-level contract, like the OQPSK test above: the per-device
+    batch width differs (1 vs 8 lanes), so XLA:CPU vector-width rounding
+    makes bitwise equality across the two program shapes the wrong claim;
+    both must converge in O(1) passes with identical gauges and signs.
+    Needs chunks long enough for the warmup to lock (unlike the tiny
+    shared `recording` fixture, whose 2-block chunks leave gauge mode to
+    the bitwise O(chunks) propagation)."""
+    cfg = DemodConfig(samplerate=230400, block_len=2048)
+    chunks, kb = 8, 16
+    n = chunks * kb * cfg.block_len
+    x, _ = synth_psk(int(n * cfg.symrate / cfg.samplerate) + 64,
+                     cfg.samplerate, carrier_hz=180.0, amplitude=6000.0,
+                     snr_db=18.0, seed=52)
+    x = x[:n]
+    monkeypatch.setenv("METEOR_DEMOD_NO_FUSED", "1")
+
+    single = demod_array_turbo(cfg, x, chunks=chunks, max_passes=4)
+    meshed = demod_array_turbo(cfg, x, chunks=chunks, max_passes=4,
+                               mesh=make_chunk_mesh())
+    assert single.converged and meshed.converged
+    assert single.passes <= 3 and meshed.passes <= 3
+    np.testing.assert_array_equal(np.asarray(meshed.gauges),
+                                  np.asarray(single.gauges))
+    assert len(meshed.symbols) == len(single.symbols)
+    np.testing.assert_array_equal(np.sign(meshed.symbols["re"]),
+                                  np.sign(single.symbols["re"]))
+    np.testing.assert_array_equal(np.sign(meshed.symbols["im"]),
+                                  np.sign(single.symbols["im"]))
+    np.testing.assert_array_equal(meshed.symbols["locked_once"],
+                                  single.symbols["locked_once"])
