@@ -390,3 +390,28 @@ def test_turbo_strict_falls_back_when_not_converged():
     seq = np.concatenate([d.process(x), d.finish()])
     np.testing.assert_array_equal(res.symbols["re"], seq["re"])
     np.testing.assert_array_equal(res.symbols["im"], seq["im"])
+
+
+def test_turbo_noise_only_input():
+    """Pure AWGN (no signal): the PLL never locks, warmup estimates are
+    meaningless, and the gauge fixpoint must either converge on the
+    (empty, nothing-emitted-before-lock) decision stream or report
+    non-convergence — never crash or emit symbols. With strict=True the
+    result must match the sequential demodulator exactly either way."""
+    cfg = DemodConfig(samplerate=230400, block_len=2048)
+    rng = np.random.default_rng(7)
+    n = 4 * 8 * cfg.block_len
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) \
+        .astype(np.complex64) * 900.0
+
+    res = demod_array_turbo(cfg, x, chunks=4, max_passes=4, strict=True)
+    d = StreamDemodulator(cfg)
+    seq = np.concatenate([d.process(x), d.finish()])
+    # process() reports every fire with lock telemetry (the writer gates
+    # emission on locked_once): noise alone must never claim a lock, so
+    # the CLI would write NOTHING for this input.
+    assert not seq["locked_once"].any()
+    assert not res.symbols["locked_once"].any()
+    if res.fell_back:
+        np.testing.assert_array_equal(res.symbols["re"], seq["re"])
+        np.testing.assert_array_equal(res.symbols["im"], seq["im"])
