@@ -56,7 +56,8 @@ Advanced options:
 
 TPU extensions (not in the reference):
    -T, --turbo <chunks>    Offline chunk-parallel demodulation of the whole
-                           file across <chunks> batch lanes (file input only)
+                           file across <chunks> batch lanes (file input
+                           only; 0 picks the chunk count automatically)
 """
 
 
@@ -95,7 +96,7 @@ class Options:
         self.stdout_mode = False
         self.output_fname = None
         self.input_path = None
-        self.turbo_chunks = 0
+        self.turbo_chunks: int | None = None     # None = off, 0 = auto
 
 
 def parse_args(argv: list[str]) -> Options | int:
@@ -294,7 +295,7 @@ def main(argv: list[str] | None = None) -> int:
         sys.stderr.write(f"Invalid configuration: {e}\n")
         return 1
 
-    if opts.turbo_chunks > 0:
+    if opts.turbo_chunks is not None:
         if is_stdin:
             sys.stderr.write("--turbo requires a file input\n")
             return 1
@@ -357,10 +358,19 @@ def _run_turbo(opts: Options, cfg: DemodConfig, samples_file, soft_file,
 
     raw = samples_file.read()
     x = decode_iq(raw, bps)
+    chunks = opts.turbo_chunks
+    if chunks == 0:
+        # Auto: fill the batch lanes (128/device, the kernel's saturation
+        # point — docs/PERF.md) but keep chunks long enough for the gauge
+        # warmup to mature (~32 blocks; default_warmup_blocks targets
+        # 65536 samples). Short recordings get fewer, longer chunks.
+        import jax
+        chunks = int(np.clip(len(x) // (32 * cfg.block_len),
+                             1, 128 * len(jax.devices())))
     if not opts.quiet:
-        print(f"Turbo: {len(x)} samples across {opts.turbo_chunks} lanes",
+        print(f"Turbo: {len(x)} samples across {chunks} lanes",
               file=sys.stderr if opts.stdout_mode else sys.stdout)
-    res = demod_array_turbo(cfg, x, chunks=opts.turbo_chunks, mesh="auto",
+    res = demod_array_turbo(cfg, x, chunks=chunks, mesh="auto",
                             strict=True)
     w = SymbolWriter(soft_file)
     w.feed(quantize_symbols(res.symbols), res.symbols["locked_once"])

@@ -231,6 +231,18 @@ def test_cli_turbo_flag(tmp_path):
     syms = np.fromfile(out, dtype=np.int8)
     assert len(syms) > 2000
     assert parse_args(["md", "-T", "8", "x"]).turbo_chunks == 8
+    # -T 0 = auto chunk count; no -T = turbo off.
+    assert parse_args(["md", "-T", "0", "x"]).turbo_chunks == 0
+    assert parse_args(["md", "x"]).turbo_chunks is None
+
+    out0 = str(tmp_path / "t0.s")
+    proc = subprocess.run(
+        [sys.executable, "-m", "meteor_demod_tpu", "-B", "-q",
+         "-T", "0", "-o", out0, wav],
+        capture_output=True, timeout=300, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr.decode()[-400:]
+    assert len(np.fromfile(out0, dtype=np.int8)) > 2000
 
 
 def test_checkpoint_mid_flight_preserves_symbols(tmp_path):
