@@ -12,7 +12,7 @@ configs[4]), the production serving shape. Extra fields:
     warmup + one-shot quadrant resolution, O(1) passes) — the BASELINE
     north-star workload (>=100x real-time for one 230 ksps recording,
     i.e. the job of /root/reference/main.c:284-329). Only the tiny carry
-    and two (C,) fingerprint vectors cross the host link per pass.
+    and three (C,) fingerprint vectors cross the host link per pass.
   - oqpsk_fleet / hifi fleet stress configs (configs[1]/[3]).
 
 Methodology: the block demodulator is chained CHAIN blocks per dispatch

@@ -57,7 +57,11 @@ Advanced options:
 TPU extensions (not in the reference):
    -T, --turbo <chunks>    Offline chunk-parallel demodulation of the whole
                            file across <chunks> batch lanes (file input
-                           only; 0 picks the chunk count automatically)
+                           only; 0 picks the chunk count automatically).
+                           Decision-exact when the fixpoint converges; a
+                           non-converged run resumes the exact sequential
+                           path from the last verified chunk boundary
+                           (worst case: the whole file sequentially)
 """
 
 
@@ -363,10 +367,15 @@ def _run_turbo(opts: Options, cfg: DemodConfig, samples_file, soft_file,
         # Auto: fill the batch lanes (128/device, the kernel's saturation
         # point — docs/PERF.md) but keep chunks long enough for the gauge
         # warmup to mature (~32 blocks; default_warmup_blocks targets
-        # 65536 samples). Short recordings get fewer, longer chunks.
+        # 65536 samples). Short recordings get fewer, longer chunks. The
+        # count snaps down to a multiple of the device count so mesh="auto"
+        # engages on multi-device hosts for mid-size recordings too.
         import jax
+        n_dev = len(jax.devices())
         chunks = int(np.clip(len(x) // (32 * cfg.block_len),
-                             1, 128 * len(jax.devices())))
+                             1, 128 * n_dev))
+        if chunks >= n_dev:
+            chunks -= chunks % n_dev
     if not opts.quiet:
         print(f"Turbo: {len(x)} samples across {chunks} lanes",
               file=sys.stderr if opts.stdout_mode else sys.stdout)

@@ -144,21 +144,26 @@ def _lane_fp_body(outs):
     """Per-lane decision fingerprint of a BlockOutput (traceable body).
 
     Folds the sign bits (the decoded hard decisions), the valid pattern and
-    the locked_once telemetry with positional weights into one wrapping
-    int32 checksum per chunk lane, plus the per-lane valid count. Two
-    passes with equal fingerprints emitted identical decision streams up to
-    hash collision. Signs, not int8 levels: quantization LSBs keep
-    twitching at loop-noise amplitude long after the decisions are stable.
+    the locked_once telemetry with positional weights into TWO wrapping
+    int32 checksums per chunk lane (independent weight moduli and
+    coefficient sets — a collision must fool both, making the probability
+    of a silently suppressed mismatch ~2^-64-scale), plus the per-lane
+    valid count. Two passes with equal fingerprints emitted identical
+    decision streams up to that collision bound. Signs, not int8 levels:
+    quantization LSBs keep twitching at loop-noise amplitude long after
+    the decisions are stable.
     """
     v = outs.valid.astype(jnp.int32)              # (kb, C, S)
     sr = jnp.where(outs.sym_re >= 0, 1, -1) * v
     si = jnp.where(outs.sym_im >= 0, 1, -1) * v
     lo = outs.locked_once.astype(jnp.int32)
     kb, _, S = v.shape
-    w = (jnp.arange(kb * S, dtype=jnp.int32).reshape(kb, 1, S)
-         % 8191) + 1
+    idx = jnp.arange(kb * S, dtype=jnp.int32).reshape(kb, 1, S)
+    w = idx % 8191 + 1
     cs = jnp.sum(w * (7 * v + 3 * sr + 5 * si + 11 * lo), axis=(0, 2))
-    return jnp.sum(v, axis=(0, 2)), cs
+    w2 = idx % 8087 + 1
+    cs2 = jnp.sum(w2 * (13 * v + 17 * sr + 19 * si + 23 * lo), axis=(0, 2))
+    return jnp.sum(v, axis=(0, 2)), cs, cs2
 
 
 # Packed carry layout for the gauge fixpoint's per-pass host round-trips:
@@ -235,7 +240,7 @@ def _chunk_fn_packed(cfg: DemodConfig, chunks: int, kb: int, backend: str,
         out_specs=((lane, lane, P(axis_name)),
                    BlockOutput(sym_re=lane, sym_im=lane, valid=lane,
                                locked_once=lane),
-                   (P(axis_name), P(axis_name))),
+                   (P(axis_name),) * 3),
         check_vma=False)
     return jax.jit(sharded)
 
@@ -509,8 +514,8 @@ def gauge_fixpoint(cfg, run, put_packed, blocks, w_np, tails_np, max_passes,
     w_np: numpy warmup carry (lane 0 already replaced by the exact initial
     state, fir_tail/tick/flags already reset) — the per-lane gauge anchor.
     blocks stays wherever the caller put it (device-resident is fine); per
-    pass the host link carries one dispatch and one five-array egress (the
-    packed carry + the two fingerprint vectors).
+    pass the host link carries one dispatch and one six-array egress (the
+    packed carry + the three fingerprint vectors).
 
     Convergence (all of, see the tolerance constants above): decision
     fingerprints identical to the previous pass, quadrant assignment stable
@@ -541,7 +546,7 @@ def gauge_fixpoint(cfg, run, put_packed, blocks, w_np, tails_np, max_passes,
         k = k_prev
     for p in range(passes, max_passes):
         pf, outs, fpv = run(put_packed(pack_carry_np(g_np)), blocks)
-        (fl, il, tail), (fp_n, fp_cs) = egress((pf, fpv))
+        (fl, il, tail), fp_vecs = egress((pf, fpv))
         f_np = unpack_carry_np(fl, il, tail)
         passes += 1
         # Gauge anchor: pass 1 measures against the warmup states (their
@@ -554,7 +559,7 @@ def gauge_fixpoint(cfg, run, put_packed, blocks, w_np, tails_np, max_passes,
         # drift, and a pass-1 quadrant mistake shows up as k changing.
         k, delta, _ = _gauge_measure(f_np, w_np if p == 0 else g_np, cfg)
         max_delta = float(np.max(np.abs(delta))) if len(delta) else 0.0
-        fp = tuple((int(n), int(c)) for n, c in zip(fp_n, fp_cs))
+        fp = tuple(tuple(int(x) for x in t) for t in zip(*fp_vecs))
         g_new = _gauge_shift_np(init_np, f_np, w_np, k, tails_np, cfg)
         settled, resid = _decisions_settled(g_new, g_np)
         max_resid = max(max_delta, resid)
@@ -586,9 +591,9 @@ def _lane_fp_block(outs, kblk):
     """One block's contribution to the per-lane decision fingerprint.
 
     Identical math to _lane_fp_body evaluated incrementally: weights for
-    block k are ((k*S + s) % 8191) + 1, and int32 wrapping addition is
+    block k are ((k*S + s) % modulus) + 1, and int32 wrapping addition is
     associative/commutative, so summing per-block contributions equals the
-    stacked-outs checksum bit for bit. S is taken from the output itself:
+    stacked-outs checksums bit for bit. S is taken from the output itself:
     OQPSK blocks emit steps_per_block + 1 rows (the completion pre-fire is
     prepended, scan.py demod_block)."""
     v = outs.valid.astype(jnp.int32)               # (C, S)
@@ -596,9 +601,12 @@ def _lane_fp_block(outs, kblk):
     sr = jnp.where(outs.sym_re >= 0, 1, -1) * v
     si = jnp.where(outs.sym_im >= 0, 1, -1) * v
     lo = outs.locked_once.astype(jnp.int32)
-    w = (jnp.arange(S, dtype=jnp.int32)[None, :] + kblk * S) % 8191 + 1
+    idx = jnp.arange(S, dtype=jnp.int32)[None, :] + kblk * S
+    w = idx % 8191 + 1
     cs = jnp.sum(w * (7 * v + 3 * sr + 5 * si + 11 * lo), axis=1)
-    return jnp.sum(v, axis=1), cs
+    w2 = idx % 8087 + 1
+    cs2 = jnp.sum(w2 * (13 * v + 17 * sr + 19 * si + 23 * lo), axis=1)
+    return jnp.sum(v, axis=1), cs, cs2
 
 
 def _gauge_measure_j(f, w, cfg=None):
@@ -687,23 +695,23 @@ def _fused_gauge_fn(cfg: DemodConfig, chunks: int, kb: int, kb_w: int,
         return c2
 
     def _pass_body(cc, x):
-        c, kblk, fn, fcs = cc
+        c, kblk, fn, fcs, fcs2 = cc
         c2, outs = demod(c, x)
-        n, cs = _lane_fp_block(outs, kblk)
-        return (c2, kblk + 1, fn + n, fcs + cs), outs
+        n, cs, cs2 = _lane_fp_block(outs, kblk)
+        return (c2, kblk + 1, fn + n, fcs + cs, fcs2 + cs2), outs
 
     def pass_fp(c, blocks):
         z = jnp.zeros(c.p_phase.shape[0], jnp.int32)
-        (c2, _, fn, fcs), _ = jax.lax.scan(
+        (c2, _, fn, fcs, fcs2), _ = jax.lax.scan(
             lambda cc, x: (_pass_body(cc, x)[0], None),
-            (c, jnp.int32(0), z, z), blocks)
-        return c2, (fn, fcs)
+            (c, jnp.int32(0), z, z, z), blocks)
+        return c2, (fn, fcs, fcs2)
 
     def pass_fp_outs(c, blocks):
         z = jnp.zeros(c.p_phase.shape[0], jnp.int32)
-        (c2, _, fn, fcs), outs = jax.lax.scan(
-            _pass_body, (c, jnp.int32(0), z, z), blocks)
-        return c2, outs, (fn, fcs)
+        (c2, _, fn, fcs, fcs2), outs = jax.lax.scan(
+            _pass_body, (c, jnp.int32(0), z, z, z), blocks)
+        return c2, outs, (fn, fcs, fcs2)
 
     if mesh is not None:
         from jax import shard_map
@@ -713,10 +721,10 @@ def _fused_gauge_fn(cfg: DemodConfig, chunks: int, kb: int, kb_w: int,
         warm_phase = shard_map(warm_phase, mesh=mesh, in_specs=(lane, blk),
                                out_specs=lane, check_vma=False)
         pass_fp = shard_map(pass_fp, mesh=mesh, in_specs=(lane, blk),
-                            out_specs=(lane, (lane, lane)), check_vma=False)
+                            out_specs=(lane, (lane,) * 3), check_vma=False)
         pass_fp_outs = shard_map(
             pass_fp_outs, mesh=mesh, in_specs=(lane, blk),
-            out_specs=(lane, blk, (lane, lane)), check_vma=False)
+            out_specs=(lane, blk, (lane,) * 3), check_vma=False)
 
     def fused(pw0, wblocks, blocks, tails):
         init = batch_carry(cfg, 1)                     # leaves (1, ...)
@@ -736,8 +744,9 @@ def _fused_gauge_fn(cfg: DemodConfig, chunks: int, kb: int, kb_w: int,
         g3 = _gauge_shift_j(init, f2, w, k2, tails, cfg)
 
         settled, resid = _settled_j(g3, g2)
-        fp_eq = jnp.logical_and(jnp.all(fp1[0] == fp2[0]),
-                                jnp.all(fp1[1] == fp2[1]))
+        fp_eq = functools.reduce(
+            jnp.logical_and,
+            [jnp.all(a == b) for a, b in zip(fp1, fp2)])
         k_st = jnp.all((k2 - k1) % 4 == 0)
         maxd = jnp.max(jnp.abs(delta2)) if chunks > 1 else jnp.float32(0.0)
         conv = functools.reduce(jnp.logical_and, [
@@ -747,8 +756,8 @@ def _fused_gauge_fn(cfg: DemodConfig, chunks: int, kb: int, kb_w: int,
         fl, il, tail = _pack_j(f2)
         small = jnp.concatenate([
             fl.reshape(-1), _bc_f32(il).reshape(-1), tail.reshape(-1),
-            _bc_f32(k2), _bc_f32(fp2[0]), _bc_f32(fp2[1]), _bc_f32(sti),
-            jnp.stack([maxd, resid])])
+            _bc_f32(k2), _bc_f32(fp2[0]), _bc_f32(fp2[1]), _bc_f32(fp2[2]),
+            _bc_f32(sti), jnp.stack([maxd, resid])])
         return small, _pack_j(g3), _pack_j(w), outs2
 
     return jax.jit(fused)
@@ -767,13 +776,14 @@ def _unpack_small(cfg, chunks, small):
     k2 = v[o:o + C - 1].view(np.int32).astype(np.int64); o += C - 1
     fp_n = v[o:o + C].view(np.int32); o += C
     fp_cs = v[o:o + C].view(np.int32); o += C
+    fp_cs2 = v[o:o + C].view(np.int32); o += C
     sti = v[o:o + 4].view(np.int32); o += 4
     maxd, resid = float(v[o]), float(v[o + 1])
     f2 = unpack_carry_np(fl, il, tail)
     stats = dict(converged=bool(sti[0]), settled=bool(sti[1]),
                  fp_eq=bool(sti[2]), k_stable=bool(sti[3]),
                  max_delta=maxd, resid=resid)
-    return f2, k2, (fp_n, fp_cs), stats
+    return f2, k2, (fp_n, fp_cs, fp_cs2), stats
 
 
 def fused_gauge_run(cfg, chunks, kb, kb_w, backend, mesh, put_packed,
@@ -802,7 +812,7 @@ def fused_gauge_run(cfg, chunks, kb, kb_w, backend, mesh, put_packed,
     run = _chunk_fn_packed(cfg, chunks, kb, backend, mesh)
     g3 = unpack_carry_np(*egress(g3_pc))
     w_np = unpack_carry_np(*egress(w_pc))
-    prev_fp = tuple((int(n), int(c)) for n, c in zip(*fp2))
+    prev_fp = tuple(tuple(int(x) for x in t) for t in zip(*fp2))
     return gauge_fixpoint(cfg, run, put_packed, blocks, w_np, tails_np,
                           max_passes, resume=(g3, prev_fp, k2, 2))
 
@@ -871,9 +881,13 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
         samples for cold carrier lock, see default_warmup_blocks).
       strict: if True, a non-converged fixpoint falls back to the exact
         sequential demodulation instead of returning the best-effort
-        assembly — the reference's always-exact contract
-        (/root/reference/demod.c per-sample path). The CLI -T path sets
-        this; library callers who prefer speed can inspect `converged`
+        assembly. The resulting contract: DECISION-exact when converged
+        (the emitted sign-level decision stream equals the sequential
+        path's; int8 soft values can differ by loop-noise LSBs), exact
+        sequential otherwise — the closest chunk-parallel analogue of the
+        reference's always-exact per-sample path
+        (/root/reference/demod.c:23-48). The CLI -T path sets this;
+        library callers who prefer speed can inspect `converged`
         themselves.
     """
     cfg.validate()

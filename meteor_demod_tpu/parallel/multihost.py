@@ -23,6 +23,8 @@ single-process run).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -47,6 +49,28 @@ def init_distributed(coordinator_address: str | None = None,
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
+
+
+@functools.lru_cache(maxsize=8)
+def _telemetry_fn(mesh, axis_name: str):
+    """Jitted fleet-global telemetry reduction over per-stream rows —
+    the same psum fields as make_fleet_demod's step, recomputable after a
+    host-side recovery splice (every process must call it collectively)."""
+    from jax import shard_map
+    import jax.numpy as jnp
+
+    def stats(locked, lonce, gain, nvalid):
+        return {
+            "locked_streams": jax.lax.psum(jnp.sum(locked), axis_name),
+            "locked_once_streams": jax.lax.psum(jnp.sum(lonce), axis_name),
+            "symbols": jax.lax.psum(jnp.sum(nvalid), axis_name),
+            "mean_agc_gain": jax.lax.pmean(jnp.mean(gain), axis_name),
+        }
+
+    sharded = shard_map(stats, mesh=mesh,
+                        in_specs=(P(axis_name),) * 4,
+                        out_specs=P(), check_vma=False)
+    return jax.jit(sharded)
 
 
 class MultiHostFleet:
@@ -127,8 +151,9 @@ class MultiHostFleet:
         """Re-demodulate this process's flagged streams with the exact
         scalar oracle (mirror of FleetDemodulator._recover, on local rows),
         then collectively rebuild the global carry from every process's
-        corrected local rows. telemetry['flags'] is reset; the other
-        telemetry fields still describe the pre-recovery step."""
+        corrected local rows and re-derive the fleet-global telemetry from
+        the corrected state (one psum over the rebuilt rows — the same
+        field semantics as FleetDemodulator._recover)."""
         from ..demod import scalar
         from ..demod.pipeline import (numpy_carry_to_scalar_state,
                                       scalar_state_to_numpy_carry)
@@ -165,7 +190,15 @@ class MultiHostFleet:
         self.carry = DemodCarry(**{
             k: jax.make_array_from_process_local_data(self._sharding, v)
             for k, v in cur.items()})
-        self.telemetry = dict(self.telemetry, flags=np.int32(0))
+        nvalid = jax.make_array_from_process_local_data(
+            self._sharding,
+            np.ascontiguousarray(outs_local.valid.sum(axis=1),
+                                 dtype=np.int32))
+        tel = _telemetry_fn(self.mesh, self.axis_name)(
+            self.carry.locked, self.carry.locked_once,
+            self.carry.agc_gain, nvalid)
+        self.telemetry = {k: np.asarray(v) for k, v in egress(tel).items()}
+        self.telemetry["flags"] = np.int32(0)
         return outs_local
 
     def flagged_local_streams(self) -> np.ndarray:
