@@ -103,8 +103,22 @@ def _chained_fn(cfg, batch):
     return jax.jit(chained)
 
 
+def _spread(rates):
+    """Sorted per-window rates -> [min, median, max] in Msamples/s.
+
+    The tunneled backend's dispatch rate wobbles ~30% run to run
+    (docs/PERF.md, "Measurement rules"); publishing the spread next to the
+    best-window headline makes rounds comparable."""
+    r = sorted(rates)
+    med = r[len(r) // 2] if len(r) % 2 else 0.5 * (r[len(r) // 2 - 1]
+                                                   + r[len(r) // 2])
+    return [round(r[0] / 1e6, 2), round(med / 1e6, 2),
+            round(r[-1] / 1e6, 2)]
+
+
 def _bench(cfg, batch, seconds):
-    """Samples/sec through the chained block demod."""
+    """Samples/sec through the chained block demod. Returns
+    (best_sps, [min, med, max] Msamples/s spread over the 3 windows)."""
     fn = _chained_fn(cfg, batch)
     x = _make_signal(cfg, CHAIN * cfg.block_len)
     bl = iq_to_f32(x.reshape(CHAIN, cfg.block_len))          # (K, L, 2)
@@ -135,28 +149,34 @@ def _bench(cfg, batch, seconds):
     dt1 = time.perf_counter() - t0
     n_calls = max(3, min(100, int(seconds / dt1)))
     per_call = CHAIN * cfg.block_len * (batch or 1)
-    sps = 0.0
+    rates = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(n_calls):
             carry, nsym = fn(carry, blocks)
         assert _sync(carry) == 0
         dt = time.perf_counter() - t0
-        sps = max(sps, n_calls * per_call / dt)
+        rates.append(n_calls * per_call / dt)
+    rates.sort()
+    sps = rates[-1]
     log(f"batch={batch}: 3x{n_calls} dispatches, best {sps/1e6:.2f} "
-        "Msamples/s")
-    return sps
+        f"Msamples/s (spread {rates[0]/1e6:.1f}/{rates[1]/1e6:.1f}/"
+        f"{rates[2]/1e6:.1f})")
+    return sps, _spread(rates)
 
 
-def _bench_turbo(cfg, chunks=FLEET_BATCH, kb=128, max_passes=4, seed=3):
+def _bench_turbo(cfg, chunks=FLEET_BATCH, kb=128, max_passes=4, seed=3,
+                 mesh=None):
     """ONE recording of chunks*kb*block_len samples (the default geometry
     is 134 Msamples, a representative ~10-minute 230.4 ksps LRPT pass),
     demodulated with the FUSED gauge fixpoint (demod/turbo.py
     _fused_gauge_fn): warmup acquisition + both fixpoint passes + one-shot
     quadrant resolution + convergence detection in a single dispatch, with
     ONE small egress — the per-pass host round-trips of the unfused loop
-    cost ~3x the device compute at this geometry. Returns
-    (samples_per_sec, passes, converged)."""
+    cost ~3x the device compute at this geometry. With `mesh` the chunk
+    axis is sharded over it (a 1-device mesh measures the shard_map
+    overhead of the mesh-turbo path vs the plain dispatch). Returns
+    (samples_per_sec, passes, converged, spread)."""
     from meteor_demod_tpu.demod.turbo import (
         fused_gauge_run, default_warmup_blocks)
 
@@ -201,8 +221,23 @@ def _bench_turbo(cfg, chunks=FLEET_BATCH, kb=128, max_passes=4, seed=3):
     if ws >= taps - 1:
         wtails[1:] = xf[ws - (taps - 1):ws]
 
-    put = lambda t: tuple(map(jnp.asarray, t))
-    tails_dev = jnp.asarray(tails_np)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axis = mesh.axis_names[0]
+        c_shard = NamedSharding(mesh, P(axis))
+        lane_shard = NamedSharding(mesh, P(None, axis))
+        b_shard = NamedSharding(mesh, P(None, axis))
+        put = lambda t: (jax.device_put(t[0], lane_shard),
+                         jax.device_put(t[1], lane_shard),
+                         jax.device_put(t[2], c_shard))
+        # Reshard the device-resident broadcasts onto the mesh (device->
+        # device; the slow host link carries only the 1-chunk upload above).
+        blocks = jax.device_put(blocks, b_shard)
+        wblocks = jax.device_put(wblocks, b_shard)
+        tails_dev = jax.device_put(jnp.asarray(tails_np), c_shard)
+    else:
+        put = lambda t: tuple(map(jnp.asarray, t))
+        tails_dev = jnp.asarray(tails_np)
     w0_np = jax.tree_util.tree_map(
         np.array, batch_carry(cfg, chunks)._replace(fir_tail=wtails))
     # The warmup entries are data-derived (FIR tails from the recording) —
@@ -213,7 +248,7 @@ def _bench_turbo(cfg, chunks=FLEET_BATCH, kb=128, max_passes=4, seed=3):
 
     def one_recording():
         f_np, _, _, passes, converged, _ = fused_gauge_run(
-            cfg, chunks, kb, kb_w, "auto", None, put, w0_np,
+            cfg, chunks, kb, kb_w, "auto", mesh, put, w0_np,
             wblocks, blocks, tails_dev, tails_np, max_passes,
             pw0_dev=pw0_dev)
         assert int(np.asarray(f_np.flags).sum()) == 0
@@ -222,15 +257,57 @@ def _bench_turbo(cfg, chunks=FLEET_BATCH, kb=128, max_passes=4, seed=3):
     t0 = time.time()
     passes, converged = one_recording()                        # compile+warm
     log(f"turbo warmup: {time.time()-t0:.1f}s, passes={passes}")
-    dt = float("inf")
+    rates = []
     for _ in range(3):                    # best of 3 (tunnel rate wobbles)
         t0 = time.perf_counter()
         passes, converged = one_recording()
-        dt = min(dt, time.perf_counter() - t0)
-    sps = n_samples / dt
-    log(f"turbo: {n_samples/1e6:.0f} Msamples in {dt:.2f}s "
-        f"({sps/1e6:.1f} Msamples/s, passes={passes}, conv={converged})")
-    return sps, passes, converged
+        rates.append(n_samples / (time.perf_counter() - t0))
+    sps = max(rates)
+    log(f"turbo{' (mesh)' if mesh is not None else ''}: "
+        f"{n_samples/1e6:.0f} Msamples, best {sps/1e6:.1f} Msamples/s "
+        f"(passes={passes}, conv={converged})")
+    return sps, passes, converged, _spread(rates)
+
+
+def _bench_fir(cfg, seconds=2.0):
+    """Time-sharded FIR (parallel/timeshard.py) vs the plain overlap-save
+    FIR at the same device count (one chip here): the single-device
+    shard_map/halo overhead of the sequence-parallel FIR path, backing
+    docs/SCALING.md's sequence-scaling claims with a measured baseline.
+    Returns {"sharded": (best_sps, spread), "plain": (best_sps, spread)}
+    in input samples/s."""
+    from meteor_demod_tpu.parallel.timeshard import (make_sharded_fir,
+                                                     time_mesh)
+    from meteor_demod_tpu.dsp.fir import make_fir_banks, polyphase_fir_block
+    mesh = time_mesh(jax.devices()[:1])
+    fir_sh = make_sharded_fir(cfg, mesh)
+    banks = make_fir_banks(cfg)
+    n = 1 << 21
+    xf = jnp.asarray(iq_to_f32(_make_signal(cfg, n)))
+    tail0 = jnp.zeros((cfg.taps - 1, 2), jnp.float32)
+    fns = {
+        "sharded": jax.jit(lambda x: jnp.sum(fir_sh(x))),
+        "plain": jax.jit(
+            lambda x: jnp.sum(polyphase_fir_block(x, tail0, banks)[0])),
+    }
+    out = {}
+    for name, fn in fns.items():
+        float(np.asarray(egress(fn(xf))))                 # compile+warm
+        t0 = time.perf_counter()
+        s = fn(xf)
+        float(np.asarray(egress(s)))
+        dt1 = time.perf_counter() - t0
+        n_calls = max(3, min(200, int(seconds / dt1)))
+        rates = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n_calls):
+                s = fn(xf)
+            float(np.asarray(egress(s)))                  # fence
+            rates.append(n_calls * n / (time.perf_counter() - t0))
+        out[name] = (max(rates), _spread(rates))
+        log(f"fir {name}: best {max(rates)/1e6:.0f} Msamples/s")
+    return out
 
 
 def main():
@@ -256,25 +333,32 @@ def main():
 
     # Headline first (it is the metric); everything after reuses its cache
     # or compiles something small, so ordering no longer starves the extras.
-    fleet_sps = _bench(cfg, batch=FLEET_BATCH, seconds=3.0)
-    single_sps = maybe("single-stream", lambda: _bench(cfg, None, 2.0))
+    fleet_sps, fleet_spread = _bench(cfg, batch=FLEET_BATCH, seconds=3.0)
+    single = maybe("single-stream", lambda: _bench(cfg, None, 2.0))
     turbo = maybe("turbo", lambda: _bench_turbo(cfg))
-    oqpsk_sps = maybe("oqpsk-fleet", lambda: _bench(
+    oqpsk = maybe("oqpsk-fleet", lambda: _bench(
         DemodConfig(samplerate=SAMPLERATE, symrate=80000.0, oqpsk=True,
                     block_len=BLOCK_LEN), FLEET_BATCH, 2.0))
-    hifi_sps = maybe("hifi-fleet", lambda: _bench(
+    hifi = maybe("hifi-fleet", lambda: _bench(
         DemodConfig(samplerate=SAMPLERATE, rrc_order=64, interp=10,
                     block_len=BLOCK_LEN), FLEET_BATCH, 2.0))
     # OQPSK single recording through the fused gauge fixpoint (the OQPSK
     # gauge couples the PLL quadrant with the half-symbol timing slot —
-    # demod/turbo.py _gauge_measure/_gauge_shift_np). Last: least critical
-    # field if the erratic remote compile eats the budget.
+    # demod/turbo.py _gauge_measure/_gauge_shift_np).
     turbo_oq = maybe("turbo-oqpsk", lambda: _bench_turbo(
         DemodConfig(samplerate=SAMPLERATE, symrate=80000.0, oqpsk=True,
                     block_len=BLOCK_LEN), seed=5))
+    # Mesh-sharded turbo on a 1-device mesh: the shard_map overhead of the
+    # multi-device single-recording path vs the plain dispatch above.
+    from meteor_demod_tpu.demod.turbo import make_chunk_mesh
+    turbo_m = maybe("turbo-mesh1", lambda: _bench_turbo(
+        cfg, mesh=make_chunk_mesh(jax.devices()[:1])))
+    fir = maybe("timeshard-fir", lambda: _bench_fir(cfg))
 
     value = fleet_sps / 1e6
-    turbo_sps, turbo_passes, turbo_conv = turbo if turbo else (None, None, None)
+    turbo_sps, turbo_passes, turbo_conv, turbo_spread = \
+        turbo if turbo else (None, None, None, None)
+    single_sps = single[0] if single else None
     print(json.dumps({
         "metric": "iq_demod_Msamples_per_s_per_chip_230ksps_qpsk_128stream_fleet",
         "value": round(value, 2),
@@ -282,23 +366,36 @@ def main():
         "vs_baseline": round(value / BASELINE_MSPS, 1),
         "fleet_batch": FLEET_BATCH,
         "fleet_realtime_x_per_chip": round(fleet_sps / REALTIME_SPS, 1),
+        "fleet_spread_msps": fleet_spread,
         "single_stream_msamples_per_s":
             round(single_sps / 1e6, 3) if single_sps else None,
         "single_stream_realtime_x":
             round(single_sps / REALTIME_SPS, 1) if single_sps else None,
+        "single_stream_spread_msps": single[1] if single else None,
         "turbo_single_recording_msamples_per_s":
             round(turbo_sps / 1e6, 1) if turbo_sps else None,
         "turbo_single_recording_realtime_x":
             round(turbo_sps / REALTIME_SPS, 1) if turbo_sps else None,
         "turbo_passes": turbo_passes,
         "turbo_converged": turbo_conv,
+        "turbo_spread_msps": turbo_spread,
         "turbo_oqpsk_single_recording_msamples_per_s":
             round(turbo_oq[0] / 1e6, 1) if turbo_oq else None,
         "turbo_oqpsk_passes": turbo_oq[1] if turbo_oq else None,
+        "turbo_oqpsk_spread_msps": turbo_oq[3] if turbo_oq else None,
+        "turbo_mesh1_msamples_per_s":
+            round(turbo_m[0] / 1e6, 1) if turbo_m else None,
+        "turbo_mesh1_spread_msps": turbo_m[3] if turbo_m else None,
         "oqpsk_fleet_msamples_per_s":
-            round(oqpsk_sps / 1e6, 2) if oqpsk_sps else None,
+            round(oqpsk[0] / 1e6, 2) if oqpsk else None,
+        "oqpsk_fleet_spread_msps": oqpsk[1] if oqpsk else None,
         "hifi_o64_x10_fleet_msamples_per_s":
-            round(hifi_sps / 1e6, 2) if hifi_sps else None,
+            round(hifi[0] / 1e6, 2) if hifi else None,
+        "hifi_fleet_spread_msps": hifi[1] if hifi else None,
+        "timeshard_fir_msamples_per_s":
+            round(fir["sharded"][0] / 1e6, 1) if fir else None,
+        "plain_fir_msamples_per_s":
+            round(fir["plain"][0] / 1e6, 1) if fir else None,
         "device": str(dev.platform),
         "block_len": cfg.block_len,
         "chained_blocks_per_dispatch": CHAIN,
