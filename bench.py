@@ -247,7 +247,7 @@ def _bench_turbo(cfg, chunks=FLEET_BATCH, kb=128, max_passes=4, seed=3,
     pw0_dev = put(pack_carry_np(w0_np))
 
     def one_recording():
-        f_np, _, _, passes, converged, _ = fused_gauge_run(
+        f_np, _, _, passes, converged, _, _ = fused_gauge_run(
             cfg, chunks, kb, kb_w, "auto", mesh, put, w0_np,
             wblocks, blocks, tails_dev, tails_np, max_passes,
             pw0_dev=pw0_dev)

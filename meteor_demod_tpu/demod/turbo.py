@@ -86,6 +86,11 @@ class TurboResult:
     max_residual: float          # largest |g' - g| float-leaf residual, last pass
     fell_back: bool = False      # True if safety flags forced a sequential redo
     gauges: np.ndarray | None = None  # per-lane cumulative quadrant K (gauge mode)
+    # Samples re-demodulated sequentially by a fallback (0 on the fast
+    # path). The strict-mode bounded fallback resumes from the last
+    # verified chunk boundary, so this is proportional to the divergent
+    # SUFFIX, not the whole recording (tests/test_turbo.py).
+    fallback_samples: int = 0
 
 
 @functools.lru_cache(maxsize=16)
@@ -487,6 +492,51 @@ def _decisions_settled(g_new, g_prev):
     return resid < GAUGE_ENTRY_TOL, resid
 
 
+def _lane_ok_np(fp, prev_fp, k, k_prev, delta, g_new, g_prev):
+    """Per-lane convergence diagnostics for the bounded strict fallback.
+
+    lane_ok[c] is True when every criterion the GLOBAL convergence test
+    applies holds restricted to lane c: its decision fingerprint matched
+    the previous pass, its entry is settled (_decisions_settled per lane),
+    and its entry boundary's gauge measurement is stable and far from the
+    pi/4 decision boundary. all(lane_ok) together with k-stability over
+    every boundary is exactly the global test, so a converged run has
+    lane_ok all-True; on a non-converged run the longest all-True PREFIX
+    is decision-final by the same induction that justifies accepting a
+    fully converged run (lane 0's entry is exact; each verified boundary
+    hands a verified entry to the next lane)."""
+    C = len(g_new.p_err)
+    if prev_fp is None:
+        return np.zeros(C, bool)
+    fp_eq = np.array([a == b for a, b in zip(fp, prev_fp)], dtype=bool)
+    ieq = np.ones(C, bool)
+    for name in ("locked", "locked_once", "slot", "flags"):
+        ieq &= np.asarray(getattr(g_new, name)) == np.asarray(
+            getattr(g_prev, name))
+    a = np.asarray(g_new.p_err, np.float64)
+    b = np.asarray(g_prev.p_err, np.float64)
+    safe = np.logical_and(a < GAUGE_PERR_SAFE, b < GAUGE_PERR_SAFE)
+    rel = np.abs(a - b) / np.maximum(1.0, a + b)
+    settled = ieq & (safe | (rel < GAUGE_ENTRY_TOL))
+    bnd = np.ones(C, bool)
+    if C > 1:
+        stable = np.abs(delta) < GAUGE_DELTA_TOL
+        if k_prev is not None:
+            stable &= (k - k_prev) % 4 == 0
+        else:
+            stable[:] = False
+        bnd[1:] = stable
+    return fp_eq & settled & bnd
+
+
+def verified_prefix(lane_ok) -> int:
+    """Length of the leading all-True run of lane_ok (0 if none)."""
+    if lane_ok is None or not len(lane_ok):
+        return 0
+    false_at = np.nonzero(~np.asarray(lane_ok, bool))[0]
+    return int(false_at[0]) if len(false_at) else len(lane_ok)
+
+
 def finish_warmup_carry(cfg, wf: DemodCarry, tails_np) -> DemodCarry:
     """Warmup exit carry -> gauge anchor w (numpy): lane 0 is replaced by
     the exact initial state (lane 0 IS the sequential start; its warmup on
@@ -528,10 +578,12 @@ def gauge_fixpoint(cfg, run, put_packed, blocks, w_np, tails_np, max_passes,
     given entries and measures gauges against them, exactly as if the
     earlier passes had run here.
 
-    Returns (f_np, outs, K, passes, converged, max_resid): outs is the
-    LAST pass's device-side BlockOutput, K the cumulative per-lane
+    Returns (f_np, outs, K, passes, converged, max_resid, lane_ok): outs
+    is the LAST pass's device-side BlockOutput, K the cumulative per-lane
     quadrants rotating it into chunk 0's gauge, max_resid the larger of
-    the gauge and settling residuals."""
+    the gauge and settling residuals, lane_ok the per-lane convergence
+    diagnostics of the last pass (_lane_ok_np — all-True iff converged;
+    its leading all-True prefix backs the bounded strict fallback)."""
     init_np = jax.tree_util.tree_map(np.asarray, batch_carry(cfg, 1))
     g_np = w_np
     prev_fp = None
@@ -541,6 +593,7 @@ def gauge_fixpoint(cfg, run, put_packed, blocks, w_np, tails_np, max_passes,
     f_np = outs = None
     k = np.zeros(0, np.int64)
     k_prev = None
+    lane_ok = None
     if resume is not None:
         g_np, prev_fp, k_prev, passes = resume
         k = k_prev
@@ -562,6 +615,7 @@ def gauge_fixpoint(cfg, run, put_packed, blocks, w_np, tails_np, max_passes,
         fp = tuple(tuple(int(x) for x in t) for t in zip(*fp_vecs))
         g_new = _gauge_shift_np(init_np, f_np, w_np, k, tails_np, cfg)
         settled, resid = _decisions_settled(g_new, g_np)
+        lane_ok = _lane_ok_np(fp, prev_fp, k, k_prev, delta, g_new, g_np)
         max_resid = max(max_delta, resid)
         k_stable = k_prev is not None and not np.any((k - k_prev) % 4)
         if prev_fp is not None and fp == prev_fp and k_stable \
@@ -572,7 +626,11 @@ def gauge_fixpoint(cfg, run, put_packed, blocks, w_np, tails_np, max_passes,
         k_prev = k
         g_np = g_new
     K = np.concatenate([[0], np.cumsum(k)])
-    return f_np, outs, K, passes, converged, max_resid
+    if lane_ok is None:
+        lane_ok = np.zeros(len(np.asarray(f_np.p_err)), bool)
+    if converged:
+        lane_ok = np.ones_like(lane_ok)
+    return f_np, outs, K, passes, converged, max_resid, lane_ok
 
 
 # ---------------------------------------------------------------------------
@@ -655,18 +713,28 @@ def _gauge_shift_j(init, f, w, k, tails, cfg=None):
     return g
 
 
-def _settled_j(g_new, g_prev):
-    """Traced _decisions_settled. Returns (settled bool, resid f32)."""
-    ieq = jnp.bool_(True)
+def _settled_lanes_j(g_new, g_prev):
+    """Traced per-lane _decisions_settled pieces. Returns (settled_l (C,)
+    bool, ieq aggregate bool, resid f32 aggregate)."""
+    ieq_l = jnp.ones_like(g_new.locked, jnp.bool_)
     for name in ("locked", "locked_once", "slot", "flags"):
-        ieq = jnp.logical_and(
-            ieq, jnp.all(getattr(g_new, name) == getattr(g_prev, name)))
+        ieq_l = jnp.logical_and(
+            ieq_l, getattr(g_new, name) == getattr(g_prev, name))
     a, b = g_new.p_err, g_prev.p_err
     safe = jnp.logical_and(a < np.float32(GAUGE_PERR_SAFE),
                            b < np.float32(GAUGE_PERR_SAFE))
     rel = jnp.abs(a - b) / jnp.maximum(np.float32(1.0), a + b)
+    settled_l = jnp.logical_and(
+        ieq_l, jnp.logical_or(safe, rel < np.float32(GAUGE_ENTRY_TOL)))
+    ieq = jnp.all(ieq_l)
     resid = jnp.max(jnp.where(safe, np.float32(0.0), rel))
     resid = jnp.where(ieq, resid, np.float32(1.0))
+    return settled_l, ieq, resid
+
+
+def _settled_j(g_new, g_prev):
+    """Traced _decisions_settled. Returns (settled bool, resid f32)."""
+    settled_l, ieq, resid = _settled_lanes_j(g_new, g_prev)
     return jnp.logical_and(ieq, resid < np.float32(GAUGE_ENTRY_TOL)), resid
 
 
@@ -743,20 +811,31 @@ def _fused_gauge_fn(cfg: DemodConfig, chunks: int, kb: int, kb_w: int,
         k2, delta2 = _gauge_measure_j(f2, g2, cfg)
         g3 = _gauge_shift_j(init, f2, w, k2, tails, cfg)
 
-        settled, resid = _settled_j(g3, g2)
-        fp_eq = functools.reduce(
-            jnp.logical_and,
-            [jnp.all(a == b) for a, b in zip(fp1, fp2)])
+        settled_l, ieq, resid = _settled_lanes_j(g3, g2)
+        settled = jnp.logical_and(ieq, resid < np.float32(GAUGE_ENTRY_TOL))
+        fp_eq_l = functools.reduce(
+            jnp.logical_and, [a == b for a, b in zip(fp1, fp2)])
+        fp_eq = jnp.all(fp_eq_l)
         k_st = jnp.all((k2 - k1) % 4 == 0)
         maxd = jnp.max(jnp.abs(delta2)) if chunks > 1 else jnp.float32(0.0)
         conv = functools.reduce(jnp.logical_and, [
             fp_eq, k_st, maxd < np.float32(GAUGE_DELTA_TOL), settled])
         sti = jnp.stack([conv, settled, fp_eq, k_st]).astype(jnp.int32)
+        # Per-lane diagnostics for the bounded strict fallback (the traced
+        # mirror of _lane_ok_np): lane c also needs its entry boundary's
+        # gauge stable and clear of the pi/4 decision margin.
+        bnd = jnp.logical_and(jnp.abs(delta2) < np.float32(GAUGE_DELTA_TOL),
+                              (k2 - k1) % 4 == 0)
+        lane_ok = jnp.logical_and(
+            jnp.logical_and(fp_eq_l, settled_l),
+            jnp.concatenate([jnp.ones(1, jnp.bool_), bnd]))
+        lane_ok = jnp.where(conv, jnp.bool_(True), lane_ok)
 
         fl, il, tail = _pack_j(f2)
         small = jnp.concatenate([
             fl.reshape(-1), _bc_f32(il).reshape(-1), tail.reshape(-1),
             _bc_f32(k2), _bc_f32(fp2[0]), _bc_f32(fp2[1]), _bc_f32(fp2[2]),
+            _bc_f32(lane_ok.astype(jnp.int32)),
             _bc_f32(sti), jnp.stack([maxd, resid])])
         return small, _pack_j(g3), _pack_j(w), outs2
 
@@ -777,12 +856,13 @@ def _unpack_small(cfg, chunks, small):
     fp_n = v[o:o + C].view(np.int32); o += C
     fp_cs = v[o:o + C].view(np.int32); o += C
     fp_cs2 = v[o:o + C].view(np.int32); o += C
+    lane_ok = v[o:o + C].view(np.int32).astype(bool); o += C
     sti = v[o:o + 4].view(np.int32); o += 4
     maxd, resid = float(v[o]), float(v[o + 1])
     f2 = unpack_carry_np(fl, il, tail)
     stats = dict(converged=bool(sti[0]), settled=bool(sti[1]),
                  fp_eq=bool(sti[2]), k_stable=bool(sti[3]),
-                 max_delta=maxd, resid=resid)
+                 max_delta=maxd, resid=resid, lane_ok=lane_ok)
     return f2, k2, (fp_n, fp_cs, fp_cs2), stats
 
 
@@ -797,7 +877,7 @@ def fused_gauge_run(cfg, chunks, kb, kb_w, backend, mesh, put_packed,
     pw0_dev: optionally the packed warmup carry already on device (skips
     the per-call pack+upload for callers that reuse it).
     Returns the gauge_fixpoint contract (f_np, outs, K, passes, converged,
-    max_resid)."""
+    max_resid, lane_ok)."""
     fused = _fused_gauge_fn(cfg, chunks, kb, kb_w, backend, mesh)
     if pw0_dev is None:
         pw0_dev = put_packed(pack_carry_np(w0_np))
@@ -806,7 +886,8 @@ def fused_gauge_run(cfg, chunks, kb, kb_w, backend, mesh, put_packed,
     max_resid = max(stats["max_delta"], stats["resid"])
     if stats["converged"] or max_passes <= 2:
         K = np.concatenate([[0], np.cumsum(k2)])
-        return f2, outs2, K, 2, stats["converged"], max_resid
+        return (f2, outs2, K, 2, stats["converged"], max_resid,
+                stats["lane_ok"])
     # Not converged with budget left: continue the per-pass loop from the
     # fused program's pass-3 entries and gauge anchor.
     run = _chunk_fn_packed(cfg, chunks, kb, backend, mesh)
@@ -886,9 +967,14 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
         path's; int8 soft values can differ by loop-noise LSBs), exact
         sequential otherwise — the closest chunk-parallel analogue of the
         reference's always-exact per-sample path
-        (/root/reference/demod.c:23-48). The CLI -T path sets this;
-        library callers who prefer speed can inspect `converged`
-        themselves.
+        (/root/reference/demod.c:23-48). The fallback is BOUNDED: it
+        accepts the verified prefix of chunk lanes (every per-lane
+        convergence criterion held — _lane_ok_np) and resumes the
+        sequential path from that boundary's carry, so its cost is
+        proportional to the divergent suffix (TurboResult.fallback_samples
+        reports it); only a fully unverified run redoes the whole file.
+        The CLI -T path sets this; library callers who prefer speed can
+        inspect `converged` themselves.
     """
     cfg.validate()
     if converge == "auto":
@@ -915,7 +1001,8 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
         d = StreamDemodulator(cfg, backend=backend)
         syms = np.concatenate([d.process(f32_to_iq(xf)), d.finish()])
         return TurboResult(symbols=syms, converged=tag_converged, passes=0,
-                           max_residual=0.0, fell_back=True)
+                           max_residual=0.0, fell_back=True,
+                           fallback_samples=N)
 
     # Turbo covers whole chunks only; the sub-multiple tail is demodulated
     # sequentially from the (exact) final chunk carry — no zero padding, no
@@ -949,6 +1036,7 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
 
     init_np = jax.tree_util.tree_map(np.asarray, batch_carry(cfg, 1))
     K = None
+    lane_ok = None
 
     if converge == "gauge":
         kb_w = min(warmup_blocks or default_warmup_blocks(L, kb), kb)
@@ -974,7 +1062,8 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
         if max_passes >= 2 and not no_fused:
             # Fused fast path: warmup + both passes + convergence detection
             # in one dispatch and one small egress (see _fused_gauge_fn).
-            f_np, outs, K, passes, converged, max_residual = fused_gauge_run(
+            (f_np, outs, K, passes, converged, max_residual,
+             lane_ok) = fused_gauge_run(
                 cfg, chunks, kb, kb_w, backend, mesh, put_packed, w0_np,
                 wblocks, blocks, tails_dev, tails, max_passes)
         else:
@@ -983,7 +1072,8 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
             wpf, _, _ = run_w(put_packed(pack_carry_np(w0_np)), wblocks)
             w_np = finish_warmup_carry(cfg, unpack_carry_np(*egress(wpf)),
                                        tails)
-            f_np, outs, K, passes, converged, max_residual = gauge_fixpoint(
+            (f_np, outs, K, passes, converged, max_residual,
+             lane_ok) = gauge_fixpoint(
                 cfg, run_g, put_packed, blocks, w_np, tails, max_passes)
     else:
         run = _chunk_fn(cfg, chunks, kb, backend, mesh)
@@ -1042,9 +1132,19 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
         return _sequential(tag_converged=False)
 
     # Strict contract: a non-converged fixpoint may carry decision-level
-    # errors near chunk boundaries — redo exactly rather than emit them.
+    # errors near chunk boundaries — but only from the FIRST unverified
+    # lane onward. Accept the verified prefix (decision-final by the same
+    # induction that justifies a converged run, see _lane_ok_np) and
+    # resume the exact sequential path from its boundary carry, so the
+    # fallback cost is proportional to the divergent suffix, not the
+    # whole recording. P == 0 (or a non-gauge converge mode) degenerates
+    # to the full sequential redo.
+    P = chunks
     if strict and not converged:
-        return _sequential(tag_converged=False)
+        P = verified_prefix(lane_ok)
+        if P == 0:
+            return _sequential(tag_converged=False)
+    fallback_n = N - P * chunk_len if strict and not converged else 0
 
     # Assemble symbols in stream order from the final pass; in gauge mode
     # rotate each lane's symbols into chunk 0's gauge (exact sign/swap).
@@ -1053,29 +1153,32 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
     sym_im = np.asarray(o.sym_im)
     valid = np.asarray(o.valid).astype(bool)
     lonce = np.asarray(o.locked_once)
+    tail_start = P * chunk_len           # == turbo_n when P == chunks
 
     if K is not None and cfg.oqpsk:
-        # OQPSK gauge assembly: the sub-multiple tail continues in the LAST
-        # lane's gauge (carry untouched — rotating an odd-gauge carry would
-        # need grid-dependent surgery), then the whole half-value stream is
-        # re-paired globally (see _assemble_oqpsk_gauge).
+        # OQPSK gauge assembly: the sequential tail/suffix continues in
+        # lane P-1's gauge (carry untouched — rotating an odd-gauge carry
+        # would need grid-dependent surgery), then the whole half-value
+        # stream is re-paired globally (see _assemble_oqpsk_gauge).
         tail_syms = None
-        if turbo_n < N:
+        if tail_start < N:
             from .pipeline import StreamDemodulator
-            tail_c = jax.tree_util.tree_map(lambda a: np.asarray(a[-1]),
-                                            f_np)
+            tail_c = jax.tree_util.tree_map(
+                lambda a: np.asarray(a[P - 1]), f_np)
             d = StreamDemodulator(cfg, backend=backend)
             d._carry = jax.tree_util.tree_map(jnp.asarray, tail_c)
-            tail_syms = np.concatenate([d.process(f32_to_iq(xf[turbo_n:])),
-                                        d.finish()])
+            tail_syms = np.concatenate(
+                [d.process(f32_to_iq(xf[tail_start:])), d.finish()])
         syms = _assemble_oqpsk_gauge(
-            sym_re, sym_im, valid, lonce, K,
-            np.asarray(f_np.slot), np.asarray(f_np.inphase),
-            np.asarray(f_np.locked_once), tail_syms)
+            sym_re[:, :P], sym_im[:, :P], valid[:, :P], lonce[:, :P],
+            K[:P], np.asarray(f_np.slot)[:P], np.asarray(f_np.inphase)[:P],
+            np.asarray(f_np.locked_once)[:P], tail_syms)
         return TurboResult(symbols=syms, converged=converged, passes=passes,
-                           max_residual=max_residual, gauges=K)
+                           max_residual=max_residual, gauges=K,
+                           fell_back=fallback_n > 0,
+                           fallback_samples=fallback_n)
     parts = []
-    for c in range(chunks):
+    for c in range(P):
         m = valid[:, c, :].reshape(-1)
         n_val = int(m.sum())
         s = np.zeros(n_val, dtype=_SYM_DTYPE)
@@ -1088,12 +1191,14 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
         s["locked_once"] = lonce[:, c, :].reshape(-1)[m]
         parts.append(s)
 
-    # Sequential tail from the last chunk's final carry (exact when the
-    # fixpoint converged; within loop noise otherwise).
-    if turbo_n < N:
+    # Sequential tail/suffix from lane P-1's exit carry (exact when the
+    # fixpoint converged / the prefix verified; within loop noise
+    # otherwise).
+    if tail_start < N:
         from .pipeline import StreamDemodulator
-        tail_c = jax.tree_util.tree_map(lambda a: np.asarray(a[-1]), f_np)
-        if K is not None and int(K[-1]) % 4 != 0:
+        tail_c = jax.tree_util.tree_map(lambda a: np.asarray(a[P - 1]),
+                                        f_np)
+        if K is not None and int(K[P - 1]) % 4 != 0:
             # Rotate the carry into chunk 0's gauge so the tail continues
             # the emitted stream: symbols transform by e^{-j K pi/2}, so
             # the NCO phase shifts by +K pi/2 (scan.py mixes with
@@ -1101,7 +1206,7 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
             # last assembled symbol's Q — searched across chunks, since
             # the final chunk may have emitted nothing.
             pp = np.mod(float(tail_c.p_phase)
-                        + (int(K[-1]) % 4) * float(_HALF_PI),
+                        + (int(K[P - 1]) % 4) * float(_HALF_PI),
                         2 * np.pi)
             prev_q = next((float(p["im"][-1]) for p in reversed(parts)
                            if len(p)), 0.0)
@@ -1109,8 +1214,10 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
                                      t_prev=np.float32(prev_q))
         d = StreamDemodulator(cfg, backend=backend)
         d._carry = jax.tree_util.tree_map(jnp.asarray, tail_c)
-        parts.append(d.process(f32_to_iq(xf[turbo_n:])))
+        parts.append(d.process(f32_to_iq(xf[tail_start:])))
         parts.append(d.finish())
 
     return TurboResult(symbols=np.concatenate(parts), converged=converged,
-                       passes=passes, max_residual=max_residual, gauges=K)
+                       passes=passes, max_residual=max_residual, gauges=K,
+                       fell_back=fallback_n > 0,
+                       fallback_samples=fallback_n)
