@@ -129,13 +129,20 @@ class MultiHostFleet:
         x = jax.make_array_from_process_local_data(self._sharding,
                                                    local_blocks)
         self.carry, outs, telemetry = self._fn(self.carry, x)
-        # Telemetry is replicated (P()): every process reads the global
-        # psum. egress, not device_get — direct transfers of loop-program
-        # outputs are UNIMPLEMENTED on the tunneled backend (CLAUDE.md).
-        self.telemetry = {k: np.asarray(v)
-                          for k, v in egress(telemetry).items()}
-        outs_local = jax.tree_util.tree_map(self._local_rows, outs)
-        self.local_stream_flags = self._local_rows(self.carry.flags)
+        # ONE jitted-copy dispatch for everything the step reads back
+        # (outputs, safety flags, replicated psum telemetry). Loop-program
+        # outputs cannot transfer directly on the tunneled backend
+        # (CLAUDE.md), but the COPY's outputs can — so the copy runs once
+        # on the global arrays (an SPMD dispatch every process makes) and
+        # the local shards then transfer plainly, keeping the per-block
+        # host overhead at one dispatch regardless of leaf/shard counts.
+        from ..demod.pipeline import _egress_fn
+        outs_c, flags_c, tel_c = _egress_fn()((outs, self.carry.flags,
+                                               telemetry))
+        outs_local = jax.tree_util.tree_map(self._local_rows_np, outs_c)
+        self.local_stream_flags = self._local_rows_np(flags_c)
+        self.telemetry = {k: np.asarray(next(iter(v.addressable_shards)).data)
+                          for k, v in tel_c.items()}
         # Collective recovery trigger: the psum'd flag count is replicated,
         # so EVERY process enters the rebuild (make_array_from_process_
         # local_data is called by all) whenever ANY host flagged a stream;
@@ -209,13 +216,22 @@ class MultiHostFleet:
         return np.nonzero(np.asarray(self.local_stream_flags))[0]
 
     @staticmethod
-    def _local_rows(arr) -> np.ndarray:
+    def _local_rows_np(arr) -> np.ndarray:
+        """Local shards of an already-copied global array, concatenated in
+        global row order (plain transfers — the array must be a jitted-copy
+        output, not a loop-program output, on the tunneled backend)."""
         shards = sorted(arr.addressable_shards,
                         key=lambda s: s.index[0].start or 0)
-        # egress per shard: single-device arrays transfer reliably only
-        # through the jitted-copy path on the tunneled backend.
-        return np.concatenate([np.asarray(egress(s.data)) for s in shards],
-                              axis=0)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+    @classmethod
+    def _local_rows(cls, arr) -> np.ndarray:
+        # egress through the jitted-copy path: single-device arrays
+        # transfer reliably only through it on the tunneled backend.
+        shards = sorted(arr.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate(
+            [np.asarray(egress(s.data)) for s in shards], axis=0)
 
 
 def global_fleet(cfg: DemodConfig, streams_per_device: int = 128,

@@ -78,22 +78,19 @@ def _worker(argv) -> None:
     from meteor_demod_tpu.config import DemodConfig
 
     cfg = DemodConfig(samplerate=230400, block_len=block)
+    # The SAME MultiHostFleet code path at every process count — the 1 vs 2
+    # ratio then isolates exactly what scaling adds (the Gloo/DCN psum and
+    # the lockstep barrier), not incidental API differences.
+    from meteor_demod_tpu.parallel.multihost import (MultiHostFleet,
+                                                     init_distributed)
     if nprocs > 1:
-        from meteor_demod_tpu.parallel.multihost import (MultiHostFleet,
-                                                         init_distributed)
         init_distributed(coordinator_address=f"localhost:{port}",
                          num_processes=nprocs, process_id=pid)
-        fleet = MultiHostFleet(cfg, streams_per_device=spd)
-        sl = fleet.local_stream_slice()
-        rows = np.stack([_stream_fixture(cfg, g)
-                         for g in range(sl.start, sl.stop)])
-        run = lambda: fleet.process_local_blocks(rows)
-    else:
-        from meteor_demod_tpu.parallel.mesh import FleetDemodulator, make_mesh
-        fleet = FleetDemodulator(cfg, spd,
-                                 mesh=make_mesh(jax.devices()[:1]))
-        rows = np.stack([_stream_fixture(cfg, g) for g in range(spd)])
-        run = lambda: fleet.process_blocks(rows)
+    fleet = MultiHostFleet(cfg, streams_per_device=spd)
+    sl = fleet.local_stream_slice()
+    rows = np.stack([_stream_fixture(cfg, g)
+                     for g in range(sl.start, sl.stop)])
+    run = lambda: fleet.process_local_blocks(rows)
 
     run()                                     # compile + warm
     run()
