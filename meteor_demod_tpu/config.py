@@ -148,6 +148,30 @@ class DemodConfig:
         return -(-self.max_ticks_per_step // 8) * 8
 
     @property
+    def gate_offset_locked(self) -> int:
+        """Static candidate offset k0 of the LOCKED-mode gate (Pallas
+        kernel only; 0 disables).
+
+        In locked steady state the fire lands at k* = ceil((fire_spacing -
+        tp_residual)/tf) with |tp_residual| well under 1 rad (the M&M
+        correction is a_t*err ~ 0.01 rad; 1 rad is a generous envelope), so
+        candidates 1..k0 can be skipped and verified with ONE compare:
+        fl(k0*tf) >= diff would mean the true fire is at k <= k0 — the
+        kernel then flags (FLAG_WINDOW_MISS) and the block is recomputed
+        exactly by the oracle fallback. With the non-fire consumption kept
+        at min(rem, gate_candidates), the offset gate is BITWISE-equivalent
+        to the full gate whenever the guard does not trip (monotonicity of
+        fl(k*tf) in k). k0 is a multiple of 8 so the candidate tile stays
+        sublane-aligned; OQPSK's half-symbol gate is already minimal (its
+        K_eff would round back to the full K), so it keeps k0 = 0."""
+        if self.oqpsk:
+            return 0
+        tf_max = float(self.timing_freq) * (1 + 2.0 ** -C.FREQ_DEV_EXP)
+        k_lo = int(math.floor((self.fire_spacing - 1.0) / tf_max)) - 2
+        k0 = max(0, min(k_lo - 1, self.gate_candidates - 8))
+        return (k0 // 8) * 8
+
+    @property
     def steps_per_block(self) -> int:
         """Scan steps per block: nominal SYMBOL count (fires /
         fires_per_step) plus slack for timing frequency deviation (clamped
@@ -163,16 +187,33 @@ class DemodConfig:
         return ((self.fires_per_step - 1)
                 * int(math.ceil(self.ticks_per_fire)))
 
+    def _window_delta(self, jitter_rad: float) -> int:
+        """Window half-width for a given per-symbol phase-jitter budget:
+        cumulative timing-frequency drift over the block (the clamp allows
+        +-2^-12 relative, timing.c:7 — real clock error, present locked or
+        not) plus the jitter allowance plus safety margin."""
+        drift = math.ceil(self.steps_per_block * self.ticks_per_step
+                          * 2.0 ** -C.FREQ_DEV_EXP)
+        jitter = math.ceil(jitter_rad / float(self.timing_freq))
+        return int(drift + jitter + 8)
+
     @property
     def window_delta(self) -> int:
         """Half-width (in ticks) of the prematerialized FIR candidate window
         around each step's predicted FIRST fire tick. Must cover cumulative
         timing frequency drift over the block plus per-symbol phase
-        jitter."""
-        drift = math.ceil(self.steps_per_block * self.ticks_per_step
-                          * 2.0 ** -C.FREQ_DEV_EXP)
-        jitter = math.ceil(4.0 / float(self.timing_freq))
-        return int(drift + jitter + 8)
+        jitter — 4 rad covers the acquisition/AGC transient
+        (tests/test_adversarial.py)."""
+        return self._window_delta(4.0)
+
+    @property
+    def window_delta_locked(self) -> int:
+        """LOCKED-mode half-width: the steady-state M&M correction is
+        a_t*err ~ 0.01 rad/symbol, so a 1 rad jitter budget is a ~100x
+        envelope; an excursion beyond it (lock loss, signal dropout) lands
+        outside the window and trips FLAG_WINDOW_MISS -> exact oracle
+        fallback, the same safety net the wide window uses."""
+        return self._window_delta(1.0)
 
     @property
     def window(self) -> int:
@@ -191,6 +232,16 @@ class DemodConfig:
     @property
     def window_common(self) -> int:
         w = 2 * self.window_delta_common + self._pair_extra
+        return (w + 7) // 8 * 8
+
+    @property
+    def window_delta_common_locked(self) -> int:
+        return self.window_delta_locked + int(
+            math.ceil(self.ticks_per_fire)) + 1
+
+    @property
+    def window_common_locked(self) -> int:
+        w = 2 * self.window_delta_common_locked + self._pair_extra
         return (w + 7) // 8 * 8
 
     @property

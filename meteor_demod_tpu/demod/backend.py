@@ -24,13 +24,23 @@ def default_backend() -> str:
 
 @functools.lru_cache(maxsize=32)
 def make_batch_demod(cfg: DemodConfig, batch: int,
-                     backend: str = "auto") -> Callable:
-    """Batched block demodulator; backend in {'auto', 'scan', 'pallas'}."""
+                     backend: str = "auto",
+                     locked: bool = False) -> Callable:
+    """Batched block demodulator; backend in {'auto', 'scan', 'pallas'}.
+
+    locked=True builds the Pallas kernel's LOCKED-mode geometry (narrow
+    candidate window + verified offset gate — kernels/block_demod.py):
+    decision-identical to the wide program inside the locked envelope
+    (float values agree to cross-program FMA-fusion tolerance, a few
+    ULP), flags into the oracle fallback outside it. Hosts switch to it when every
+    stream is carrier-locked. A no-op for the scan backend (it has no
+    window geometry to narrow), so callers can request it unconditionally.
+    """
     if backend == "auto":
         backend = default_backend()
     if backend == "pallas":
         from ..kernels.block_demod import make_pallas_batch_demod
-        return make_pallas_batch_demod(cfg, batch)
+        return make_pallas_batch_demod(cfg, batch, locked=locked)
     if backend == "scan":
         return jax.vmap(make_block_demod(cfg))
     raise ValueError(f"unknown backend {backend!r}")
@@ -38,17 +48,22 @@ def make_batch_demod(cfg: DemodConfig, batch: int,
 
 @functools.lru_cache(maxsize=32)
 def jit_batch_demod(cfg: DemodConfig, batch: int,
-                    backend: str = "auto") -> Callable:
-    return jax.jit(make_batch_demod(cfg, batch, backend))
+                    backend: str = "auto", locked: bool = False) -> Callable:
+    if backend == "auto":
+        backend = default_backend()
+    if backend == "scan":
+        locked = False                 # scan has no locked geometry
+    return jax.jit(make_batch_demod(cfg, batch, backend, locked))
 
 
-def make_single_demod(cfg: DemodConfig, backend: str = "auto") -> Callable:
+def make_single_demod(cfg: DemodConfig, backend: str = "auto",
+                      locked: bool = False) -> Callable:
     """Single-stream (no batch axis) block demodulator, unjitted."""
     if backend == "auto":
         backend = default_backend()
     if backend == "scan":
         return make_block_demod(cfg)
-    batched = make_batch_demod(cfg, 1, backend)
+    batched = make_batch_demod(cfg, 1, backend, locked)
 
     def single(carry, x):
         carry1 = jax.tree_util.tree_map(lambda a: a[None], carry)
@@ -60,6 +75,11 @@ def make_single_demod(cfg: DemodConfig, backend: str = "auto") -> Callable:
 
 
 @functools.lru_cache(maxsize=32)
-def jit_single_demod(cfg: DemodConfig, backend: str = "auto") -> Callable:
+def jit_single_demod(cfg: DemodConfig, backend: str = "auto",
+                     locked: bool = False) -> Callable:
     """Single-stream (no batch axis) jitted block demodulator."""
-    return jax.jit(make_single_demod(cfg, backend))
+    if backend == "auto":
+        backend = default_backend()
+    if backend == "scan":
+        locked = False                 # scan has no locked geometry
+    return jax.jit(make_single_demod(cfg, backend, locked))

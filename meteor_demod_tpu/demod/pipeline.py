@@ -24,12 +24,15 @@ _SYM_DTYPE = [("re", np.float32), ("im", np.float32), ("locked_once", np.int32)]
 
 
 @functools.lru_cache(maxsize=16)
-def _jit_chained_single(cfg: DemodConfig, k: int, backend: str):
+def _jit_chained_single(cfg: DemodConfig, k: int, backend: str,
+                        locked: bool = False):
     """Jitted chain of k single-stream blocks per dispatch: one upload, one
     carry hand-off on device, one result fetch — amortizes the host link
     round trips that dominate per-block dispatch on tunneled setups."""
-    from .backend import make_single_demod
-    step = make_single_demod(cfg, backend)
+    from .backend import default_backend, make_single_demod
+    if (backend if backend != "auto" else default_backend()) == "scan":
+        locked = False                 # scan has no locked geometry
+    step = make_single_demod(cfg, backend, locked)
 
     def run(carry, blocks):            # blocks: (k, L, 2)
         return jax.lax.scan(step, carry, blocks)
@@ -137,6 +140,12 @@ class StreamDemodulator:
         from .backend import jit_single_demod
         self._fn = jit_single_demod(cfg, backend)
         self._backend = backend
+        # LOCKED-mode program switching: once the carrier is locked, blocks
+        # dispatch through the kernel's narrow-window/offset-gate geometry
+        # (decision-identical while inside the locked envelope; a
+        # flagged excursion falls back to the exact oracle like any other
+        # flag — kernels/block_demod.py). Compiled lazily on first lock.
+        self._fn_locked = None
         self._carry = init_carry(cfg)
         self._pending = np.zeros(0, dtype=np.complex64)
         self.fallback_blocks = 0
@@ -228,11 +237,24 @@ class StreamDemodulator:
             return out
         return np.zeros(0, dtype=_SYM_DTYPE)
 
+    def _use_locked(self) -> bool:
+        return bool(self._telemetry["locked"])
+
+    def _single_fn(self):
+        if self._use_locked():
+            from .backend import jit_single_demod
+            if self._fn_locked is None:
+                self._fn_locked = jit_single_demod(self.cfg, self._backend,
+                                                   locked=True)
+            return self._fn_locked
+        return self._fn
+
     def _run_chained(self, span: np.ndarray) -> np.ndarray:
         """Demodulate chain_blocks consecutive blocks in one dispatch."""
         k = self.chain_blocks
         L = self.cfg.block_len
-        fn = _jit_chained_single(self.cfg, k, self._backend)
+        fn = _jit_chained_single(self.cfg, k, self._backend,
+                                 locked=self._use_locked())
         prev_carry = self._carry
         blocks = jnp.asarray(iq_to_f32(span).reshape(k, L, 2))
         carry, outs = fn(prev_carry, blocks)
@@ -261,7 +283,8 @@ class StreamDemodulator:
 
     def _run_block(self, block: np.ndarray) -> np.ndarray:
         prev_carry = self._carry
-        carry, outs = self._fn(prev_carry, jnp.asarray(iq_to_f32(block)))
+        carry, outs = self._single_fn()(prev_carry,
+                                        jnp.asarray(iq_to_f32(block)))
         self._inflight.append((prev_carry, block, carry, outs))
         self._carry = carry
         if len(self._inflight) > self.lookahead:

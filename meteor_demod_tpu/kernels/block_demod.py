@@ -104,7 +104,21 @@ def _lut_tanh_rows(v, iota32, table_col):
     return jnp.sum(jnp.where(sel, table_col, _F32(0.0)), axis=0)
 
 
-def _make_step(cfg: DemodConfig, R: int, B: int) -> Callable:
+def _geom(cfg: DemodConfig, locked: bool):
+    """Kernel gate/window geometry: (k0, K, W, delta). LOCKED mode narrows
+    the candidate window and offsets the gate candidates by k0 (see
+    config.gate_offset_locked / window_delta_locked); decisions are
+    bitwise-identical to the wide geometry whenever they stay inside the
+    locked envelope, and flag into the oracle fallback otherwise."""
+    if locked:
+        return (cfg.gate_offset_locked, cfg.gate_candidates,
+                cfg.window_common_locked, cfg.window_delta_common_locked)
+    return (0, cfg.gate_candidates, cfg.window_common,
+            cfg.window_delta_common)
+
+
+def _make_step(cfg: DemodConfig, R: int, B: int, W: int | None = None,
+               k0: int = 0) -> Callable:
     """Shared per-step recurrence body for both kernel variants.
 
     Returns step(st, tiles, wre, wim, base_j, live) -> (st', out) where st
@@ -112,7 +126,18 @@ def _make_step(cfg: DemodConfig, R: int, B: int) -> Callable:
     loop-invariant (kiota, ksB, wc, iota32, table_col) tuple, wre/wim the
     (W, R, B) candidate window for this step, base_j the window's tick
     origin (scalar or (R, B)), live the dead-step mask, and out the
-    (sym_re, sym_im, valid, locked_once) tiles."""
+    (sym_re, sym_im, valid, locked_once) tiles.
+
+    With k0 > 0 the gate evaluates only candidates (k0, K]: the
+    LOCKED-mode decision speculation. One extra compare verifies in-step
+    that the true fire cannot sit at k <= k0 — if it could, the step
+    flags and the oracle fallback replays the block exactly. Non-fire
+    consumption stays min(rem, K), so an unflagged offset step is
+    bit-identical to the full-gate step (fl(k*tf) is monotone in k).
+    NOTE: k0 > 0 assumes a fire interval's phase history — a block's
+    FIRST step (arbitrary entry phase, k* uniform in
+    [1, ticks_per_fire+1]) must run a k0 == 0 step (the kernel's entry
+    prologue)."""
     a_t, b_t = cfg.timing_gains
     a_p, b_p = cfg.pll_gains
     t_center = cfg.timing_freq
@@ -120,7 +145,10 @@ def _make_step(cfg: DemodConfig, R: int, B: int) -> Callable:
     fmax = cfg.pll_fmax
     block_ticks = cfg.block_ticks
     K = cfg.gate_candidates
-    W = cfg.window_common
+    if W is None:
+        W = cfg.window_common
+    K_eff = K - k0
+    k0_f = _F32(k0)
     oqpsk = cfg.oqpsk
 
     bias_keep = _F32(1.0 - C.AGC_BIAS_POLE)
@@ -145,27 +173,52 @@ def _make_step(cfg: DemodConfig, R: int, B: int) -> Callable:
         # ---- closed-form timing gate (scan.py docstring item 4) ----------
         diff = thresh - tp                          # (R, B)
         rem = block_ticks - t                       # (R, B) i32
-        prod = ksB * tf                             # (K, R, B)
+        prod = ksB * tf                             # (K_eff, R, B)
         ok = jnp.logical_and(prod >= diff,
                              ksB <= rem.astype(jnp.float32))
-        kcand = jnp.where(ok, kiota, K)
+        kcand = jnp.where(ok, kiota, K_eff)
         k_min = jnp.min(kcand, axis=0)
-        fired = jnp.logical_and(k_min < K, live)
-        k_idx = jnp.where(fired, k_min, jnp.minimum(rem, K) - 1)
-        k_idx = jnp.where(live, k_idx, -1)
+        fired = jnp.logical_and(k_min < K_eff, live)
+        nf = jnp.minimum(rem, K)                    # non-fire consumption
+        k_idx = jnp.where(fired, k_min, nf - 1 - k0)
+        k_idx = jnp.where(live, k_idx, -1 - k0)
         # Selected precomputed product: add is never fused with the mul.
         prod_sel = jnp.sum(jnp.where(kiota == k_idx, prod, _F32(0.0)),
                            axis=0)
-        tau = t + k_idx
+        if k0:
+            # Block-end tail shorter than the skipped candidates: consume
+            # rem ticks with the same bare-mul product fl(rem*tf) the wide
+            # gate would have selected (x + 0 never rounds, so adding the
+            # masked term is exact).
+            tail = jnp.logical_and(jnp.logical_and(~fired, live),
+                                   jnp.logical_and(nf <= k0, nf > 0))
+            prod_sel = prod_sel + jnp.where(
+                tail, nf.astype(jnp.float32) * tf, _F32(0.0))
+            # In-step verification of the skipped candidates: the wide gate
+            # fires at some k <= k0 iff fl(min(k0, rem)*tf) >= diff (fl(k*tf)
+            # is monotone in k and a fire needs k <= rem ticks) — outside
+            # the locked envelope. Flag; the oracle fallback replays the
+            # block. Fires blocked by rem (k > rem) don't fire in the wide
+            # gate either, so they need no flag.
+            m_f = jnp.minimum(k0_f, rem.astype(jnp.float32))
+            early = jnp.logical_and(
+                jnp.logical_and(live, m_f >= _F32(1.0)),
+                m_f * tf >= diff)
+        else:
+            early = jnp.zeros_like(fired)
+        consumed = jnp.where(fired, k_min + 1 + k0,
+                             jnp.where(live, nf, 0))
+        tau = t + consumed - 1
         tp = tp + prod_sel
-        t = t + k_idx + 1
+        t = t + consumed
 
         # ---- select fired tick from the (W, R, B) window tile ------------
         c = tau - base_j                           # (R, B) window coord
         sel = jnp.logical_and(wc == c, fired)      # (W, R, B)
         z_re = jnp.sum(jnp.where(sel, wre, _F32(0.0)), axis=0)
         z_im = jnp.sum(jnp.where(sel, wim, _F32(0.0)), axis=0)
-        miss = jnp.logical_and(fired, jnp.logical_or(c < 0, c >= W))
+        miss = jnp.logical_or(
+            jnp.logical_and(fired, jnp.logical_or(c < 0, c >= W)), early)
 
         # ---- AGC (agc.c:12-25) -------------------------------------------
         bias_re_n = bias_re * bias_keep + bias_pole * z_re
@@ -248,7 +301,8 @@ def _make_step(cfg: DemodConfig, R: int, B: int) -> Callable:
     return step
 
 
-def _make_paired_step_tiles(cfg: DemodConfig, R: int, B: int) -> Callable:
+def _make_paired_step_tiles(cfg: DemodConfig, R: int, B: int,
+                            W: int | None = None) -> Callable:
     """OQPSK paired-fire step on (R, B) tiles — the kernel mirror of
     demod/scan.py's _make_paired_step (see its docstring for the pairing
     semantics and the alignment invariant). Fire-for-fire float op order
@@ -261,7 +315,8 @@ def _make_paired_step_tiles(cfg: DemodConfig, R: int, B: int) -> Callable:
     fmax = cfg.pll_fmax
     block_ticks = cfg.block_ticks
     K = cfg.gate_candidates
-    W = cfg.window_common
+    if W is None:
+        W = cfg.window_common
 
     bias_keep = _F32(1.0 - C.AGC_BIAS_POLE)
     bias_pole = _F32(C.AGC_BIAS_POLE)
@@ -437,9 +492,9 @@ def _store_states(fs_ref, is_ref, st):
     is_ref[I_FLAGS] = flags
 
 
-def _make_tiles(R, B, K, W, table_ref):
-    kiota = jax.lax.broadcasted_iota(jnp.int32, (K, R, B), 0)
-    ksB = (kiota + 1).astype(jnp.float32)
+def _make_tiles(R, B, K_eff, W, table_ref, k0=0):
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (K_eff, R, B), 0)
+    ksB = (kiota + 1 + k0).astype(jnp.float32)
     wc = jax.lax.broadcasted_iota(jnp.int32, (W, R, B), 0)
     iota32 = jax.lax.broadcasted_iota(jnp.int32, (32, R, B), 0)
     table_col = table_ref[:, :][:, None, :]              # (32, 1, B)
@@ -484,7 +539,7 @@ def _kernel_prefire(cfg, R, B, pre_step, tiles, fs_ref, is_ref,
 
 
 def _make_kernel(cfg: DemodConfig, R: int, B: int, G: int,
-                 tanh_table: np.ndarray) -> Callable:
+                 tanh_table: np.ndarray, locked: bool = False) -> Callable:
     """Kernel processing G symbol steps per grid iteration for R*B streams,
     consuming prematerialized (G, W, R, B) window tiles.
 
@@ -494,16 +549,21 @@ def _make_kernel(cfg: DemodConfig, R: int, B: int, G: int,
     per grid iteration. Grid steps past S pad the grid to a multiple of G
     and are dead (`live` masks every effect), so the decision trajectory is
     identical to the per-step scan path.
+
+    locked=True uses the narrow window + offset gate (_geom); the block's
+    FIRST step runs a full-gate entry prologue under pl.when(s == 0)
+    (arbitrary block-entry phase — see _make_step's note) and the loop's
+    j == 0 step is dead at s == 0.
     """
-    K = cfg.gate_candidates
-    W = cfg.window_common
+    k0, K, W, _ = _geom(cfg, locked)
     S = cfg.steps_per_block
     S_pad = -(-S // G) * G
     block_ticks = cfg.block_ticks
     oqpsk = cfg.oqpsk
-    step = (_make_paired_step_tiles(cfg, R, B) if oqpsk
-            else _make_step(cfg, R, B))
-    pre_step = _make_step(cfg, R, B) if oqpsk else None
+    step = (_make_paired_step_tiles(cfg, R, B, W) if oqpsk
+            else _make_step(cfg, R, B, W, k0))
+    pre_step = _make_step(cfg, R, B, W) if oqpsk else None
+    entry_step = _make_step(cfg, R, B, W) if k0 else None
 
     def kernel(*refs):
         if oqpsk:
@@ -526,15 +586,34 @@ def _make_kernel(cfg: DemodConfig, R: int, B: int, G: int,
                                 _make_tiles(R, B, K, W, table_ref),
                                 fs_ref, is_ref, wre_ref[0], wim_ref[0],
                                 base_ref[0], pre_sr, pre_si, pre_v, pre_l)
+            elif entry_step is not None:
+                st0 = _load_states(fs_ref, is_ref)
+                st1, out0 = entry_step(
+                    st0, _make_tiles(R, B, K, W, table_ref),
+                    wre_ref[0], wim_ref[0], base_ref[0], True)
+                _store_states(fs_ref, is_ref, st1)
+                (symre_ref[0], symim_ref[0], valid_ref[0],
+                 lout_ref[0]) = out0
 
         st = _load_states(fs_ref, is_ref)
-        tiles = _make_tiles(R, B, K, W, table_ref)
+        tiles = _make_tiles(R, B, K - k0, W, table_ref, k0)
 
         for j in range(G):
             live = (s * G + j) < S
-            st, out = step(st, tiles, wre_ref[j], wim_ref[j],
-                           base_ref[j], live)
-            symre_ref[j], symim_ref[j], valid_ref[j], lout_ref[j] = out
+            if entry_step is not None and j == 0:
+                # Step 0 ran in the entry prologue; keep its output row.
+                live = jnp.logical_and(live, s > 0)
+                st, out = step(st, tiles, wre_ref[j], wim_ref[j],
+                               base_ref[j], live)
+
+                @pl.when(s > 0)
+                def _(out=out, j=j):
+                    (symre_ref[j], symim_ref[j], valid_ref[j],
+                     lout_ref[j]) = out
+            else:
+                st, out = step(st, tiles, wre_ref[j], wim_ref[j],
+                               base_ref[j], live)
+                symre_ref[j], symim_ref[j], valid_ref[j], lout_ref[j] = out
 
         _store_states(fs_ref, is_ref, st)
 
@@ -552,15 +631,14 @@ def _make_kernel(cfg: DemodConfig, R: int, B: int, G: int,
 
 
 def _make_dma_demod(cfg: DemodConfig, batch: int, interpret: bool, G: int,
-                    tanh_table, banks) -> Callable:
+                    tanh_table, banks, locked: bool = False) -> Callable:
     """Wrapper for the DMA-streaming kernel (see _make_kernel_dma)."""
     from ..dsp.fir import polyphase_fir_block_tmajor
     S = cfg.steps_per_block
     B = batch
     S_pad = -(-S // G) * G
     n_grid = S_pad // G
-    W = cfg.window_common
-    delta = cfg.window_delta_common
+    _, _, W, delta = _geom(cfg, locked)
     T = cfg.block_ticks
     offsets = np.asarray(cfg.window_offsets, dtype=np.int64)      # (S,)
     offsets_pad = np.concatenate(
@@ -574,7 +652,7 @@ def _make_dma_demod(cfg: DemodConfig, batch: int, interpret: bool, G: int,
     gstart = np.clip(og[:, 0] - delta, 0, T - span).astype(np.int32)
     offw = np.clip(offsets_pad - delta - np.repeat(gstart, G),
                    0, span - W).astype(np.int32)
-    kernel = _make_kernel_dma(cfg, B, G, span, n_grid)
+    kernel = _make_kernel_dma(cfg, B, G, span, n_grid, locked)
 
     oqpsk = cfg.oqpsk
     pre_specs = ([pl.BlockSpec((1, 1, B), lambda s, g, o: (0, 0, 0))] * 4
@@ -644,7 +722,7 @@ def _make_dma_demod(cfg: DemodConfig, batch: int, interpret: bool, G: int,
 
 
 def _make_kernel_dma(cfg: DemodConfig, B: int, G: int, span: int,
-                     n_grid: int) -> Callable:
+                     n_grid: int, locked: bool = False) -> Callable:
     """Kernel variant that streams the tick-major FIR array itself.
 
     The gather path materializes (S_pad, W, B) candidate windows host-side
@@ -657,15 +735,16 @@ def _make_kernel_dma(cfg: DemodConfig, B: int, G: int, span: int,
     the raw FIR data. Each step's (W, B) window is a dynamic row-slice of
     the VMEM span (leading dims are untiled — address math, no relayout).
     Per-group span starts and per-step row offsets are static host numpy,
-    delivered via scalar prefetch."""
-    K = cfg.gate_candidates
-    W = cfg.window_common
+    delivered via scalar prefetch. locked=True: narrow window + offset
+    gate with a full-gate entry prologue (see _make_kernel)."""
+    k0, K, W, _ = _geom(cfg, locked)
     S = cfg.steps_per_block
     block_ticks = cfg.block_ticks
     oqpsk = cfg.oqpsk
-    step = (_make_paired_step_tiles(cfg, 1, B) if oqpsk
-            else _make_step(cfg, 1, B))
-    pre_step = _make_step(cfg, 1, B) if oqpsk else None
+    step = (_make_paired_step_tiles(cfg, 1, B, W) if oqpsk
+            else _make_step(cfg, 1, B, W, k0))
+    pre_step = _make_step(cfg, 1, B, W) if oqpsk else None
+    entry_step = _make_step(cfg, 1, B, W) if k0 else None
 
     def kernel(*refs):
         if oqpsk:
@@ -708,9 +787,20 @@ def _make_kernel_dma(cfg: DemodConfig, B: int, G: int, span: int,
                                 fs_ref, is_ref,
                                 buf_ref[0:W, 0:1, :], buf_ref[0:W, 1:2, :],
                                 gstart_ref[0], pre_sr, pre_si, pre_v, pre_l)
+            elif entry_step is not None:
+                off0 = offw_ref[0]
+                st0 = _load_states(fs_ref, is_ref)
+                st1, out0 = entry_step(
+                    st0, _make_tiles(1, B, K, W, table_ref),
+                    buf_ref[pl.ds(off0, W), 0:1, :],
+                    buf_ref[pl.ds(off0, W), 1:2, :],
+                    gstart_ref[0] + off0, True)
+                _store_states(fs_ref, is_ref, st1)
+                (symre_ref[0], symim_ref[0], valid_ref[0],
+                 lout_ref[0]) = out0
 
         st = _load_states(fs_ref, is_ref)
-        tiles = _make_tiles(1, B, K, W, table_ref)
+        tiles = _make_tiles(1, B, K - k0, W, table_ref, k0)
 
         for j in range(G):
             live = (s * G + j) < S
@@ -719,8 +809,18 @@ def _make_kernel_dma(cfg: DemodConfig, B: int, G: int, span: int,
             wre = buf_ref[pl.ds(rowbase, W), 0:1, :]     # (W, 1, B)
             wim = buf_ref[pl.ds(rowbase, W), 1:2, :]
             base_j = gstart_ref[s] + off                 # scalar tick origin
-            st, out = step(st, tiles, wre, wim, base_j, live)
-            symre_ref[j], symim_ref[j], valid_ref[j], lout_ref[j] = out
+            if entry_step is not None and j == 0:
+                # Step 0 ran in the entry prologue; keep its output row.
+                live = jnp.logical_and(live, s > 0)
+                st, out = step(st, tiles, wre, wim, base_j, live)
+
+                @pl.when(s > 0)
+                def _(out=out, j=j):
+                    (symre_ref[j], symim_ref[j], valid_ref[j],
+                     lout_ref[j]) = out
+            else:
+                st, out = step(st, tiles, wre, wim, base_j, live)
+                symre_ref[j], symim_ref[j], valid_ref[j], lout_ref[j] = out
 
         _store_states(fs_ref, is_ref, st)
 
@@ -774,7 +874,8 @@ def make_pallas_batch_demod(cfg: DemodConfig, batch: int,
                             interpret: bool = False,
                             group: int = 8,
                             lanes: int | None = None,
-                            windows: str = "auto") -> Callable:
+                            windows: str = "auto",
+                            locked: bool = False) -> Callable:
     """Batched block demodulator with the Pallas recurrence kernel.
 
     Returns demod(carry, x) -> (carry', BlockOutput) where carry leaves have
@@ -794,12 +895,20 @@ def make_pallas_batch_demod(cfg: DemodConfig, batch: int,
     2..8 (Mosaic already tiles (W, batch) efficiently and the kernel is
     throughput- not occupancy-bound — docs/PERF.md), so the default is the
     flat R=1 layout; the packed path stays for tests and future hardware.
+
+    `locked` selects the LOCKED-mode geometry (narrow candidate window +
+    offset gate with an in-step verification guard; _geom): decisions are
+    bit-identical to the wide program while they stay inside the locked
+    envelope (values agree to cross-program FMA-fusion tolerance, a few
+    ULP), and FLAG_WINDOW_MISS routes the block to the
+    exact oracle fallback otherwise. Hosts switch to it when every stream
+    in the batch is carrier-locked (demod/pipeline.py, parallel/mesh.py).
     """
     cfg.validate()
     from ..dsp.loops import TANH_TABLE
     banks = make_fir_banks(cfg)
     S, G = cfg.steps_per_block, group
-    W = cfg.window_common
+    _, _, W, delta = _geom(cfg, locked)
     if windows == "auto":
         # DMA spans need the lane dim aligned to the 128-lane vreg tiling
         # (Mosaic rejects slicing a (span, 2, B) VMEM ref otherwise), so
@@ -812,7 +921,8 @@ def make_pallas_batch_demod(cfg: DemodConfig, batch: int,
         if lanes is not None:
             raise ValueError("lanes (sublane packing) applies to the "
                              "gather window path only")
-        return _make_dma_demod(cfg, batch, interpret, G, TANH_TABLE, banks)
+        return _make_dma_demod(cfg, batch, interpret, G, TANH_TABLE, banks,
+                               locked)
     if lanes is not None:
         if batch % lanes:
             raise ValueError(f"batch {batch} not divisible by lanes {lanes}")
@@ -820,7 +930,6 @@ def make_pallas_batch_demod(cfg: DemodConfig, batch: int,
     else:
         R, B = 1, batch
     S_pad = -(-S // G) * G
-    delta = cfg.window_delta_common
     block_ticks = cfg.block_ticks
     offsets = np.asarray(cfg.window_offsets, dtype=np.int32)      # (S,)
     offsets_pad = np.concatenate(
@@ -831,7 +940,7 @@ def make_pallas_batch_demod(cfg: DemodConfig, batch: int,
                       + np.arange(W, dtype=np.int32)[None, :],
                       0, block_ticks - 1).reshape(-1)             # (S_pad*W,)
     base_np = (offsets_pad - delta).astype(np.int32)              # (S_pad,)
-    kernel = _make_kernel(cfg, R, B, G, TANH_TABLE)
+    kernel = _make_kernel(cfg, R, B, G, TANH_TABLE, locked)
 
     oqpsk = cfg.oqpsk
     pre_specs = ([pl.BlockSpec((1, R, B), lambda s: (0, 0, 0))] * 4

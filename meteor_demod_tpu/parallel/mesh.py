@@ -64,7 +64,8 @@ def shard_blocks(blocks: np.ndarray, mesh: Mesh,
 @functools.lru_cache(maxsize=8)
 def make_fleet_demod(cfg: DemodConfig, mesh: Mesh,
                      axis_name: str = "streams",
-                     backend: str = "auto") -> Callable:
+                     backend: str = "auto",
+                     locked: bool = False) -> Callable:
     """Build the jitted fleet step: (carry, blocks) -> (carry', outs, telemetry).
 
     carry leaves and blocks have a leading `streams` axis sharded over the
@@ -72,12 +73,14 @@ def make_fleet_demod(cfg: DemodConfig, mesh: Mesh,
     collective in the step, equivalent to the reference's cross-thread
     telemetry reads (main.c:231-237) but aggregated fleet-wide.
     """
-    from ..demod.backend import make_batch_demod
+    from ..demod.backend import default_backend, make_batch_demod
+    if (backend if backend != "auto" else default_backend()) == "scan":
+        locked = False                 # scan has no locked geometry
 
     def step(carry: DemodCarry, blocks: jnp.ndarray):
         # Inside shard_map the step sees the per-device shard; its leading
         # dim (n_streams / n_devices) picks the right batched builder.
-        demod = make_batch_demod(cfg, blocks.shape[0], backend)
+        demod = make_batch_demod(cfg, blocks.shape[0], backend, locked)
         carry, outs = demod(carry, blocks)
         telemetry = {
             "locked_streams": jax.lax.psum(
@@ -120,7 +123,14 @@ class FleetDemodulator:
             raise ValueError(
                 f"n_streams {n_streams} must be divisible by mesh size {n_dev}")
         self.n_streams = n_streams
+        self._backend = backend
         self._fn = make_fleet_demod(cfg, self.mesh, axis_name, backend)
+        # LOCKED-mode program switching (kernels/block_demod.py): once
+        # every stream is carrier-locked, blocks dispatch through the
+        # narrow-window/offset-gate kernel — decision-identical while
+        # inside the locked envelope; excursions flag into the per-stream
+        # oracle recovery below. Compiled lazily on first full lock.
+        self._fn_locked = None
         self.carry = fleet_carry(cfg, n_streams, self.mesh, axis_name)
         self.telemetry = None
         self.stream_flags = None
@@ -144,7 +154,16 @@ class FleetDemodulator:
         blocks = np.ascontiguousarray(blocks, dtype=np.float32)
         prev_carry = self.carry
         x = shard_blocks(blocks, self.mesh, self.axis_name)
-        self.carry, outs, telemetry = self._fn(self.carry, x)
+        fn = self._fn
+        if (self.telemetry is not None
+                and int(self.telemetry["locked_streams"]) == self.n_streams
+                and int(self.telemetry["flags"]) == 0):
+            if self._fn_locked is None:
+                self._fn_locked = make_fleet_demod(
+                    self.cfg, self.mesh, self.axis_name, self._backend,
+                    locked=True)
+            fn = self._fn_locked
+        self.carry, outs, telemetry = fn(self.carry, x)
         outs, self.telemetry, self.stream_flags = egress(
             (outs, telemetry, self.carry.flags))
         if self.recover_flagged and np.any(self.stream_flags):

@@ -189,3 +189,111 @@ def test_pallas_dma_chains_across_blocks():
     m = np.asarray(ro2.valid).astype(bool)
     np.testing.assert_allclose(np.asarray(po2.sym_re)[m],
                                np.asarray(ro2.sym_re)[m], rtol=5e-4, atol=0.1)
+
+
+@pytest.mark.parametrize("mode", ["qpsk", "oqpsk"])
+@pytest.mark.parametrize("windows", ["gather", "dma"])
+def test_pallas_locked_geometry_bitwise_when_locked(mode, windows):
+    """The LOCKED-mode kernel (narrow window + verified offset gate,
+    kernels/block_demod.py _geom) must match the wide kernel on a
+    carrier-locked flag-free stream to the framework's cross-program
+    contract: decision structure (valid/locked_once, integer state) and
+    flags BIT-equal, float values within a few ULP — an unflagged locked
+    step selects the same FIR rows and runs the same mathematical ops, but
+    the two programs have different shapes so XLA/Mosaic may fuse FMAs
+    differently (same reason scan-vs-kernel values aren't bit-compared,
+    see module docstring). Lock is acquired through the (fast, jitted)
+    scan backend; both kernels then demodulate the same next blocks from
+    the identical carry."""
+    oq = mode == "oqpsk"
+    cfg = DemodConfig(samplerate=230400, block_len=1024,
+                      symrate=80000.0 if oq else 72000.0, oqpsk=oq)
+    B = 4
+    nwarm, ntest = 15, 2   # QPSK fixture locks at block 13 (scan backend)
+    n = (nwarm + ntest) * cfg.block_len
+    x = np.stack([
+        synth_psk(int(n / cfg.osf) + 64, cfg.samplerate, symrate=cfg.symrate,
+                  oqpsk=oq, carrier_hz=60.0 + 30 * b, amplitude=6000.0,
+                  snr_db=22.0, seed=50 + b)[0][:n]
+        for b in range(B)])
+    xf = iq_to_f32(x)
+
+    scan_fn = jax.jit(jax.vmap(make_block_demod(cfg)))
+    carry = batch_carry(cfg, B)
+    for k in range(nwarm):
+        carry, _ = scan_fn(carry, xf[:, k * cfg.block_len:
+                                     (k + 1) * cfg.block_len])
+    carry = jax.tree_util.tree_map(np.asarray, carry)
+    assert np.all(carry.locked == 1), "fixture must be locked"
+
+    wide = make_pallas_batch_demod(cfg, B, interpret=True, windows=windows)
+    lock = make_pallas_batch_demod(cfg, B, interpret=True, windows=windows,
+                                   locked=True)
+    cw = cl = jax.tree_util.tree_map(jnp.asarray, carry)
+    def assert_ulp(a, b, name, ulps=4):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype == np.float32:
+            d = np.abs(a.view(np.int32).astype(np.int64)
+                       - b.view(np.int32).astype(np.int64))
+            d = np.where(a == b, 0, d)        # +-0.0 view as 2^31 apart
+            assert int(d.max(initial=0)) <= ulps, (name, int(d.max()))
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=name)
+
+    for k in range(nwarm, nwarm + ntest):
+        blk = jnp.asarray(xf[:, k * cfg.block_len:(k + 1) * cfg.block_len])
+        cw, ow = wide(cw, blk)
+        cl, ol = lock(cl, blk)
+        assert int(np.asarray(cl.flags).sum()) == 0
+        for name in ow._fields:
+            assert_ulp(getattr(ow, name), getattr(ol, name), name)
+        for name in cw._fields:
+            assert_ulp(getattr(cw, name), getattr(cl, name), name)
+        assert int(np.asarray(ow.valid).sum()) > 100
+
+
+def test_pallas_locked_gate_guard_flags_out_of_envelope():
+    """A timing-phase excursion beyond the locked envelope (lock loss,
+    signal dropout, clock step) must trip the locked kernel's in-step
+    verification (early-fire guard -> FLAG_WINDOW_MISS) rather than
+    silently diverge; the flag routes the block to the exact oracle
+    fallback like any other flagged block (tests/test_fleet_recovery.py).
+
+    The timing gate is self-correcting — a phase step shifts only the
+    block's FIRST fire (handled by the full-gate entry prologue) and the
+    residual after that fire is what later steps see — so the excursion is
+    chosen (+5.5 rad on this fixture) to leave a post-entry residual
+    within k0*tf of the fire threshold: the next fire lands at k <= k0,
+    exactly the region the offset gate skips, and the guard must catch
+    it. The same excursion must NOT flag the wide kernel — it is inside
+    the wide gate's range — which pins the flag on the locked geometry's
+    guard, not on a generic window miss."""
+    cfg = DemodConfig(samplerate=230400, block_len=1024)
+    assert cfg.gate_offset_locked > 0   # guard exists for this config
+    B = 4
+    nwarm = 15   # QPSK fixture locks at block 13 (scan backend)
+    n = (nwarm + 1) * cfg.block_len
+    x = np.stack([
+        synth_psk(int(n / cfg.osf) + 64, cfg.samplerate,
+                  carrier_hz=60.0 + 30 * b, amplitude=6000.0,
+                  snr_db=22.0, seed=50 + b)[0][:n]
+        for b in range(B)])
+    xf = iq_to_f32(x)
+
+    scan_fn = jax.jit(jax.vmap(make_block_demod(cfg)))
+    carry = batch_carry(cfg, B)
+    for k in range(nwarm):
+        carry, _ = scan_fn(carry, xf[:, k * cfg.block_len:
+                                     (k + 1) * cfg.block_len])
+    carry = jax.tree_util.tree_map(np.asarray, carry)
+    assert np.all(carry.locked == 1)
+    carry = carry._replace(t_phase=carry.t_phase + np.float32(5.5))
+    blk = jnp.asarray(xf[:, nwarm * cfg.block_len:])
+
+    wide = make_pallas_batch_demod(cfg, B, interpret=True)
+    cwide, _ = wide(jax.tree_util.tree_map(jnp.asarray, carry), blk)
+    assert int(np.asarray(cwide.flags).sum()) == 0
+
+    lock = make_pallas_batch_demod(cfg, B, interpret=True, locked=True)
+    cl, _ = lock(jax.tree_util.tree_map(jnp.asarray, carry), blk)
+    assert int((np.asarray(cl.flags) != 0).sum()) == B
