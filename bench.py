@@ -76,11 +76,17 @@ def _sync(c):
     return int(np.sum(egress(c.flags)))
 
 
-def _chained_fn(cfg, batch):
-    """Jitted CHAIN-blocks-per-dispatch demod; Pallas on TPU, scan on CPU."""
+def _chained_fn(cfg, batch, locked=False):
+    """Jitted CHAIN-blocks-per-dispatch demod; Pallas on TPU, scan on CPU.
+
+    locked=True builds the LOCKED-mode kernel geometry (narrow window +
+    offset gate, kernels/block_demod.py) — the program the stream/fleet
+    hosts dispatch in carrier-locked steady state, i.e. the production
+    serving regime. Callers warm the carry to full lock with the wide
+    program first (as the hosts do) so the locked run is flag-free."""
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
-        kernel = make_pallas_batch_demod(cfg, batch or 1)
+        kernel = make_pallas_batch_demod(cfg, batch or 1, locked=locked)
         if batch:
             demod = kernel
         else:
@@ -117,9 +123,13 @@ def _spread(rates):
 
 
 def _bench(cfg, batch, seconds):
-    """Samples/sec through the chained block demod. Returns
-    (best_sps, [min, med, max] Msamples/s spread over the 3 windows)."""
-    fn = _chained_fn(cfg, batch)
+    """Samples/sec through the chained block demod in carrier-locked
+    steady state (the production serving regime): one wide-program chained
+    dispatch acquires lock on every stream, then the LOCKED-mode program
+    is timed from the locked carry — exactly the program switching the
+    stream/fleet hosts perform (demod/pipeline.py, parallel/mesh.py).
+    Returns (best_sps, [min, med, max] Msamples/s spread)."""
+    on_tpu = jax.devices()[0].platform == "tpu"
     x = _make_signal(cfg, CHAIN * cfg.block_len)
     bl = iq_to_f32(x.reshape(CHAIN, cfg.block_len))          # (K, L, 2)
     if batch:
@@ -133,9 +143,17 @@ def _bench(cfg, batch, seconds):
         carry0 = init_carry(cfg)
 
     t0 = time.time()
-    carry, nsym = fn(carry0, blocks)                          # compile+run
+    wide = _chained_fn(cfg, batch)
+    carry, nsym = wide(carry0, blocks)                        # compile+warm
     assert _sync(carry) == 0
-    log(f"compile+first dispatch (batch={batch}): {time.time()-t0:.1f}s")
+    locked_n = int(np.sum(egress(carry.locked)))
+    log(f"wide compile+warm (batch={batch}): {time.time()-t0:.1f}s, "
+        f"{locked_n}/{batch or 1} locked")
+    fn = _chained_fn(cfg, batch, locked=on_tpu and locked_n == (batch or 1))
+    t0 = time.time()
+    carry, nsym = fn(carry, blocks)                           # compile+run
+    assert _sync(carry) == 0
+    log(f"locked compile+first dispatch (batch={batch}): {time.time()-t0:.1f}s")
 
     # Calibrate, then run a fixed dispatch count (an open-ended timed loop
     # would enqueue async dispatches far faster than the device drains them).
