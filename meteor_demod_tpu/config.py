@@ -172,6 +172,29 @@ class DemodConfig:
         return (k0 // 8) * 8
 
     @property
+    def steps_always_fire(self) -> int:
+        """Leading block steps guaranteed to FIRE for every in-envelope
+        stream — the LOCKED-mode all-fire speculation bound (Pallas kernel;
+        kernels/block_demod.py).
+
+        Every step consumes one full symbol of gate phase (one 2*pi wrap
+        for QPSK; the OQPSK paired step wraps twice at pi each, same
+        total), so after n fired steps the consumed tick count satisfies
+        t_n * tf_min <= n*2*pi + slack, where tf_min = timing_freq *
+        (1 - 2^-12) (the clamp floor, timing.c:83-86) and slack bounds the
+        block-entry residual plus the in-envelope timing-phase excursion
+        (the 1 rad window_delta_locked envelope, doubled for margin).
+        Hence every in-envelope stream has ticks left to fire at every
+        step n < steps_always_fire; a stream that does NOT fire there is
+        out of envelope, and the speculative step flags it into the exact
+        oracle fallback instead of assuming."""
+        tf_min = float(self.timing_freq) * (1 - 2.0 ** -C.FREQ_DEV_EXP)
+        slack = 4.0
+        n = int(math.floor(
+            (self.block_ticks * tf_min - slack) / (2 * math.pi))) - 2
+        return max(0, min(n, self.steps_per_block))
+
+    @property
     def steps_per_block(self) -> int:
         """Scan steps per block: nominal SYMBOL count (fires /
         fires_per_step) plus slack for timing frequency deviation (clamped

@@ -118,7 +118,7 @@ def _geom(cfg: DemodConfig, locked: bool):
 
 
 def _make_step(cfg: DemodConfig, R: int, B: int, W: int | None = None,
-               k0: int = 0) -> Callable:
+               k0: int = 0, spec: bool = False) -> Callable:
     """Shared per-step recurrence body for both kernel variants.
 
     Returns step(st, tiles, wre, wim, base_j, live) -> (st', out) where st
@@ -137,7 +137,30 @@ def _make_step(cfg: DemodConfig, R: int, B: int, W: int | None = None,
     NOTE: k0 > 0 assumes a fire interval's phase history — a block's
     FIRST step (arbitrary entry phase, k* uniform in
     [1, ticks_per_fire+1]) must run a k0 == 0 step (the kernel's entry
-    prologue)."""
+    prologue).
+
+    spec=True builds the ALL-FIRE speculative body (only valid for steps
+    < cfg.steps_always_fire, where every in-envelope stream provably
+    fires): the fire is assumed, which deletes the non-fire consumption
+    arithmetic (integer ops — exact) and drops the `& fired` mask from
+    the (W, R, B) window select — the single largest tile op (the one-hot
+    select/sum is exact in any evaluation order, x + 0 never rounds).
+    One compare verifies the assumption (k_min < K_eff, i.e. the gate
+    really fires within the candidate range and rem); a violating stream
+    is out of envelope and raises FLAG_WINDOW_MISS, routing the block to
+    the exact oracle fallback.
+
+    CRITICAL: every FLOAT state update keeps its gated where() form with
+    the real computed `fired` predicate, even though the predicate is
+    provably true for unflagged streams. Removing a where() changes the
+    producer expression's fusion context and XLA may then FMA-contract a
+    mul+add it previously rounded separately (measured: the AGC bias
+    update drifts 1 ULP the moment its where() is dropped), which breaks
+    the cross-program bit-exact decision contract (demod/scalar.py module
+    docstring). Only integer, boolean, and one-hot-masked-sum
+    simplifications are rounding-neutral; float graphs must stay
+    byte-identical to the gated body. The `live` argument is ignored
+    (speculative steps are never grid padding)."""
     a_t, b_t = cfg.timing_gains
     a_p, b_p = cfg.pll_gains
     t_center = cfg.timing_freq
@@ -178,14 +201,30 @@ def _make_step(cfg: DemodConfig, R: int, B: int, W: int | None = None,
                              ksB <= rem.astype(jnp.float32))
         kcand = jnp.where(ok, kiota, K_eff)
         k_min = jnp.min(kcand, axis=0)
-        fired = jnp.logical_and(k_min < K_eff, live)
-        nf = jnp.minimum(rem, K)                    # non-fire consumption
-        k_idx = jnp.where(fired, k_min, nf - 1 - k0)
-        k_idx = jnp.where(live, k_idx, -1 - k0)
-        # Selected precomputed product: add is never fused with the mul.
-        prod_sel = jnp.sum(jnp.where(kiota == k_idx, prod, _F32(0.0)),
-                           axis=0)
-        if k0:
+        if spec:
+            # All-fire speculation: assume the gate fires; verify, don't
+            # gate. A non-firing stream here is out of envelope (see
+            # config.steps_always_fire) — flag it, values are then
+            # don't-care (the oracle fallback replays the block). Integer
+            # simplifications only; `fired` still gates every float
+            # update below (see docstring CRITICAL note).
+            fired = k_min < K_eff
+            k_idx = k_min
+            prod_sel = jnp.sum(jnp.where(kiota == k_idx, prod, _F32(0.0)),
+                               axis=0)
+            consumed = k_min + 1 + k0
+        else:
+            fired = jnp.logical_and(k_min < K_eff, live)
+            nf = jnp.minimum(rem, K)                # non-fire consumption
+            k_idx = jnp.where(fired, k_min, nf - 1 - k0)
+            k_idx = jnp.where(live, k_idx, -1 - k0)
+            # Selected precomputed product: add is never fused with the
+            # mul.
+            prod_sel = jnp.sum(jnp.where(kiota == k_idx, prod, _F32(0.0)),
+                               axis=0)
+            consumed = jnp.where(fired, k_min + 1 + k0,
+                                 jnp.where(live, nf, 0))
+        if k0 and not spec:
             # Block-end tail shorter than the skipped candidates: consume
             # rem ticks with the same bare-mul product fl(rem*tf) the wide
             # gate would have selected (x + 0 never rounds, so adding the
@@ -194,6 +233,7 @@ def _make_step(cfg: DemodConfig, R: int, B: int, W: int | None = None,
                                    jnp.logical_and(nf <= k0, nf > 0))
             prod_sel = prod_sel + jnp.where(
                 tail, nf.astype(jnp.float32) * tf, _F32(0.0))
+        if k0:
             # In-step verification of the skipped candidates: the wide gate
             # fires at some k <= k0 iff fl(min(k0, rem)*tf) >= diff (fl(k*tf)
             # is monotone in k and a fire needs k <= rem ticks) — outside
@@ -201,24 +241,31 @@ def _make_step(cfg: DemodConfig, R: int, B: int, W: int | None = None,
             # block. Fires blocked by rem (k > rem) don't fire in the wide
             # gate either, so they need no flag.
             m_f = jnp.minimum(k0_f, rem.astype(jnp.float32))
-            early = jnp.logical_and(
-                jnp.logical_and(live, m_f >= _F32(1.0)),
-                m_f * tf >= diff)
+            early = jnp.logical_and(m_f >= _F32(1.0), m_f * tf >= diff)
+            if not spec:
+                early = jnp.logical_and(live, early)
         else:
-            early = jnp.zeros_like(fired)
-        consumed = jnp.where(fired, k_min + 1 + k0,
-                             jnp.where(live, nf, 0))
+            early = jnp.zeros_like(k_min, dtype=jnp.bool_)
         tau = t + consumed - 1
         tp = tp + prod_sel
         t = t + consumed
 
         # ---- select fired tick from the (W, R, B) window tile ------------
         c = tau - base_j                           # (R, B) window coord
-        sel = jnp.logical_and(wc == c, fired)      # (W, R, B)
+        if spec:
+            sel = wc == c                          # (W, R, B); fired assumed
+        else:
+            sel = jnp.logical_and(wc == c, fired)  # (W, R, B)
         z_re = jnp.sum(jnp.where(sel, wre, _F32(0.0)), axis=0)
         z_im = jnp.sum(jnp.where(sel, wim, _F32(0.0)), axis=0)
-        miss = jnp.logical_or(
-            jnp.logical_and(fired, jnp.logical_or(c < 0, c >= W)), early)
+        if spec:
+            miss = jnp.logical_or(
+                jnp.logical_or(c < 0, c >= W),
+                jnp.logical_or(early, ~fired))
+        else:
+            miss = jnp.logical_or(
+                jnp.logical_and(fired, jnp.logical_or(c < 0, c >= W)),
+                early)
 
         # ---- AGC (agc.c:12-25) -------------------------------------------
         bias_re_n = bias_re * bias_keep + bias_pole * z_re
@@ -239,6 +286,7 @@ def _make_step(cfg: DemodConfig, R: int, B: int, W: int | None = None,
 
         # ---- assemble symbol (OQPSK: demod.c:62-87) ----------------------
         if oqpsk:
+            assert not spec, "OQPSK speculation lives in the paired step"
             is1 = slot == 1
             fire1 = jnp.logical_and(fired, is1)
             do_update = jnp.logical_and(fired, ~is1)
@@ -255,8 +303,8 @@ def _make_step(cfg: DemodConfig, R: int, B: int, W: int | None = None,
         sgn_prev = jnp.where(prev < 0, _F32(-1.0), _F32(1.0))
         sgn_cur = jnp.where(sym_im < 0, _F32(-1.0), _F32(1.0))
         err_t = sgn_prev * sym_im - sgn_cur * prev
-        tp = jnp.where(do_update, tp - (_TWO_PI + a_t * err_t), tp)
         fd = jnp.clip((tf - t_center) - b_t * err_t, -t_dev, t_dev)
+        tp = jnp.where(do_update, tp - (_TWO_PI + a_t * err_t), tp)
         tf = jnp.where(do_update, t_center + fd, tf)
         prev = jnp.where(do_update, sym_im, prev)
 
@@ -280,7 +328,10 @@ def _make_step(cfg: DemodConfig, R: int, B: int, W: int | None = None,
                                          updown))
         pf_upd = jnp.clip(pf_upd, -fmax, fmax)
 
-        # ---- gated register updates --------------------------------------
+        # ---- gated register updates (spec: same where() forms — the
+        # predicates are provably true for unflagged streams but their
+        # presence keeps the float producers' rounding identical to the
+        # gated body; see docstring CRITICAL note) -------------------------
         pp = jnp.where(do_update, pp_upd, jnp.where(fired, pp_adv, pp))
         pf = jnp.where(do_update, pf_upd, pf)
         perr = jnp.where(do_update, err_upd, perr)
@@ -291,23 +342,36 @@ def _make_step(cfg: DemodConfig, R: int, B: int, W: int | None = None,
         gain = jnp.where(fired, gain_n, gain)
         bias_re = jnp.where(fired, bias_re_n, bias_re)
         bias_im = jnp.where(fired, bias_im_n, bias_im)
+        valid = do_update.astype(jnp.int32)
         flags = flags | jnp.where(miss, FLAG_WINDOW_MISS, 0)
 
         st_new = (tp, tf, prev, pp, pf, perr, updown, gain, bias_re,
                   bias_im, inphase, locked, lonce, slot, t, flags)
-        out = (sym_re, sym_im, do_update.astype(jnp.int32), lonce_out)
+        out = (sym_re, sym_im, valid, lonce_out)
         return st_new, out
 
     return step
 
 
 def _make_paired_step_tiles(cfg: DemodConfig, R: int, B: int,
-                            W: int | None = None) -> Callable:
+                            W: int | None = None,
+                            spec: bool = False) -> Callable:
     """OQPSK paired-fire step on (R, B) tiles — the kernel mirror of
     demod/scan.py's _make_paired_step (see its docstring for the pairing
     semantics and the alignment invariant). Fire-for-fire float op order
     matches the single-fire body, so decisions are bit-identical to the
-    scan path."""
+    scan path.
+
+    spec=True builds the ALL-FIRE speculative body (steps <
+    cfg.steps_always_fire only): entry slot == 1 and both half-fires are
+    assumed (verified — a violation flags into the oracle fallback),
+    which deletes the attempt gating, the non-fire k_idx arithmetic
+    (integers — exact), and the `& fired` masks on both (W, R, B) window
+    selects (one-hot select/sum is exact in any order). Every FLOAT
+    update keeps its gated where() form with the real predicates — see
+    _make_step's CRITICAL note: dropping a where() changes the producer's
+    fusion context and XLA may FMA-contract differently, breaking the
+    bit-exact decision contract. `live` is ignored."""
     a_t, b_t = cfg.timing_gains
     a_p, b_p = cfg.pll_gains
     t_center = cfg.timing_freq
@@ -340,33 +404,52 @@ def _make_paired_step_tiles(cfg: DemodConfig, R: int, B: int,
             kcand = jnp.where(ok, kiota, K)
             k_min = jnp.min(kcand, axis=0)
             fired_raw = k_min < K
-            fired = jnp.logical_and(jnp.logical_and(fired_raw, attempt),
-                                    live)
-            k_idx = jnp.where(fired, k_min, jnp.minimum(rem, K) - 1)
-            k_idx = jnp.where(jnp.logical_and(attempt, live), k_idx, -1)
+            if spec:
+                # All-fire speculation: attempt/live statically true; a
+                # non-fire is out of envelope -> defer flags it. Integer
+                # simplifications only (see _make_step's CRITICAL note).
+                fired = fired_raw
+                k_idx = k_min
+                defer = ~fired_raw
+                t_n = tv + k_min + 1
+            else:
+                fired = jnp.logical_and(jnp.logical_and(fired_raw, attempt),
+                                        live)
+                k_idx = jnp.where(fired, k_min, jnp.minimum(rem, K) - 1)
+                k_idx = jnp.where(jnp.logical_and(attempt, live), k_idx, -1)
+                defer = jnp.logical_and(
+                    jnp.logical_and(jnp.logical_and(~fired_raw, attempt),
+                                    live),
+                    rem > K)
+                t_n = jnp.where(jnp.logical_and(attempt, live),
+                                tv + k_idx + 1, tv)
             prod_sel = jnp.sum(jnp.where(kiota == k_idx, prod, _F32(0.0)),
                                axis=0)
-            defer = jnp.logical_and(
-                jnp.logical_and(jnp.logical_and(~fired_raw, attempt), live),
-                rem > K)
             tau = tv + k_idx
             tp_n = tpv + prod_sel
-            t_n = jnp.where(jnp.logical_and(attempt, live),
-                            tv + k_idx + 1, tv)
             return fired, tau, tp_n, t_n, defer
 
         def select(tau, fired):
             c = tau - base_j
-            sel = jnp.logical_and(wc == c, fired)       # (W, R, B)
+            if spec:
+                sel = wc == c                           # (W, R, B)
+                miss = jnp.logical_or(c < 0, c >= W)
+            else:
+                sel = jnp.logical_and(wc == c, fired)   # (W, R, B)
+                miss = jnp.logical_and(fired,
+                                       jnp.logical_or(c < 0, c >= W))
             z_re = jnp.sum(jnp.where(sel, wre, _F32(0.0)), axis=0)
             z_im = jnp.sum(jnp.where(sel, wim, _F32(0.0)), axis=0)
-            miss = jnp.logical_and(fired,
-                                   jnp.logical_or(c < 0, c >= W))
             return z_re, z_im, miss
 
         # ---- transaction A: the I half-fire ------------------------------
+        # Spec verification: every steady-state paired step enters at
+        # slot == 1 (I half-fire, then Q) and both transactions fire.
+        # Verified, not assumed silently — a violation flags into the
+        # exact oracle fallback.
+        misalign = (slot != 1) if spec else False
         threshA = slot.astype(jnp.float32) * _PI
-        firedA, tauA, tp1, t1, _ = fire(threshA, tp, t, slot > 0)
+        firedA, tauA, tp1, t1, deferA = fire(threshA, tp, t, slot > 0)
         zAre, zAim, missA = select(tauA, firedA)
         biasAre = bias_re * bias_keep + bias_pole * zAre
         biasAim = bias_im * bias_keep + bias_pole * zAim
@@ -451,6 +534,12 @@ def _make_paired_step_tiles(cfg: DemodConfig, R: int, B: int,
         lonce_out = jnp.where(do_update, lonce_upd, lonce)
         updown_n = jnp.where(do_update, updown_upd, updown)
         miss = jnp.logical_or(jnp.logical_or(missA, missB), deferB)
+        if spec:
+            # deferA (A non-fire) and misalign are out-of-envelope in the
+            # all-fire regime; the gated body tolerates both (A defers the
+            # pair to the next step).
+            miss = jnp.logical_or(miss,
+                                  jnp.logical_or(deferA, misalign))
         flags_n = flags | jnp.where(miss, FLAG_WINDOW_MISS, 0)
 
         st_new = (tp_f, tf_f, prev_f, pp_n, pf_n, perr_n, updown_n,
@@ -550,20 +639,36 @@ def _make_kernel(cfg: DemodConfig, R: int, B: int, G: int,
     and are dead (`live` masks every effect), so the decision trajectory is
     identical to the per-step scan path.
 
-    locked=True uses the narrow window + offset gate (_geom); the block's
-    FIRST step runs a full-gate entry prologue under pl.when(s == 0)
-    (arbitrary block-entry phase — see _make_step's note) and the loop's
-    j == 0 step is dead at s == 0.
+    locked=True uses the narrow window + offset gate (_geom) and the
+    ALL-FIRE speculative step bodies for the first cfg.steps_always_fire
+    steps (every in-envelope stream provably fires there — see the spec
+    notes on _make_step/_make_paired_step_tiles): the grid splits into
+    three exclusive pl.when arms — s == 0 (entry prologue: QPSK full-gate
+    step 0 / OQPSK completion pre-fire, then speculative steps), the
+    speculative middle grids, and the gated tail grids (block-end
+    non-fires and the dead grid padding). Each arm loads/stores the VMEM
+    state once.
     """
     k0, K, W, _ = _geom(cfg, locked)
     S = cfg.steps_per_block
     S_pad = -(-S // G) * G
+    n_grid = S_pad // G
     block_ticks = cfg.block_ticks
     oqpsk = cfg.oqpsk
-    step = (_make_paired_step_tiles(cfg, R, B, W) if oqpsk
+    make_paired = _make_paired_step_tiles
+    step = (make_paired(cfg, R, B, W) if oqpsk
             else _make_step(cfg, R, B, W, k0))
     pre_step = _make_step(cfg, R, B, W) if oqpsk else None
-    entry_step = _make_step(cfg, R, B, W) if k0 else None
+    entry_step = _make_step(cfg, R, B, W) if locked and not oqpsk else None
+    # Speculative middle-grid bound: spec arms cover grids [0, s_spec);
+    # the last grid is always gated (block-end non-fires + dead padding).
+    # METEOR_DEMOD_SPEC=0 disables the all-fire arms (A/B benching).
+    s_spec = (min(cfg.steps_always_fire // G, n_grid - 1)
+              if locked and os.environ.get("METEOR_DEMOD_SPEC") != "0"
+              else 0)
+    spec_step = ((make_paired(cfg, R, B, W, spec=True) if oqpsk
+                  else _make_step(cfg, R, B, W, k0, spec=True))
+                 if s_spec > 0 else None)
 
     def kernel(*refs):
         if oqpsk:
@@ -595,30 +700,60 @@ def _make_kernel(cfg: DemodConfig, R: int, B: int, G: int,
                 (symre_ref[0], symim_ref[0], valid_ref[0],
                  lout_ref[0]) = out0
 
-        st = _load_states(fs_ref, is_ref)
-        tiles = _make_tiles(R, B, K - k0, W, table_ref, k0)
+        def run_group(body, j0=0):
+            st = _load_states(fs_ref, is_ref)
+            for j in range(j0, G):
+                st, out = body(st, j)
+                symre_ref[j], symim_ref[j], valid_ref[j], lout_ref[j] = out
+            _store_states(fs_ref, is_ref, st)
 
-        for j in range(G):
-            live = (s * G + j) < S
-            if entry_step is not None and j == 0:
-                # Step 0 ran in the entry prologue; keep its output row.
-                live = jnp.logical_and(live, s > 0)
-                st, out = step(st, tiles, wre_ref[j], wim_ref[j],
-                               base_ref[j], live)
+        if spec_step is not None:
+            tiles_s = _make_tiles(R, B, K - k0, W, table_ref, k0)
+            spec_body = lambda st, j: spec_step(
+                st, tiles_s, wre_ref[j], wim_ref[j], base_ref[j], True)
 
-                @pl.when(s > 0)
-                def _(out=out, j=j):
+            @pl.when(s == 0)
+            def _():
+                # Step 0 ran in the prologue (QPSK entry / OQPSK pre-fire
+                # alignment); OQPSK's own step 0 is a normal paired step.
+                run_group(spec_body, j0=0 if oqpsk else 1)
+
+            @pl.when(jnp.logical_and(s > 0, s < s_spec))
+            def _():
+                run_group(spec_body)
+
+            @pl.when(s >= s_spec)
+            def _():
+                tiles = _make_tiles(R, B, K - k0, W, table_ref, k0)
+                run_group(lambda st, j: step(
+                    st, tiles, wre_ref[j], wim_ref[j], base_ref[j],
+                    (s * G + j) < S))
+        else:
+            st = _load_states(fs_ref, is_ref)
+            tiles = _make_tiles(R, B, K - k0, W, table_ref, k0)
+
+            for j in range(G):
+                live = (s * G + j) < S
+                if entry_step is not None and j == 0:
+                    # Step 0 ran in the entry prologue; keep its output row.
+                    live = jnp.logical_and(live, s > 0)
+                    st, out = step(st, tiles, wre_ref[j], wim_ref[j],
+                                   base_ref[j], live)
+
+                    @pl.when(s > 0)
+                    def _(out=out, j=j):
+                        (symre_ref[j], symim_ref[j], valid_ref[j],
+                         lout_ref[j]) = out
+                else:
+                    st, out = step(st, tiles, wre_ref[j], wim_ref[j],
+                                   base_ref[j], live)
                     (symre_ref[j], symim_ref[j], valid_ref[j],
                      lout_ref[j]) = out
-            else:
-                st, out = step(st, tiles, wre_ref[j], wim_ref[j],
-                               base_ref[j], live)
-                symre_ref[j], symim_ref[j], valid_ref[j], lout_ref[j] = out
 
-        _store_states(fs_ref, is_ref, st)
+            _store_states(fs_ref, is_ref, st)
 
         # ---- final iteration: unconsumed-tick flags + carry out ----------
-        @pl.when(s == (S_pad // G) - 1)
+        @pl.when(s == n_grid - 1)
         def _():
             unconsumed = is_ref[I_TICK] < block_ticks
             is_ref[I_FLAGS] = (is_ref[I_FLAGS]
@@ -736,7 +871,9 @@ def _make_kernel_dma(cfg: DemodConfig, B: int, G: int, span: int,
     the VMEM span (leading dims are untiled — address math, no relayout).
     Per-group span starts and per-step row offsets are static host numpy,
     delivered via scalar prefetch. locked=True: narrow window + offset
-    gate with a full-gate entry prologue (see _make_kernel)."""
+    gate, full-gate entry prologue, and the ALL-FIRE speculative step
+    bodies for the leading cfg.steps_always_fire steps in a three-arm
+    grid (see _make_kernel)."""
     k0, K, W, _ = _geom(cfg, locked)
     S = cfg.steps_per_block
     block_ticks = cfg.block_ticks
@@ -744,7 +881,13 @@ def _make_kernel_dma(cfg: DemodConfig, B: int, G: int, span: int,
     step = (_make_paired_step_tiles(cfg, 1, B, W) if oqpsk
             else _make_step(cfg, 1, B, W, k0))
     pre_step = _make_step(cfg, 1, B, W) if oqpsk else None
-    entry_step = _make_step(cfg, 1, B, W) if k0 else None
+    entry_step = _make_step(cfg, 1, B, W) if locked and not oqpsk else None
+    s_spec = (min(cfg.steps_always_fire // G, n_grid - 1)
+              if locked and os.environ.get("METEOR_DEMOD_SPEC") != "0"
+              else 0)
+    spec_step = ((_make_paired_step_tiles(cfg, 1, B, W, spec=True) if oqpsk
+                  else _make_step(cfg, 1, B, W, k0, spec=True))
+                 if s_spec > 0 else None)
 
     def kernel(*refs):
         if oqpsk:
@@ -799,30 +942,70 @@ def _make_kernel_dma(cfg: DemodConfig, B: int, G: int, span: int,
                 (symre_ref[0], symim_ref[0], valid_ref[0],
                  lout_ref[0]) = out0
 
-        st = _load_states(fs_ref, is_ref)
-        tiles = _make_tiles(1, B, K - k0, W, table_ref, k0)
-
-        for j in range(G):
-            live = (s * G + j) < S
+        def window_j(j):
             off = offw_ref[s * G + j]
             rowbase = slot * span + off
             wre = buf_ref[pl.ds(rowbase, W), 0:1, :]     # (W, 1, B)
             wim = buf_ref[pl.ds(rowbase, W), 1:2, :]
-            base_j = gstart_ref[s] + off                 # scalar tick origin
-            if entry_step is not None and j == 0:
-                # Step 0 ran in the entry prologue; keep its output row.
-                live = jnp.logical_and(live, s > 0)
-                st, out = step(st, tiles, wre, wim, base_j, live)
+            return wre, wim, gstart_ref[s] + off         # scalar tick origin
 
-                @pl.when(s > 0)
-                def _(out=out, j=j):
+        def run_group(body, j0=0):
+            st = _load_states(fs_ref, is_ref)
+            for j in range(j0, G):
+                st, out = body(st, j)
+                symre_ref[j], symim_ref[j], valid_ref[j], lout_ref[j] = out
+            _store_states(fs_ref, is_ref, st)
+
+        if spec_step is not None:
+            tiles_s = _make_tiles(1, B, K - k0, W, table_ref, k0)
+
+            def spec_body(st, j):
+                wre, wim, base_j = window_j(j)
+                return spec_step(st, tiles_s, wre, wim, base_j, True)
+
+            @pl.when(s == 0)
+            def _():
+                # Step 0 ran in the prologue (QPSK entry / OQPSK pre-fire
+                # alignment); OQPSK's own step 0 is a normal paired step.
+                run_group(spec_body, j0=0 if oqpsk else 1)
+
+            @pl.when(jnp.logical_and(s > 0, s < s_spec))
+            def _():
+                run_group(spec_body)
+
+            @pl.when(s >= s_spec)
+            def _():
+                tiles = _make_tiles(1, B, K - k0, W, table_ref, k0)
+
+                def gated_body(st, j):
+                    wre, wim, base_j = window_j(j)
+                    return step(st, tiles, wre, wim, base_j,
+                                (s * G + j) < S)
+
+                run_group(gated_body)
+        else:
+            st = _load_states(fs_ref, is_ref)
+            tiles = _make_tiles(1, B, K - k0, W, table_ref, k0)
+
+            for j in range(G):
+                live = (s * G + j) < S
+                wre, wim, base_j = window_j(j)
+                if entry_step is not None and j == 0:
+                    # Step 0 ran in the entry prologue; keep its output
+                    # row.
+                    live = jnp.logical_and(live, s > 0)
+                    st, out = step(st, tiles, wre, wim, base_j, live)
+
+                    @pl.when(s > 0)
+                    def _(out=out, j=j):
+                        (symre_ref[j], symim_ref[j], valid_ref[j],
+                         lout_ref[j]) = out
+                else:
+                    st, out = step(st, tiles, wre, wim, base_j, live)
                     (symre_ref[j], symim_ref[j], valid_ref[j],
                      lout_ref[j]) = out
-            else:
-                st, out = step(st, tiles, wre, wim, base_j, live)
-                symre_ref[j], symim_ref[j], valid_ref[j], lout_ref[j] = out
 
-        _store_states(fs_ref, is_ref, st)
+            _store_states(fs_ref, is_ref, st)
 
         @pl.when(s == n_grid - 1)
         def _():

@@ -230,12 +230,14 @@ def test_pallas_locked_geometry_bitwise_when_locked(mode, windows):
     lock = make_pallas_batch_demod(cfg, B, interpret=True, windows=windows,
                                    locked=True)
     cw = cl = jax.tree_util.tree_map(jnp.asarray, carry)
-    def assert_ulp(a, b, name, ulps=4):
+    def assert_ulp(a, b, name, ulps=4, mask=None):
         a, b = np.asarray(a), np.asarray(b)
         if a.dtype == np.float32:
             d = np.abs(a.view(np.int32).astype(np.int64)
                        - b.view(np.int32).astype(np.int64))
             d = np.where(a == b, 0, d)        # +-0.0 view as 2^31 apart
+            if mask is not None:
+                d = np.where(mask, d, 0)
             assert int(d.max(initial=0)) <= ulps, (name, int(d.max()))
         else:
             np.testing.assert_array_equal(a, b, err_msg=name)
@@ -245,8 +247,16 @@ def test_pallas_locked_geometry_bitwise_when_locked(mode, windows):
         cw, ow = wide(cw, blk)
         cl, ol = lock(cl, blk)
         assert int(np.asarray(cl.flags).sum()) == 0
+        # Float symbol values compare on FIRED rows only: a non-fired
+        # row's sym_re/sym_im is dead padding (consumers select by
+        # `valid`, demod/pipeline.py) recomputed by each program in its
+        # own fusion context, so it carries fusion noise with no
+        # feedback path; the carry comparison below pins the state
+        # trajectory itself to <= 4 ulp on every step.
+        fired = np.asarray(ow.valid).astype(bool)
         for name in ow._fields:
-            assert_ulp(getattr(ow, name), getattr(ol, name), name)
+            assert_ulp(getattr(ow, name), getattr(ol, name), name,
+                       mask=fired)
         for name in cw._fields:
             assert_ulp(getattr(cw, name), getattr(cl, name), name)
         assert int(np.asarray(ow.valid).sum()) > 100
@@ -288,6 +298,57 @@ def test_pallas_locked_gate_guard_flags_out_of_envelope():
     carry = jax.tree_util.tree_map(np.asarray, carry)
     assert np.all(carry.locked == 1)
     carry = carry._replace(t_phase=carry.t_phase + np.float32(5.5))
+    blk = jnp.asarray(xf[:, nwarm * cfg.block_len:])
+
+    wide = make_pallas_batch_demod(cfg, B, interpret=True)
+    cwide, _ = wide(jax.tree_util.tree_map(jnp.asarray, carry), blk)
+    assert int(np.asarray(cwide.flags).sum()) == 0
+
+    lock = make_pallas_batch_demod(cfg, B, interpret=True, locked=True)
+    cl, _ = lock(jax.tree_util.tree_map(jnp.asarray, carry), blk)
+    assert int((np.asarray(cl.flags) != 0).sum()) == B
+
+
+def test_pallas_spec_allfire_flags_nonfire_in_envelope_region():
+    """The LOCKED kernel's all-fire speculative steps (steps <
+    cfg.steps_always_fire; kernels/block_demod.py _make_step spec=True)
+    must FLAG a stream whose gate does not fire there, never silently
+    assume the fire. A large negative timing-phase excursion (clock step /
+    dropout artifact) pushes the fire threshold beyond the candidate
+    range for several symbols: legal for the wide gate (non-fire consumes
+    min(rem, K) ticks and retries), but out of the all-fire envelope —
+    the speculative step must raise FLAG_WINDOW_MISS so the oracle
+    fallback replays the block exactly."""
+    cfg = DemodConfig(samplerate=230400, block_len=1024)
+    assert cfg.steps_always_fire > 16   # spec arms engage for this config
+    B = 4
+    nwarm = 15   # QPSK fixture locks at block 13 (scan backend)
+    n = (nwarm + 1) * cfg.block_len
+    x = np.stack([
+        synth_psk(int(n / cfg.osf) + 64, cfg.samplerate,
+                  carrier_hz=60.0 + 30 * b, amplitude=6000.0,
+                  snr_db=22.0, seed=50 + b)[0][:n]
+        for b in range(B)])
+    xf = iq_to_f32(x)
+
+    scan_fn = jax.jit(jax.vmap(make_block_demod(cfg)))
+    carry = batch_carry(cfg, B)
+    for k in range(nwarm):
+        carry, _ = scan_fn(carry, xf[:, k * cfg.block_len:
+                                     (k + 1) * cfg.block_len])
+    carry = jax.tree_util.tree_map(np.asarray, carry)
+    assert np.all(carry.locked == 1)
+    # t_phase := -12.7 rad exactly (excursion magnitude depends on the
+    # entry residual, so pin it absolutely): the entry prologue's full
+    # gate can't fire (diff = 2*pi + 12.7 = 19.0 > K*tf = 9.42) and
+    # consumes K ticks; spec step 1 still sees diff = 9.56 > K*tf -> a
+    # spec-region NON-FIRE (the all-fire guard). The wide gate eats the
+    # same two non-fires and then fires at tick 48 with window coord
+    # c = 54 < W = 80 every following step — the wide kernel stays
+    # clean, pinning the flag on the locked kernel's in-step
+    # verification, not a generic window miss.
+    carry = carry._replace(
+        t_phase=np.full_like(carry.t_phase, np.float32(-12.7)))
     blk = jnp.asarray(xf[:, nwarm * cfg.block_len:])
 
     wide = make_pallas_batch_demod(cfg, B, interpret=True)
