@@ -2,6 +2,7 @@
 
 import os
 import pty
+import re
 import select
 import struct
 import subprocess
@@ -89,4 +90,13 @@ def test_tui_runs_in_pty(tmp_path):
     assert rc == 0, buf[-500:]
     assert b"LRPT Demodulator" in buf          # banner drawn
     assert b"PLL status" in buf                # status pane drawn
+    # Pane-for-pane field parity with the reference TUI (tui.c:204-247):
+    # "Data in" shows done/total durations as HH:MM:SS plus a percent
+    # (tui_update_file_in), "Data out" a humanized byte count with the
+    # bare-number <1k case (tui_update_data_out + utils.c humanize).
+    assert b"Data in" in buf
+    assert b"Data out" in buf
+    assert re.search(rb"\d{2}:\d{2}:\d{2}/\d{2}:\d{2}:\d{2}\s*"
+                     rb"\(\s*\d+\.\d%\)", buf), buf[-1000:]
+    assert re.search(rb"\d+(\.\d+)?\s*[kMGT]?\s*B", buf), buf[-1000:]
     assert os.path.getsize(out) > 0
