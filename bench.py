@@ -287,6 +287,64 @@ def _bench_turbo(cfg, chunks=FLEET_BATCH, kb=128, max_passes=4, seed=3,
     return sps, passes, converged, _spread(rates)
 
 
+def _bench_stream_span(cfg, chunks=32, kb=16, seconds=2.0):
+    """Single-stream STREAMING throughput via the span-turbo path
+    (demod/turbo.py demod_span_turbo; VERDICT r2 item 5): one ongoing
+    stream, locked, whose buffered span is demodulated chunk-parallel from
+    the stream's exact carry with the strict verified-prefix contract.
+    This is the file-backed / bursty live-pipeline workload
+    (/root/reference/README.md:75-92) — the sequential per-block chain
+    (single_stream_*) remains the latency-bound floor for sample-at-a-time
+    input. Device-resident span blocks (same rationale as _bench_turbo).
+    Returns (samples_per_sec, passes, verified_all, spread)."""
+    from meteor_demod_tpu.demod.turbo import demod_span_turbo
+    from meteor_demod_tpu.demod.pipeline import egress as _eg
+    L = cfg.block_len
+    span_n = chunks * kb * L
+    nwarm = 24
+    x = _make_signal(cfg, nwarm * L + span_n, seed=9)
+    xf_all = iq_to_f32(x)
+
+    # Lock the stream with the wide chained program (as the hosts do).
+    wide = _chained_fn(cfg, None)
+    carry = init_carry(cfg)
+    warm_blocks = jnp.asarray(xf_all[:nwarm * L].reshape(nwarm, L, 2))
+    carry, _ = wide(carry, warm_blocks)
+    assert _sync(carry) == 0
+    carry_np = jax.tree_util.tree_map(np.asarray, egress(carry))
+    assert int(carry_np.locked) == 1
+
+    xf_span = xf_all[nwarm * L:]
+    blocks_np = xf_span.reshape(chunks, kb, L, 2).transpose(1, 0, 2, 3)
+    blocks_dev = jnp.asarray(blocks_np) + 0.0
+    from meteor_demod_tpu.demod.turbo import (build_warmup,
+                                              default_warmup_blocks)
+    kb_w = min(default_warmup_blocks(L, kb), kb)
+    wblocks_np, _ = build_warmup(xf_span, chunks, kb * L, kb_w, L, cfg.taps)
+    wblocks_dev = jnp.asarray(wblocks_np) + 0.0
+
+    def one_span():
+        res = demod_span_turbo(cfg, carry_np, xf_span, chunks=chunks,
+                               blocks_dev=blocks_dev,
+                               wblocks_dev=wblocks_dev)
+        assert res.consumed > 0
+        return res
+
+    t0 = time.time()
+    res = one_span()                                   # compile+warm
+    log(f"stream-span warmup: {time.time()-t0:.1f}s, passes={res.passes}, "
+        f"verified {res.verified_lanes}/{chunks}")
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = one_span()
+        rates.append(res.consumed / (time.perf_counter() - t0))
+    sps = max(rates)
+    log(f"stream-span: best {sps/1e6:.1f} Msamples/s "
+        f"(passes={res.passes}, verified={res.verified_lanes}/{chunks})")
+    return (sps, res.passes, res.verified_lanes == chunks, _spread(rates))
+
+
 def _bench_fir(cfg, seconds=2.0):
     """Time-sharded FIR (parallel/timeshard.py) vs the plain overlap-save
     FIR at the same device count (one chip here): the single-device
@@ -371,6 +429,7 @@ def main():
     from meteor_demod_tpu.demod.turbo import make_chunk_mesh
     turbo_m = maybe("turbo-mesh1", lambda: _bench_turbo(
         cfg, mesh=make_chunk_mesh(jax.devices()[:1])))
+    span = maybe("stream-span", lambda: _bench_stream_span(cfg))
     fir = maybe("timeshard-fir", lambda: _bench_fir(cfg))
 
     value = fleet_sps / 1e6
@@ -390,6 +449,12 @@ def main():
         "single_stream_realtime_x":
             round(single_sps / REALTIME_SPS, 1) if single_sps else None,
         "single_stream_spread_msps": single[1] if single else None,
+        "stream_span_msamples_per_s":
+            round(span[0] / 1e6, 1) if span else None,
+        "stream_span_realtime_x":
+            round(span[0] / REALTIME_SPS, 1) if span else None,
+        "stream_span_passes": span[1] if span else None,
+        "stream_span_spread_msps": span[3] if span else None,
         "turbo_single_recording_msamples_per_s":
             round(turbo_sps / 1e6, 1) if turbo_sps else None,
         "turbo_single_recording_realtime_x":

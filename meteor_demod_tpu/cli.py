@@ -56,12 +56,15 @@ Advanced options:
 
 TPU extensions (not in the reference):
    -T, --turbo <chunks>    Offline chunk-parallel demodulation of the whole
-                           file across <chunks> batch lanes (file input
-                           only; 0 picks the chunk count automatically).
-                           Decision-exact when the fixpoint converges; a
-                           non-converged run resumes the exact sequential
-                           path from the last verified chunk boundary
-                           (worst case: the whole file sequentially)
+                           file across <chunks> batch lanes (0 picks the
+                           chunk count automatically). Decision-exact when
+                           the fixpoint converges; a non-converged run
+                           resumes the exact sequential path from the last
+                           verified chunk boundary (worst case: the whole
+                           file sequentially). With stdin input the same
+                           machinery applies to buffered spans as they
+                           fill (QPSK only; OQPSK streams stay on the
+                           sequential path)
 """
 
 
@@ -299,13 +302,18 @@ def main(argv: list[str] | None = None) -> int:
         sys.stderr.write(f"Invalid configuration: {e}\n")
         return 1
 
-    if opts.turbo_chunks is not None:
-        if is_stdin:
-            sys.stderr.write("--turbo requires a file input\n")
-            return 1
+    if opts.turbo_chunks is not None and not is_stdin:
         return _run_turbo(opts, cfg, samples_file, soft_file, bps)
 
-    demod = StreamDemodulator(cfg)
+    # stdin + -T: the whole file is never in hand, so apply the turbo
+    # machinery to buffered SPANS instead (QPSK only — see
+    # demod_span_turbo): live/piped inputs that burst ahead of real time
+    # are demodulated chunk-parallel, with the sequential path as the
+    # verified-prefix fallback.
+    span_turbo = opts.turbo_chunks is not None and not cfg.oqpsk
+    span_chunks = (opts.turbo_chunks or 32) if span_turbo else 32
+    demod = StreamDemodulator(cfg, span_turbo=span_turbo,
+                              span_chunks=max(2, span_chunks))
 
     # File length probe (main.c:190-193).
     file_len = 0

@@ -134,12 +134,27 @@ class StreamDemodulator:
     (pll.c:46-48, timing.c:29, agc.c:27-31).
     """
 
-    def __init__(self, cfg: DemodConfig, backend: str = "auto"):
+    def __init__(self, cfg: DemodConfig, backend: str = "auto",
+                 span_turbo: bool = False, span_chunks: int = 32,
+                 span_blocks: int = 16):
         cfg.validate()
         self.cfg = cfg
         from .backend import jit_single_demod
         self._fn = jit_single_demod(cfg, backend)
         self._backend = backend
+        # Speculative span mode (QPSK only): when a full span of input is
+        # buffered (file-backed or bursty streams), demodulate it
+        # chunk-parallel across span_chunks batch lanes with the gauge
+        # fixpoint (demod/turbo.py demod_span_turbo) instead of the
+        # sequential block chain — the strict-turbo acceptance contract
+        # (verified lane prefix, decision-final by induction; anything
+        # unverified is re-demodulated sequentially). Opt-in: the CLI's -T
+        # enables it for stdin/live inputs.
+        self.span_turbo = bool(span_turbo) and not cfg.oqpsk
+        self.span_chunks = span_chunks
+        self.span_blocks = span_blocks
+        self.spans_run = 0
+        self.span_fallbacks = 0
         # LOCKED-mode program switching: once the carrier is locked, blocks
         # dispatch through the kernel's narrow-window/offset-gate geometry
         # (decision-identical while inside the locked envelope; a
@@ -219,6 +234,15 @@ class StreamDemodulator:
             [self._pending, np.asarray(samples, dtype=np.complex64)])
         L = self.cfg.block_len
         chunks, self._backlog = self._backlog, []
+        span_n = self.span_chunks * self.span_blocks * L
+        while self.span_turbo and len(self._pending) >= span_n:
+            self.sync()
+            chunks.extend(self._backlog)
+            self._backlog = []
+            out = self._run_span(self._pending[:span_n])
+            if out is None:
+                break                  # unverified span: sequential path
+            chunks.append(out)
         while len(self._pending) >= self.chain_blocks * L:
             # Drain in-flight singles first and FLUSH their symbols into the
             # output now — emitting them later would reorder the stream.
@@ -248,6 +272,26 @@ class StreamDemodulator:
                                                    locked=True)
             return self._fn_locked
         return self._fn
+
+    def _run_span(self, span: np.ndarray) -> np.ndarray | None:
+        """Demodulate a buffered span chunk-parallel (demod_span_turbo).
+
+        Consumes the verified prefix from _pending and installs its exit
+        carry; returns its symbols, or None when nothing verified (the
+        caller falls through to the sequential chained path — never wrong
+        output, worst case one redundant pass over the span)."""
+        from .turbo import demod_span_turbo
+        res = demod_span_turbo(self.cfg, egress(self._carry),
+                               iq_to_f32(span), chunks=self.span_chunks,
+                               backend=self._backend)
+        self.spans_run += 1
+        if res.consumed == 0:
+            self.span_fallbacks += 1
+            return None
+        self._pending = self._pending[res.consumed:]
+        self._carry = jax.tree_util.tree_map(jnp.asarray, res.exit_carry)
+        self._publish_telemetry()
+        return res.symbols
 
     def _run_chained(self, span: np.ndarray) -> np.ndarray:
         """Demodulate chain_blocks consecutive blocks in one dispatch."""

@@ -537,16 +537,21 @@ def verified_prefix(lane_ok) -> int:
     return int(false_at[0]) if len(false_at) else len(lane_ok)
 
 
-def finish_warmup_carry(cfg, wf: DemodCarry, tails_np) -> DemodCarry:
+def finish_warmup_carry(cfg, wf: DemodCarry, tails_np,
+                        init_np: DemodCarry | None = None) -> DemodCarry:
     """Warmup exit carry -> gauge anchor w (numpy): lane 0 is replaced by
     the exact initial state (lane 0 IS the sequential start; its warmup on
     its own prefix is discarded), fir_tail becomes the data-exact main
     tails, tick and flags reset. Shared by demod_array_turbo and
     bench.py's device-resident variant so the warmup contract lives in one
-    place."""
-    init_np = jax.tree_util.tree_map(np.asarray, batch_carry(cfg, 1))
+    place. init_np: the exact lane-0 entry with (1,) leaves — cold start
+    by default; a mid-stream carry for the span-turbo path
+    (demod_span_turbo)."""
+    if init_np is None:
+        init_np = jax.tree_util.tree_map(np.asarray, batch_carry(cfg, 1))
     w = jax.tree_util.tree_map(
-        lambda a, a0: np.concatenate([a0, np.asarray(a)[1:]], axis=0),
+        lambda a, a0: np.concatenate([np.asarray(a0), np.asarray(a)[1:]],
+                                     axis=0),
         wf, init_np)
     return w._replace(fir_tail=tails_np,
                       tick=np.zeros_like(w.tick),
@@ -554,7 +559,7 @@ def finish_warmup_carry(cfg, wf: DemodCarry, tails_np) -> DemodCarry:
 
 
 def gauge_fixpoint(cfg, run, put_packed, blocks, w_np, tails_np, max_passes,
-                   resume=None):
+                   resume=None, init_np=None):
     """Shared gauge-mode fixpoint driver (demod_array_turbo and bench.py).
 
     run: a _chunk_fn_packed runner — jitted (packed_carry, blocks) ->
@@ -583,8 +588,12 @@ def gauge_fixpoint(cfg, run, put_packed, blocks, w_np, tails_np, max_passes,
     quadrants rotating it into chunk 0's gauge, max_resid the larger of
     the gauge and settling residuals, lane_ok the per-lane convergence
     diagnostics of the last pass (_lane_ok_np — all-True iff converged;
-    its leading all-True prefix backs the bounded strict fallback)."""
-    init_np = jax.tree_util.tree_map(np.asarray, batch_carry(cfg, 1))
+    its leading all-True prefix backs the bounded strict fallback).
+
+    init_np: exact lane-0 entry with (1,) leaves (default cold start; a
+    mid-stream carry for demod_span_turbo)."""
+    if init_np is None:
+        init_np = jax.tree_util.tree_map(np.asarray, batch_carry(cfg, 1))
     g_np = w_np
     prev_fp = None
     converged = False
@@ -1221,3 +1230,145 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
                        passes=passes, max_residual=max_residual, gauges=K,
                        fell_back=fallback_n > 0,
                        fallback_samples=fallback_n)
+
+
+# ---------------------------------------------------------------------------
+# Span turbo: the chunk-parallel fixpoint applied to a BOUNDED mid-stream
+# span — the streaming answer to the single-stream serialization
+# (StreamDemodulator's per-block chain runs at per-dispatch latency; a
+# buffered span of a file-backed or bursty input can instead ride the
+# C-lane batch program: warmup + O(1) gauge passes for C*kb blocks of
+# output, a ~C/passes-fold throughput win at the same exactness contract
+# as strict turbo).
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class SpanResult:
+    """demod_span_turbo outcome.
+
+    symbols covers the ACCEPTED prefix only (consumed samples); the caller
+    demodulates the rest of the span through its normal sequential path
+    (exact oracle semantics) and keeps feeding from there.
+    """
+    symbols: np.ndarray              # structured (re, im, locked_once)
+    exit_carry: DemodCarry | None    # numpy scalar leaves; None if P == 0
+    consumed: int                    # samples covered by the accepted prefix
+    passes: int
+    converged: bool
+    verified_lanes: int              # P — accepted chunk-lane prefix length
+
+
+def demod_span_turbo(cfg: DemodConfig, carry0: DemodCarry, xf: np.ndarray,
+                     chunks: int = 32, max_passes: int = 4,
+                     backend: str = "auto",
+                     warmup_blocks: int | None = None,
+                     blocks_dev=None, wblocks_dev=None) -> SpanResult:
+    """Demodulate a mid-stream span chunk-parallel from an EXACT carry.
+
+    The span continues an ongoing stream: lane 0's entry is `carry0`
+    (numpy scalar leaves — the stream's authoritative state, including its
+    FIR tail), lanes 1..C-1 warm up on the real data preceding their
+    chunk and the one-shot gauge resolution + fingerprint fixpoint of
+    demod_array_turbo's gauge mode (O(1) passes) aligns their quadrants to
+    the stream's. Acceptance is the strict-turbo contract
+    (tests/test_turbo.py): the verified chunk-lane prefix is
+    decision-final by induction from the exact lane-0 entry
+    (_lane_ok_np); its symbols are emitted rotated into the stream's
+    gauge (exact sign/swap) and the exit carry at the prefix boundary —
+    rotated likewise — continues the stream. A non-verified suffix is NOT
+    consumed; the caller re-demodulates it sequentially (so worst case
+    costs one redundant pass over the span, never wrong output). Safety
+    flags anywhere reject the whole span the same way.
+
+    QPSK only: rotating an odd-quadrant OQPSK exit carry into the emitted
+    gauge needs the half-symbol re-pairing surgery documented in
+    demod_array_turbo's OQPSK assembly, which cannot be finalized
+    mid-stream. Callers gate on cfg.oqpsk.
+
+    xf: (N, 2) float32 span with N == chunks * kb * cfg.block_len for an
+    integer kb >= 2 (the caller sizes spans; no tail handling here).
+
+    blocks_dev / wblocks_dev: optionally the (kb, C, L, 2) main and
+    (kb_w, C, L, 2) warmup block arrays already ON DEVICE — bench.py's
+    device-resident variant (the ~MB/s relay link is not representative
+    of a production NIC; same rationale as _bench_turbo). They must match
+    xf's content.
+    """
+    cfg.validate()
+    if cfg.oqpsk:
+        raise ValueError("span turbo is QPSK-only (OQPSK gauge exit "
+                         "cannot be finalized mid-stream)")
+    N = len(xf)
+    L = cfg.block_len
+    taps = cfg.taps
+    kb = N // (chunks * L)
+    if kb * chunks * L != N or kb < 2:
+        raise ValueError(f"span length {N} != chunks*kb*L with kb >= 2")
+    chunk_len = kb * L
+    carry0 = jax.tree_util.tree_map(np.asarray, carry0)
+
+    blocks_np = xf.reshape(chunks, kb, L, 2).transpose(1, 0, 2, 3)
+    tails = np.zeros((chunks, taps - 1, 2), np.float32)
+    tails[0] = carry0.fir_tail
+    for c in range(1, chunks):
+        tails[c] = xf[c * chunk_len - (taps - 1):c * chunk_len]
+
+    kb_w = min(warmup_blocks or default_warmup_blocks(L, kb), kb)
+    wblocks_np, wtails = build_warmup(xf, chunks, chunk_len, kb_w, L, taps)
+    if blocks_dev is None:
+        blocks_dev = jnp.asarray(blocks_np)
+    if wblocks_dev is None:
+        wblocks_dev = jnp.asarray(wblocks_np)
+
+    init_np = jax.tree_util.tree_map(lambda a: np.asarray(a)[None], carry0)
+    put_packed = lambda pc: tuple(map(jnp.asarray, pc))
+    w0_np = jax.tree_util.tree_map(
+        np.array, batch_carry(cfg, chunks)._replace(fir_tail=wtails))
+    run_w = _chunk_fn_packed(cfg, chunks, kb_w, backend, None)
+    run_g = _chunk_fn_packed(cfg, chunks, kb, backend, None)
+    wpf, _, _ = run_w(put_packed(pack_carry_np(w0_np)), wblocks_dev)
+    w_np = finish_warmup_carry(cfg, unpack_carry_np(*egress(wpf)), tails,
+                               init_np=init_np)
+    f_np, outs, K, passes, converged, _, lane_ok = gauge_fixpoint(
+        cfg, run_g, put_packed, blocks_dev, w_np, tails,
+        max_passes, init_np=init_np)
+
+    empty = np.zeros(0, dtype=_SYM_DTYPE)
+    if int(np.asarray(f_np.flags).sum()) != 0:
+        return SpanResult(empty, None, 0, passes, False, 0)
+    P = chunks if converged else verified_prefix(lane_ok)
+    if P == 0:
+        return SpanResult(empty, None, 0, passes, converged, 0)
+
+    o = egress(outs)
+    sym_re = np.asarray(o.sym_re)        # (kb, C, S)
+    sym_im = np.asarray(o.sym_im)
+    valid = np.asarray(o.valid).astype(bool)
+    lonce = np.asarray(o.locked_once)
+    parts = []
+    for c in range(P):
+        m = valid[:, c, :].reshape(-1)
+        s = np.zeros(int(m.sum()), dtype=_SYM_DTYPE)
+        re = sym_re[:, c, :].reshape(-1)[m]
+        im = sym_im[:, c, :].reshape(-1)[m]
+        re, im = rotate_quadrant(re, im, K[c])
+        s["re"] = re
+        s["im"] = im
+        s["locked_once"] = lonce[:, c, :].reshape(-1)[m]
+        parts.append(s)
+    symbols = np.concatenate(parts) if parts else empty
+
+    exit_c = jax.tree_util.tree_map(lambda a: np.asarray(a)[P - 1], f_np)
+    if int(K[P - 1]) % 4 != 0:
+        # Rotate the exit carry into the stream's gauge (see
+        # demod_array_turbo's tail continuation for the derivation):
+        # symbols transform by e^{-j K pi/2} -> NCO phase shifts by
+        # +K pi/2; t_prev becomes the last EMITTED symbol's Q.
+        pp = np.mod(float(exit_c.p_phase)
+                    + (int(K[P - 1]) % 4) * float(_HALF_PI), 2 * np.pi)
+        prev_q = float(symbols["im"][-1]) if len(symbols) \
+            else float(carry0.t_prev)
+        exit_c = exit_c._replace(p_phase=np.float32(pp),
+                                 t_prev=np.float32(prev_q))
+    exit_c = exit_c._replace(tick=np.int32(0), flags=np.int32(0))
+    return SpanResult(symbols, exit_c, P * chunk_len, passes, converged, P)

@@ -1,0 +1,190 @@
+"""Streaming span turbo: chunk-parallel demod of buffered mid-stream spans.
+
+demod_span_turbo (demod/turbo.py) continues an ongoing stream from its
+EXACT carry: lane 0 is the stream state, warmup + gauge resolution align
+the other lanes, and the strict-turbo acceptance (verified lane prefix)
+guarantees decision-final output; anything unverified is left for the
+sequential path. The VERDICT r2 item 5 workload: file-backed / bursty
+single streams (/root/reference/README.md:75-92) at far above the
+per-block dispatch rate.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from meteor_demod_tpu.config import DemodConfig
+from meteor_demod_tpu.demod import turbo
+from meteor_demod_tpu.demod.pipeline import StreamDemodulator, egress
+from meteor_demod_tpu.demod.turbo import demod_span_turbo
+from meteor_demod_tpu.dsp.fir import iq_to_f32
+from meteor_demod_tpu.sim import synth_psk
+
+
+def _cfg():
+    return DemodConfig(samplerate=230400, block_len=2048, symrate=72000.0)
+
+
+def _signal(cfg, n, seed=11, carrier=300.0):
+    x, _ = synth_psk(int(n / cfg.osf) + 64, cfg.samplerate,
+                     symrate=cfg.symrate, carrier_hz=carrier,
+                     amplitude=6000.0, snr_db=18.0, seed=seed)
+    return x[:n]
+
+
+def test_span_stream_matches_sequential():
+    """StreamDemodulator(span_turbo=True) fed in arbitrary pieces must
+    emit the same number of symbols with identical signs as the plain
+    sequential stream — spans, the chained path, and the oracle tail all
+    interleaving. Cold start included: the first span's lane 0 entry is
+    the cold initial state, exactly like demod_array_turbo's."""
+    cfg = _cfg()
+    L = cfg.block_len
+    C, kb = 8, 8
+    span_n = C * kb * L
+    n = 2 * span_n + 5 * L + 777
+    x = _signal(cfg, n)
+
+    d_ref = StreamDemodulator(cfg, backend="scan")
+    ref = np.concatenate([d_ref.process(x), d_ref.finish()])
+
+    d = StreamDemodulator(cfg, backend="scan", span_turbo=True,
+                          span_chunks=C, span_blocks=kb)
+    out = []
+    pos = 0
+    rng = np.random.default_rng(0)
+    while pos < n:
+        m = int(rng.integers(10000, 400000))
+        out.append(d.process(x[pos:pos + m]))
+        pos += m
+    out.append(d.finish())
+    out = np.concatenate(out)
+
+    assert d.spans_run >= 2
+    assert d.span_fallbacks == 0
+    assert len(out) == len(ref)
+    np.testing.assert_array_equal(np.sign(out["re"]), np.sign(ref["re"]))
+    np.testing.assert_array_equal(np.sign(out["im"]), np.sign(ref["im"]))
+    np.testing.assert_array_equal(out["locked_once"], ref["locked_once"])
+
+
+def test_span_turbo_exit_carry_continues_stream():
+    """The exit carry returned by demod_span_turbo (rotated into the
+    emitted gauge) must continue the stream seamlessly: demodulating the
+    suffix sequentially from it yields the same decisions as the
+    all-sequential path."""
+    cfg = _cfg()
+    L = cfg.block_len
+    C, kb = 8, 8
+    nwarm = 30
+    span_n = C * kb * L
+    tail_n = 6 * L
+    n = nwarm * L + span_n + tail_n
+    x = _signal(cfg, n, seed=13)
+    xf = iq_to_f32(x)
+
+    d_ref = StreamDemodulator(cfg, backend="scan")
+    ref = np.concatenate([d_ref.process(x), d_ref.finish()])
+
+    d = StreamDemodulator(cfg, backend="scan")
+    head = d.process(x[:nwarm * L])
+    d.sync()
+    head = np.concatenate([head] + d._backlog) if d._backlog else head
+    d._backlog = []
+    assert d.pll_locked
+
+    res = demod_span_turbo(cfg, egress(d._carry),
+                           xf[nwarm * L:nwarm * L + span_n],
+                           chunks=C, backend="scan")
+    assert res.converged and res.verified_lanes == C
+    assert res.consumed == span_n
+
+    d2 = StreamDemodulator(cfg, backend="scan")
+    d2._carry = jax.tree_util.tree_map(jnp.asarray, res.exit_carry)
+    tail = np.concatenate([d2.process(x[nwarm * L + span_n:]),
+                           d2.finish()])
+
+    out = np.concatenate([head, res.symbols, tail])
+    assert len(out) == len(ref)
+    np.testing.assert_array_equal(np.sign(out["re"]), np.sign(ref["re"]))
+    np.testing.assert_array_equal(np.sign(out["im"]), np.sign(ref["im"]))
+
+
+def test_span_turbo_rejects_oqpsk():
+    cfg = DemodConfig(samplerate=230400, block_len=2048, symrate=80000.0,
+                      oqpsk=True)
+    with pytest.raises(ValueError, match="QPSK"):
+        demod_span_turbo(cfg, egress(StreamDemodulator(cfg)._carry),
+                         np.zeros((16 * 2048, 2), np.float32), chunks=8)
+    # and the stream constructor silently disables the span path
+    d = StreamDemodulator(cfg, span_turbo=True)
+    assert not d.span_turbo
+
+
+def test_span_unverified_prefix_bounded_fallback(monkeypatch):
+    """A span whose fixpoint verdict fails from lane P onward must consume
+    only the verified prefix; the stream re-demodulates the suffix through
+    its normal sequential path, and the total output still matches the
+    all-sequential reference sign-for-sign (the strict-turbo bounded
+    fallback contract, applied to streaming)."""
+    cfg = _cfg()
+    L = cfg.block_len
+    C, kb, P = 8, 8, 5
+    span_n = C * kb * L
+    n = span_n + 3 * L
+    x = _signal(cfg, n, seed=17)
+
+    real_fix = turbo.gauge_fixpoint
+
+    def poisoned(*a, **k):
+        f_np, outs, K, passes, conv, resid, lane_ok = real_fix(*a, **k)
+        assert conv, "fixture must converge before poisoning"
+        ok = np.ones(C, bool)
+        ok[P:] = False
+        return f_np, outs, K, passes, False, max(resid, 0.5), ok
+
+    monkeypatch.setattr(turbo, "gauge_fixpoint", poisoned)
+
+    d_ref = StreamDemodulator(cfg, backend="scan")
+    ref = np.concatenate([d_ref.process(x), d_ref.finish()])
+
+    d = StreamDemodulator(cfg, backend="scan", span_turbo=True,
+                          span_chunks=C, span_blocks=kb)
+    out = np.concatenate([d.process(x), d.finish()])
+
+    assert d.spans_run == 1
+    assert len(out) == len(ref)
+    np.testing.assert_array_equal(np.sign(out["re"]), np.sign(ref["re"]))
+    np.testing.assert_array_equal(np.sign(out["im"]), np.sign(ref["im"]))
+
+
+def test_span_all_unverified_falls_back_whole_span(monkeypatch):
+    """P == 0 (nothing verified) must consume nothing and leave the whole
+    span to the sequential path — output equals the sequential reference
+    and the fallback counter records the rejection."""
+    cfg = _cfg()
+    L = cfg.block_len
+    C, kb = 8, 8
+    span_n = C * kb * L
+    x = _signal(cfg, span_n, seed=19)
+
+    real_fix = turbo.gauge_fixpoint
+
+    def poisoned(*a, **k):
+        f_np, outs, K, passes, conv, resid, lane_ok = real_fix(*a, **k)
+        return f_np, outs, K, passes, False, 1.0, np.zeros(C, bool)
+
+    monkeypatch.setattr(turbo, "gauge_fixpoint", poisoned)
+
+    d_ref = StreamDemodulator(cfg, backend="scan")
+    ref = np.concatenate([d_ref.process(x), d_ref.finish()])
+
+    d = StreamDemodulator(cfg, backend="scan", span_turbo=True,
+                          span_chunks=C, span_blocks=kb)
+    out = np.concatenate([d.process(x), d.finish()])
+
+    assert d.spans_run == 1 and d.span_fallbacks == 1
+    assert len(out) == len(ref)
+    np.testing.assert_array_equal(out["re"], ref["re"])
+    np.testing.assert_array_equal(out["im"], ref["im"])
