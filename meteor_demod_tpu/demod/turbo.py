@@ -753,7 +753,8 @@ def _bc_f32(x):
 
 @functools.lru_cache(maxsize=8)
 def _fused_gauge_fn(cfg: DemodConfig, chunks: int, kb: int, kb_w: int,
-                    backend: str, mesh=None, axis_name: str = "chunks"):
+                    backend: str, mesh=None, axis_name: str = "chunks",
+                    ext_init: bool = False):
     """Jitted fused gauge turbo (see the section comment above).
 
     (pw0, wblocks, blocks, tails) -> (small_vec, g3_pc, w_pc, outs2)
@@ -763,7 +764,10 @@ def _fused_gauge_fn(cfg: DemodConfig, chunks: int, kb: int, kb_w: int,
     costs a single host round-trip; g3_pc / w_pc (next-pass entries and the
     gauge anchor) serve the rare not-converged continuation and the
     device-resident outs2 the final assembly. The exact initial state for
-    lane 0 is baked in as a trace-time constant."""
+    lane 0 is baked in as a trace-time constant — unless ext_init, which
+    prepends a packed (1,)-leaf exact entry to the signature
+    ((pinit, pw0, ...)) so the SAME compiled program serves every
+    mid-stream span (demod_span_turbo) without a retrace per carry."""
     n_dev = 1 if mesh is None else mesh.devices.size
     demod = make_batch_demod(cfg, chunks // n_dev, backend)
 
@@ -803,8 +807,9 @@ def _fused_gauge_fn(cfg: DemodConfig, chunks: int, kb: int, kb_w: int,
             pass_fp_outs, mesh=mesh, in_specs=(lane, blk),
             out_specs=(lane, blk, (lane,) * 3), check_vma=False)
 
-    def fused(pw0, wblocks, blocks, tails):
-        init = batch_carry(cfg, 1)                     # leaves (1, ...)
+    def fused(pw0, wblocks, blocks, tails, pinit=None):
+        init = (batch_carry(cfg, 1) if pinit is None
+                else _unpack_j(pinit))                 # leaves (1, ...)
         w_raw = warm_phase(_unpack_j(pw0), wblocks)
         # finish_warmup_carry, traced: lane 0 <- exact initial state.
         w = jax.tree_util.tree_map(
@@ -848,6 +853,9 @@ def _fused_gauge_fn(cfg: DemodConfig, chunks: int, kb: int, kb_w: int,
             _bc_f32(sti), jnp.stack([maxd, resid])])
         return small, _pack_j(g3), _pack_j(w), outs2
 
+    if ext_init:
+        return jax.jit(lambda pinit, pw0, wblocks, blocks, tails: fused(
+            pw0, wblocks, blocks, tails, pinit=pinit))
     return jax.jit(fused)
 
 
@@ -877,7 +885,7 @@ def _unpack_small(cfg, chunks, small):
 
 def fused_gauge_run(cfg, chunks, kb, kb_w, backend, mesh, put_packed,
                     w0_np, wblocks, blocks, tails_dev, tails_np,
-                    max_passes, pw0_dev=None):
+                    max_passes, pw0_dev=None, init_np=None):
     """Run the fused 2-pass gauge turbo; continue on the per-pass loop in
     the rare not-converged case (shared by demod_array_turbo and bench.py).
 
@@ -885,12 +893,22 @@ def fused_gauge_run(cfg, chunks, kb, kb_w, backend, mesh, put_packed,
     blocks / tails_dev already placed on device (sharded under a mesh).
     pw0_dev: optionally the packed warmup carry already on device (skips
     the per-call pack+upload for callers that reuse it).
+    init_np: exact lane-0 entry with (1,) leaves (cold start by default; a
+    mid-stream carry for demod_span_turbo — passed as a runtime input so
+    the compiled program is reused across spans).
     Returns the gauge_fixpoint contract (f_np, outs, K, passes, converged,
     max_resid, lane_ok)."""
-    fused = _fused_gauge_fn(cfg, chunks, kb, kb_w, backend, mesh)
+    fused = _fused_gauge_fn(cfg, chunks, kb, kb_w, backend, mesh,
+                            ext_init=init_np is not None)
     if pw0_dev is None:
         pw0_dev = put_packed(pack_carry_np(w0_np))
-    small, g3_pc, w_pc, outs2 = fused(pw0_dev, wblocks, blocks, tails_dev)
+    if init_np is not None:
+        pinit_dev = tuple(map(jnp.asarray, pack_carry_np(init_np)))
+        small, g3_pc, w_pc, outs2 = fused(pinit_dev, pw0_dev, wblocks,
+                                          blocks, tails_dev)
+    else:
+        small, g3_pc, w_pc, outs2 = fused(pw0_dev, wblocks, blocks,
+                                          tails_dev)
     f2, k2, fp2, stats = _unpack_small(cfg, chunks, egress(small))
     max_resid = max(stats["max_delta"], stats["resid"])
     if stats["converged"] or max_passes <= 2:
@@ -904,7 +922,8 @@ def fused_gauge_run(cfg, chunks, kb, kb_w, backend, mesh, put_packed,
     w_np = unpack_carry_np(*egress(w_pc))
     prev_fp = tuple(tuple(int(x) for x in t) for t in zip(*fp2))
     return gauge_fixpoint(cfg, run, put_packed, blocks, w_np, tails_np,
-                          max_passes, resume=(g3, prev_fp, k2, 2))
+                          max_passes, resume=(g3, prev_fp, k2, 2),
+                          init_np=init_np)
 
 
 @functools.lru_cache(maxsize=4)
@@ -1324,14 +1343,28 @@ def demod_span_turbo(cfg: DemodConfig, carry0: DemodCarry, xf: np.ndarray,
     put_packed = lambda pc: tuple(map(jnp.asarray, pc))
     w0_np = jax.tree_util.tree_map(
         np.array, batch_carry(cfg, chunks)._replace(fir_tail=wtails))
-    run_w = _chunk_fn_packed(cfg, chunks, kb_w, backend, None)
-    run_g = _chunk_fn_packed(cfg, chunks, kb, backend, None)
-    wpf, _, _ = run_w(put_packed(pack_carry_np(w0_np)), wblocks_dev)
-    w_np = finish_warmup_carry(cfg, unpack_carry_np(*egress(wpf)), tails,
-                               init_np=init_np)
-    f_np, outs, K, passes, converged, _, lane_ok = gauge_fixpoint(
-        cfg, run_g, put_packed, blocks_dev, w_np, tails,
-        max_passes, init_np=init_np)
+    no_fused = os.environ.get("METEOR_DEMOD_NO_FUSED", "").lower() \
+        not in ("", "0", "false", "no")
+    if max_passes >= 2 and not no_fused:
+        # Fused fast path: warmup + both passes + convergence detection in
+        # ONE dispatch and one small egress — spans are latency-sensitive
+        # (the per-pass host round trips of the loop below would dominate
+        # a bounded span on a high-latency link). The stream carry enters
+        # as a runtime input (ext_init), so every span reuses the same
+        # compiled program.
+        f_np, outs, K, passes, converged, _, lane_ok = fused_gauge_run(
+            cfg, chunks, kb, kb_w, backend, None, put_packed, w0_np,
+            wblocks_dev, blocks_dev, jnp.asarray(tails), tails,
+            max_passes, init_np=init_np)
+    else:
+        run_w = _chunk_fn_packed(cfg, chunks, kb_w, backend, None)
+        run_g = _chunk_fn_packed(cfg, chunks, kb, backend, None)
+        wpf, _, _ = run_w(put_packed(pack_carry_np(w0_np)), wblocks_dev)
+        w_np = finish_warmup_carry(cfg, unpack_carry_np(*egress(wpf)),
+                                   tails, init_np=init_np)
+        f_np, outs, K, passes, converged, _, lane_ok = gauge_fixpoint(
+            cfg, run_g, put_packed, blocks_dev, w_np, tails,
+            max_passes, init_np=init_np)
 
     empty = np.zeros(0, dtype=_SYM_DTYPE)
     if int(np.asarray(f_np.flags).sum()) != 0:

@@ -135,16 +135,16 @@ def test_span_unverified_prefix_bounded_fallback(monkeypatch):
     n = span_n + 3 * L
     x = _signal(cfg, n, seed=17)
 
-    real_fix = turbo.gauge_fixpoint
+    real_run = turbo.fused_gauge_run
 
     def poisoned(*a, **k):
-        f_np, outs, K, passes, conv, resid, lane_ok = real_fix(*a, **k)
+        f_np, outs, K, passes, conv, resid, lane_ok = real_run(*a, **k)
         assert conv, "fixture must converge before poisoning"
         ok = np.ones(C, bool)
         ok[P:] = False
         return f_np, outs, K, passes, False, max(resid, 0.5), ok
 
-    monkeypatch.setattr(turbo, "gauge_fixpoint", poisoned)
+    monkeypatch.setattr(turbo, "fused_gauge_run", poisoned)
 
     d_ref = StreamDemodulator(cfg, backend="scan")
     ref = np.concatenate([d_ref.process(x), d_ref.finish()])
@@ -169,13 +169,13 @@ def test_span_all_unverified_falls_back_whole_span(monkeypatch):
     span_n = C * kb * L
     x = _signal(cfg, span_n, seed=19)
 
-    real_fix = turbo.gauge_fixpoint
+    real_run = turbo.fused_gauge_run
 
     def poisoned(*a, **k):
-        f_np, outs, K, passes, conv, resid, lane_ok = real_fix(*a, **k)
+        f_np, outs, K, passes, conv, resid, lane_ok = real_run(*a, **k)
         return f_np, outs, K, passes, False, 1.0, np.zeros(C, bool)
 
-    monkeypatch.setattr(turbo, "gauge_fixpoint", poisoned)
+    monkeypatch.setattr(turbo, "fused_gauge_run", poisoned)
 
     d_ref = StreamDemodulator(cfg, backend="scan")
     ref = np.concatenate([d_ref.process(x), d_ref.finish()])
@@ -188,3 +188,40 @@ def test_span_all_unverified_falls_back_whole_span(monkeypatch):
     assert len(out) == len(ref)
     np.testing.assert_array_equal(out["re"], ref["re"])
     np.testing.assert_array_equal(out["im"], ref["im"])
+
+
+def test_span_fused_equals_loop(monkeypatch):
+    """demod_span_turbo's fused single-dispatch path (ext_init
+    _fused_gauge_fn) must reproduce the per-pass loop: same verdict and
+    pass count, same decision stream, same exit-carry decisions (soft
+    values may differ in the last float32 bit — the loop's gauge
+    bookkeeping is host float64, the fused program's device float32)."""
+    cfg = _cfg()
+    L = cfg.block_len
+    C, kb = 8, 8
+    nwarm = 30
+    span_n = C * kb * L
+    x = _signal(cfg, nwarm * L + span_n, seed=23)
+    xf = iq_to_f32(x)
+
+    d = StreamDemodulator(cfg, backend="scan")
+    d.process(x[:nwarm * L])
+    d.sync()
+    carry0 = egress(d._carry)
+    span = xf[nwarm * L:]
+
+    fused = demod_span_turbo(cfg, carry0, span, chunks=C, backend="scan")
+    monkeypatch.setenv("METEOR_DEMOD_NO_FUSED", "1")
+    loop = demod_span_turbo(cfg, carry0, span, chunks=C, backend="scan")
+
+    assert fused.converged == loop.converged
+    assert fused.passes == loop.passes
+    assert fused.consumed == loop.consumed == span_n
+    assert len(fused.symbols) == len(loop.symbols)
+    np.testing.assert_array_equal(np.sign(fused.symbols["re"]),
+                                  np.sign(loop.symbols["re"]))
+    np.testing.assert_array_equal(np.sign(fused.symbols["im"]),
+                                  np.sign(loop.symbols["im"]))
+    for name in ("locked", "locked_once", "slot"):
+        assert int(getattr(fused.exit_carry, name)) == \
+            int(getattr(loop.exit_carry, name)), name
