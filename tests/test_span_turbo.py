@@ -225,3 +225,29 @@ def test_span_fused_equals_loop(monkeypatch):
     for name in ("locked", "locked_once", "slot"):
         assert int(getattr(fused.exit_carry, name)) == \
             int(getattr(loop.exit_carry, name)), name
+
+
+def test_span_noise_only_stream_never_claims_lock():
+    """Pure AWGN through StreamDemodulator's span mode: the PLL never
+    locks, warmup estimates are meaningless, and the span fixpoint must
+    either verify honestly or fall back to the sequential path — never
+    crash or claim a lock. The product-level contract (the writer gates
+    emission on locked_once, main.c:312) holds regardless of which path
+    each span took."""
+    cfg = _cfg()
+    L = cfg.block_len
+    C, kb = 8, 8
+    n = C * kb * L + 3 * L
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) \
+        .astype(np.complex64) * 900.0
+
+    d = StreamDemodulator(cfg, backend="scan", span_turbo=True,
+                          span_chunks=C, span_blocks=kb)
+    out = np.concatenate([d.process(x), d.finish()])
+    assert d.spans_run == 1
+    assert not out["locked_once"].any()
+    # Sanity: symbol count stays near the timing-nominal rate (the gate
+    # free-runs on noise), whichever path produced it.
+    nominal = n / cfg.osf
+    assert abs(len(out) - nominal) < 0.05 * nominal + 64
