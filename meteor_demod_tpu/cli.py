@@ -63,8 +63,7 @@ TPU extensions (not in the reference):
                            verified chunk boundary (worst case: the whole
                            file sequentially). With stdin input the same
                            machinery applies to buffered spans as they
-                           fill (QPSK only; OQPSK streams stay on the
-                           sequential path)
+                           fill
 """
 
 
@@ -306,11 +305,11 @@ def main(argv: list[str] | None = None) -> int:
         return _run_turbo(opts, cfg, samples_file, soft_file, bps)
 
     # stdin + -T: the whole file is never in hand, so apply the turbo
-    # machinery to buffered SPANS instead (QPSK only — see
-    # demod_span_turbo): live/piped inputs that burst ahead of real time
-    # are demodulated chunk-parallel, with the sequential path as the
-    # verified-prefix fallback.
-    span_turbo = opts.turbo_chunks is not None and not cfg.oqpsk
+    # machinery to buffered SPANS instead (see demod_span_turbo):
+    # live/piped inputs that burst ahead of real time are demodulated
+    # chunk-parallel, with the sequential path as the verified-prefix
+    # fallback.
+    span_turbo = opts.turbo_chunks is not None
     span_chunks = (opts.turbo_chunks or 32) if span_turbo else 32
     demod = StreamDemodulator(cfg, span_turbo=span_turbo,
                               span_chunks=max(2, span_chunks))

@@ -142,15 +142,16 @@ class StreamDemodulator:
         from .backend import jit_single_demod
         self._fn = jit_single_demod(cfg, backend)
         self._backend = backend
-        # Speculative span mode (QPSK only): when a full span of input is
-        # buffered (file-backed or bursty streams), demodulate it
-        # chunk-parallel across span_chunks batch lanes with the gauge
-        # fixpoint (demod/turbo.py demod_span_turbo) instead of the
-        # sequential block chain — the strict-turbo acceptance contract
-        # (verified lane prefix, decision-final by induction; anything
-        # unverified is re-demodulated sequentially). Opt-in: the CLI's -T
+        # Speculative span mode: when a full span of input is buffered
+        # (file-backed or bursty streams), demodulate it chunk-parallel
+        # across span_chunks batch lanes with the gauge fixpoint
+        # (demod/turbo.py demod_span_turbo) instead of the sequential
+        # block chain — the strict-turbo acceptance contract (verified
+        # lane prefix, decision-final by induction; OQPSK additionally
+        # shrunk to an even-gauge boundary; anything unverified stays
+        # buffered or falls to the sequential path). Opt-in: the CLI's -T
         # enables it for stdin/live inputs.
-        self.span_turbo = bool(span_turbo) and not cfg.oqpsk
+        self.span_turbo = bool(span_turbo)
         self.span_chunks = span_chunks
         self.span_blocks = span_blocks
         self.spans_run = 0

@@ -1299,10 +1299,16 @@ def demod_span_turbo(cfg: DemodConfig, carry0: DemodCarry, xf: np.ndarray,
     costs one redundant pass over the span, never wrong output). Safety
     flags anywhere reject the whole span the same way.
 
-    QPSK only: rotating an odd-quadrant OQPSK exit carry into the emitted
-    gauge needs the half-symbol re-pairing surgery documented in
-    demod_array_turbo's OQPSK assembly, which cannot be finalized
-    mid-stream. Callers gate on cfg.oqpsk.
+    OQPSK: accepted lane prefixes are additionally shrunk to the longest
+    one ending at an EVEN cumulative gauge (K[P-1] % 2 == 0). An
+    odd-gauge exit swaps the half-symbol I/Q labeling — finalizing it
+    mid-stream would need the global re-pairing surgery documented in
+    _assemble_oqpsk_gauge — while an even-gauge exit carry rotates by
+    pure sign flips (p_phase += K*pi/2; t_prev/inphase *= _OQ_SIGNS),
+    exactly like QPSK. Lane gauges are near-uniform, so the shrink
+    discards ~1 lane in expectation (geometric, p=1/2); the unconsumed
+    lanes stay buffered and join the caller's next span — never
+    re-demodulated sequentially.
 
     xf: (N, 2) float32 span with N == chunks * kb * cfg.block_len for an
     integer kb >= 2 (the caller sizes spans; no tail handling here).
@@ -1314,9 +1320,6 @@ def demod_span_turbo(cfg: DemodConfig, carry0: DemodCarry, xf: np.ndarray,
     xf's content.
     """
     cfg.validate()
-    if cfg.oqpsk:
-        raise ValueError("span turbo is QPSK-only (OQPSK gauge exit "
-                         "cannot be finalized mid-stream)")
     N = len(xf)
     L = cfg.block_len
     taps = cfg.taps
@@ -1370,6 +1373,11 @@ def demod_span_turbo(cfg: DemodConfig, carry0: DemodCarry, xf: np.ndarray,
     if int(np.asarray(f_np.flags).sum()) != 0:
         return SpanResult(empty, None, 0, passes, False, 0)
     P = chunks if converged else verified_prefix(lane_ok)
+    if cfg.oqpsk:
+        # Odd-gauge exits swap the half-symbol labeling (see docstring):
+        # shrink to the longest even-gauge boundary.
+        while P > 0 and int(K[P - 1]) % 2 != 0:
+            P -= 1
     if P == 0:
         return SpanResult(empty, None, 0, passes, converged, 0)
 
@@ -1378,30 +1386,44 @@ def demod_span_turbo(cfg: DemodConfig, carry0: DemodCarry, xf: np.ndarray,
     sym_im = np.asarray(o.sym_im)
     valid = np.asarray(o.valid).astype(bool)
     lonce = np.asarray(o.locked_once)
-    parts = []
-    for c in range(P):
-        m = valid[:, c, :].reshape(-1)
-        s = np.zeros(int(m.sum()), dtype=_SYM_DTYPE)
-        re = sym_re[:, c, :].reshape(-1)[m]
-        im = sym_im[:, c, :].reshape(-1)[m]
-        re, im = rotate_quadrant(re, im, K[c])
-        s["re"] = re
-        s["im"] = im
-        s["locked_once"] = lonce[:, c, :].reshape(-1)[m]
-        parts.append(s)
-    symbols = np.concatenate(parts) if parts else empty
-
     exit_c = jax.tree_util.tree_map(lambda a: np.asarray(a)[P - 1], f_np)
-    if int(K[P - 1]) % 4 != 0:
-        # Rotate the exit carry into the stream's gauge (see
-        # demod_array_turbo's tail continuation for the derivation):
-        # symbols transform by e^{-j K pi/2} -> NCO phase shifts by
-        # +K pi/2; t_prev becomes the last EMITTED symbol's Q.
-        pp = np.mod(float(exit_c.p_phase)
-                    + (int(K[P - 1]) % 4) * float(_HALF_PI), 2 * np.pi)
-        prev_q = float(symbols["im"][-1]) if len(symbols) \
-            else float(carry0.t_prev)
-        exit_c = exit_c._replace(p_phase=np.float32(pp),
-                                 t_prev=np.float32(prev_q))
+    kexit = int(K[P - 1]) % 4
+    if cfg.oqpsk:
+        symbols = _assemble_oqpsk_gauge(
+            sym_re[:, :P], sym_im[:, :P], valid[:, :P], lonce[:, :P],
+            K[:P], np.asarray(f_np.slot)[:P], np.asarray(f_np.inphase)[:P],
+            np.asarray(f_np.locked_once)[:P], None)
+        if kexit:                            # even by construction: signs
+            s = _OQ_SIGNS[kexit][0]
+            exit_c = exit_c._replace(
+                p_phase=np.float32(np.mod(
+                    float(exit_c.p_phase) + kexit * float(_HALF_PI),
+                    2 * np.pi)),
+                t_prev=np.float32(s * float(exit_c.t_prev)),
+                inphase=np.float32(s * float(exit_c.inphase)))
+    else:
+        parts = []
+        for c in range(P):
+            m = valid[:, c, :].reshape(-1)
+            s = np.zeros(int(m.sum()), dtype=_SYM_DTYPE)
+            re = sym_re[:, c, :].reshape(-1)[m]
+            im = sym_im[:, c, :].reshape(-1)[m]
+            re, im = rotate_quadrant(re, im, K[c])
+            s["re"] = re
+            s["im"] = im
+            s["locked_once"] = lonce[:, c, :].reshape(-1)[m]
+            parts.append(s)
+        symbols = np.concatenate(parts) if parts else empty
+        if kexit:
+            # Rotate the exit carry into the stream's gauge (see
+            # demod_array_turbo's tail continuation for the derivation):
+            # symbols transform by e^{-j K pi/2} -> NCO phase shifts by
+            # +K pi/2; t_prev becomes the last EMITTED symbol's Q.
+            pp = np.mod(float(exit_c.p_phase) + kexit * float(_HALF_PI),
+                        2 * np.pi)
+            prev_q = float(symbols["im"][-1]) if len(symbols) \
+                else float(carry0.t_prev)
+            exit_c = exit_c._replace(p_phase=np.float32(pp),
+                                     t_prev=np.float32(prev_q))
     exit_c = exit_c._replace(tick=np.int32(0), flags=np.int32(0))
     return SpanResult(symbols, exit_c, P * chunk_len, passes, converged, P)

@@ -111,15 +111,45 @@ def test_span_turbo_exit_carry_continues_stream():
     np.testing.assert_array_equal(np.sign(out["im"]), np.sign(ref["im"]))
 
 
-def test_span_turbo_rejects_oqpsk():
+def test_span_stream_oqpsk_matches_sequential():
+    """OQPSK span streaming: the accepted prefix additionally shrinks to
+    an even-gauge boundary (demod_span_turbo docstring) so the exit carry
+    rotates by pure sign flips; unconsumed lanes stay buffered for the
+    next span. The emitted half-symbol pairing and the stream hand-off
+    must match the sequential reference sign-for-sign."""
     cfg = DemodConfig(samplerate=230400, block_len=2048, symrate=80000.0,
                       oqpsk=True)
-    with pytest.raises(ValueError, match="QPSK"):
-        demod_span_turbo(cfg, egress(StreamDemodulator(cfg)._carry),
-                         np.zeros((16 * 2048, 2), np.float32), chunks=8)
-    # and the stream constructor silently disables the span path
-    d = StreamDemodulator(cfg, span_turbo=True)
-    assert not d.span_turbo
+    L = cfg.block_len
+    C, kb = 8, 8
+    span_n = C * kb * L
+    n = 2 * span_n + 4 * L + 501
+    x, _ = synth_psk(int(n / cfg.osf) + 64, cfg.samplerate,
+                     symrate=cfg.symrate, oqpsk=True, carrier_hz=220.0,
+                     amplitude=6000.0, snr_db=18.0, seed=29)
+    x = x[:n]
+
+    d_ref = StreamDemodulator(cfg, backend="scan")
+    ref = np.concatenate([d_ref.process(x), d_ref.finish()])
+
+    d = StreamDemodulator(cfg, backend="scan", span_turbo=True,
+                          span_chunks=C, span_blocks=kb)
+    # Feed span-sized bursts so the span path (not the chained drain
+    # between small feeds) sees the buffer; the tail goes in fragments.
+    out = [d.process(x[:span_n]), d.process(x[span_n:2 * span_n])]
+    pos = 2 * span_n
+    rng = np.random.default_rng(1)
+    while pos < n:
+        m = int(rng.integers(10000, 60000))
+        out.append(d.process(x[pos:pos + m]))
+        pos += m
+    out.append(d.finish())
+    out = np.concatenate(out)
+
+    assert d.spans_run >= 2
+    assert len(out) == len(ref)
+    np.testing.assert_array_equal(np.sign(out["re"]), np.sign(ref["re"]))
+    np.testing.assert_array_equal(np.sign(out["im"]), np.sign(ref["im"]))
+    np.testing.assert_array_equal(out["locked_once"], ref["locked_once"])
 
 
 def test_span_unverified_prefix_bounded_fallback(monkeypatch):
