@@ -44,7 +44,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from meteor_demod_tpu.config import DemodConfig
 from meteor_demod_tpu.demod.pipeline import egress
 from meteor_demod_tpu.demod.scan import make_block_demod
-from meteor_demod_tpu.demod.state import init_carry, batch_carry
+from meteor_demod_tpu.demod.state import (init_carry, batch_carry,
+                                           batch_carry_np)
 from meteor_demod_tpu.dsp.fir import iq_to_f32
 from meteor_demod_tpu.kernels.block_demod import make_pallas_batch_demod
 from meteor_demod_tpu.sim import synth_psk
@@ -257,7 +258,7 @@ def _bench_turbo(cfg, chunks=FLEET_BATCH, kb=128, max_passes=4, seed=3,
         put = lambda t: tuple(map(jnp.asarray, t))
         tails_dev = jnp.asarray(tails_np)
     w0_np = jax.tree_util.tree_map(
-        np.array, batch_carry(cfg, chunks)._replace(fir_tail=wtails))
+        np.array, batch_carry_np(cfg, chunks)._replace(fir_tail=wtails))
     # The warmup entries are data-derived (FIR tails from the recording) —
     # pre-placed on device like the sample blocks themselves, so the
     # measurement sees the demod work, not the ~MB/s relay-link uploads.
@@ -265,7 +266,7 @@ def _bench_turbo(cfg, chunks=FLEET_BATCH, kb=128, max_passes=4, seed=3,
     pw0_dev = put(pack_carry_np(w0_np))
 
     def one_recording():
-        f_np, _, _, passes, converged, _, _ = fused_gauge_run(
+        f_np, _, _, passes, converged, _, _, _ = fused_gauge_run(
             cfg, chunks, kb, kb_w, "auto", mesh, put, w0_np,
             wblocks, blocks, tails_dev, tails_np, max_passes,
             pw0_dev=pw0_dev)
@@ -287,23 +288,41 @@ def _bench_turbo(cfg, chunks=FLEET_BATCH, kb=128, max_passes=4, seed=3,
     return sps, passes, converged, _spread(rates)
 
 
-def _bench_stream_span(cfg, chunks=32, kb=16, seconds=2.0):
+def _bench_stream_span(cfg, chunks=128, kb=16, nspans=3):
     """Single-stream STREAMING throughput via the span-turbo path
-    (demod/turbo.py demod_span_turbo; VERDICT r2 item 5): one ongoing
-    stream, locked, whose buffered span is demodulated chunk-parallel from
-    the stream's exact carry with the strict verified-prefix contract.
-    This is the file-backed / bursty live-pipeline workload
-    (/root/reference/README.md:75-92) — the sequential per-block chain
-    (single_stream_*) remains the latency-bound floor for sample-at-a-time
-    input. Device-resident span blocks (same rationale as _bench_turbo).
-    Returns (samples_per_sec, passes, verified_all, spread)."""
-    from meteor_demod_tpu.demod.turbo import demod_span_turbo
-    from meteor_demod_tpu.demod.pipeline import egress as _eg
+    (demod/turbo.py span_submit/span_finish; VERDICT r2 item 5): one
+    ongoing stream, locked, whose buffered spans are demodulated
+    chunk-parallel from the stream's exact carry with the strict
+    verified-prefix contract. This is the file-backed / bursty
+    live-pipeline workload (/root/reference/README.md:75-92) - the
+    sequential per-block chain (single_stream_*) remains the
+    latency-bound floor for sample-at-a-time input.
+
+    Steady-state PIPELINED measurement: span k+1 is submitted from span
+    k's exit carry (final at submit time, decided by the small egress
+    alone) before span k's bulk int8 payload transfers and assembles -
+    every span's symbols are fully retrieved and assembled on the host.
+    The span signal is seam-periodic (integer symbols per span) so one
+    device-resident span chains exactly into itself and the carry
+    evolution across spans is honest. Device-resident span blocks, same
+    rationale as _bench_turbo. Returns (samples_per_sec, passes,
+    verified_all, spread)."""
+    from meteor_demod_tpu.demod.turbo import (span_submit, span_finish,
+                                              build_warmup,
+                                              default_warmup_blocks)
     L = cfg.block_len
     span_n = chunks * kb * L
+    # Seam-periodicity: span_n samples must hold an integer number of
+    # symbols so the span can chain into itself.
+    assert (span_n * int(cfg.symrate)) % int(cfg.samplerate) == 0
     nwarm = 24
-    x = _make_signal(cfg, nwarm * L + span_n, seed=9)
-    xf_all = iq_to_f32(x)
+    carrier = round(400.0 * span_n / cfg.samplerate) \
+        * cfg.samplerate / span_n
+    nsym = int((nwarm * L + span_n) * cfg.symrate / cfg.samplerate) + 64
+    x, _ = synth_psk(nsym, cfg.samplerate, symrate=cfg.symrate,
+                     oqpsk=cfg.oqpsk, carrier_hz=carrier,
+                     amplitude=6000.0, snr_db=18.0, seed=9)
+    xf_all = iq_to_f32(x[:nwarm * L + span_n])
 
     # Lock the stream with the wide chained program (as the hosts do).
     wide = _chained_fn(cfg, None)
@@ -315,34 +334,45 @@ def _bench_stream_span(cfg, chunks=32, kb=16, seconds=2.0):
     assert int(carry_np.locked) == 1
 
     xf_span = xf_all[nwarm * L:]
-    blocks_np = xf_span.reshape(chunks, kb, L, 2).transpose(1, 0, 2, 3)
-    blocks_dev = jnp.asarray(blocks_np) + 0.0
-    from meteor_demod_tpu.demod.turbo import (build_warmup,
-                                              default_warmup_blocks)
+    blocks_dev = jnp.asarray(
+        xf_span.reshape(chunks, kb, L, 2).transpose(1, 0, 2, 3)) + 0.0
     kb_w = min(default_warmup_blocks(L, kb), kb)
     wblocks_np, _ = build_warmup(xf_span, chunks, kb * L, kb_w, L, cfg.taps)
     wblocks_dev = jnp.asarray(wblocks_np) + 0.0
 
-    def one_span():
-        res = demod_span_turbo(cfg, carry_np, xf_span, chunks=chunks,
-                               blocks_dev=blocks_dev,
-                               wblocks_dev=wblocks_dev)
-        assert res.consumed > 0
-        return res
+    def run_spans(n):
+        """n consecutive spans, pipelined; returns (consumed, passes,
+        all_verified)."""
+        c = carry_np
+        consumed, nsym_out, ok = 0, 0, True
+        pend = None
+        for _ in range(n):
+            p = span_submit(cfg, c, xf_span, chunks=chunks,
+                            blocks_dev=blocks_dev, wblocks_dev=wblocks_dev)
+            assert p.consumed > 0
+            ok = ok and p.P == chunks
+            consumed += p.consumed
+            c = p.exit_carry
+            if pend is not None:
+                nsym_out += len(span_finish(cfg, pend).symbols)
+            pend = p
+        nsym_out += len(span_finish(cfg, pend).symbols)
+        assert nsym_out > 0
+        return consumed, p.passes, ok
 
     t0 = time.time()
-    res = one_span()                                   # compile+warm
-    log(f"stream-span warmup: {time.time()-t0:.1f}s, passes={res.passes}, "
-        f"verified {res.verified_lanes}/{chunks}")
+    consumed, passes, ok = run_spans(1)                # compile+warm
+    log(f"stream-span warmup: {time.time()-t0:.1f}s, passes={passes}, "
+        f"verified_all={ok}")
     rates = []
     for _ in range(3):
         t0 = time.perf_counter()
-        res = one_span()
-        rates.append(res.consumed / (time.perf_counter() - t0))
+        consumed, passes, ok = run_spans(nspans)
+        rates.append(consumed / (time.perf_counter() - t0))
     sps = max(rates)
     log(f"stream-span: best {sps/1e6:.1f} Msamples/s "
-        f"(passes={res.passes}, verified={res.verified_lanes}/{chunks})")
-    return (sps, res.passes, res.verified_lanes == chunks, _spread(rates))
+        f"(passes={passes}, verified_all={ok})")
+    return (sps, passes, ok, _spread(rates))
 
 
 def _bench_fir(cfg, seconds=2.0):

@@ -236,14 +236,23 @@ class StreamDemodulator:
         L = self.cfg.block_len
         chunks, self._backlog = self._backlog, []
         span_n = self.span_chunks * self.span_blocks * L
+        # Pipelined spans: span k+1 is SUBMITTED from span k's exit carry
+        # (final at submit time — demod/turbo.py SpanPending) before span
+        # k's bulk symbol payload transfers and assembles, overlapping the
+        # device->host link with the successor's device compute.
+        span_pend = None
         while self.span_turbo and len(self._pending) >= span_n:
             self.sync()
             chunks.extend(self._backlog)
             self._backlog = []
-            out = self._run_span(self._pending[:span_n])
-            if out is None:
-                break                  # unverified span: sequential path
-            chunks.append(out)
+            pend = self._submit_span(self._pending[:span_n])
+            if pend is None:           # unverified span: sequential path
+                break
+            if span_pend is not None:
+                chunks.append(self._finish_span(span_pend))
+            span_pend = pend
+        if span_pend is not None:
+            chunks.append(self._finish_span(span_pend))
         while len(self._pending) >= self.chain_blocks * L:
             # Drain in-flight singles first and FLUSH their symbols into the
             # output now — emitting them later would reorder the stream.
@@ -274,25 +283,35 @@ class StreamDemodulator:
             return self._fn_locked
         return self._fn
 
-    def _run_span(self, span: np.ndarray) -> np.ndarray | None:
-        """Demodulate a buffered span chunk-parallel (demod_span_turbo).
+    def _submit_span(self, span: np.ndarray):
+        """Dispatch a buffered span chunk-parallel (turbo.span_submit).
 
         Consumes the verified prefix from _pending and installs its exit
-        carry; returns its symbols, or None when nothing verified (the
-        caller falls through to the sequential chained path — never wrong
-        output, worst case one redundant pass over the span)."""
-        from .turbo import demod_span_turbo
-        res = demod_span_turbo(self.cfg, egress(self._carry),
-                               iq_to_f32(span), chunks=self.span_chunks,
-                               backend=self._backend)
+        carry immediately (acceptance is decided by the small egress
+        alone); returns the SpanPending whose symbols _finish_span
+        retrieves, or None when nothing verified (the caller falls
+        through to the sequential chained path — never wrong output,
+        worst case one redundant pass over the span)."""
+        from .turbo import span_submit
+        pend = span_submit(self.cfg, egress(self._carry),
+                           iq_to_f32(span), chunks=self.span_chunks,
+                           backend=self._backend)
         self.spans_run += 1
-        if res.consumed == 0:
+        if pend.consumed == 0:
             self.span_fallbacks += 1
             return None
-        self._pending = self._pending[res.consumed:]
-        self._carry = jax.tree_util.tree_map(jnp.asarray, res.exit_carry)
-        self._publish_telemetry()
-        return res.symbols
+        self._pending = self._pending[pend.consumed:]
+        self._carry = jax.tree_util.tree_map(jnp.asarray, pend.exit_carry)
+        ec = pend.exit_carry
+        self._set_telemetry(ec.p_freq, ec.t_freq, ec.locked,
+                            ec.locked_once, ec.agc_gain)
+        return pend
+
+    def _finish_span(self, pend) -> np.ndarray:
+        """Transfer + assemble a submitted span's symbols (turbo
+        .span_finish)."""
+        from .turbo import span_finish
+        return span_finish(self.cfg, pend).symbols
 
     def _run_chained(self, span: np.ndarray) -> np.ndarray:
         """Demodulate chain_blocks consecutive blocks in one dispatch."""

@@ -84,6 +84,34 @@ def batch_carry(cfg, batch: int) -> DemodCarry:
         lambda x: jnp.broadcast_to(x, (batch,) + x.shape).copy(), c)
 
 
+def batch_carry_np(cfg, batch: int) -> DemodCarry:
+    """batch_carry with NUMPY leaves — identical values, zero device
+    traffic. (Constructing the jnp version and reading it back costs one
+    host<->device round trip per leaf, ~0.5 s per call on the tunneled
+    backend — demod/turbo.py builds warmup carries per span/recording.)"""
+    f32 = lambda v: np.full((batch,), v, dtype=np.float32)
+    i32 = lambda v: np.full((batch,), v, dtype=np.int32)
+    return DemodCarry(
+        t_phase=f32(0.0),
+        t_freq=f32(float(cfg.timing_freq)),
+        t_prev=f32(0.0),
+        p_phase=f32(0.0),
+        p_freq=f32(0.0),
+        p_err=f32(1000.0),
+        locked=i32(0),
+        locked_once=i32(0),
+        updown=f32(1.0),
+        agc_gain=f32(1.0),
+        agc_bias_re=f32(0.0),
+        agc_bias_im=f32(0.0),
+        inphase=f32(0.0),
+        slot=i32(1),
+        tick=i32(0),
+        fir_tail=np.zeros((batch, cfg.taps - 1, 2), np.float32),
+        flags=i32(0),
+    )
+
+
 class BlockOutput(NamedTuple):
     """Per-scan-step outputs of one block, shapes (S,) (or (B, S) batched)."""
     sym_re: jnp.ndarray       # f32 soft symbol I (valid only where valid)

@@ -68,7 +68,8 @@ from ..config import DemodConfig
 from ..dsp.fir import f32_to_iq, iq_to_f32
 from .backend import make_batch_demod
 from .pipeline import egress, _SYM_DTYPE
-from .state import BlockOutput, DemodCarry, batch_carry
+from .state import (BlockOutput, DemodCarry, batch_carry,
+                    batch_carry_np)
 
 
 def make_chunk_mesh(devices=None, axis_name: str = "chunks"):
@@ -548,7 +549,7 @@ def finish_warmup_carry(cfg, wf: DemodCarry, tails_np,
     by default; a mid-stream carry for the span-turbo path
     (demod_span_turbo)."""
     if init_np is None:
-        init_np = jax.tree_util.tree_map(np.asarray, batch_carry(cfg, 1))
+        init_np = batch_carry_np(cfg, 1)
     w = jax.tree_util.tree_map(
         lambda a, a0: np.concatenate([np.asarray(a0), np.asarray(a)[1:]],
                                      axis=0),
@@ -593,7 +594,7 @@ def gauge_fixpoint(cfg, run, put_packed, blocks, w_np, tails_np, max_passes,
     init_np: exact lane-0 entry with (1,) leaves (default cold start; a
     mid-stream carry for demod_span_turbo)."""
     if init_np is None:
-        init_np = jax.tree_util.tree_map(np.asarray, batch_carry(cfg, 1))
+        init_np = batch_carry_np(cfg, 1)
     g_np = w_np
     prev_fp = None
     converged = False
@@ -751,23 +752,78 @@ def _bc_f32(x):
     return jax.lax.bitcast_convert_type(x, jnp.float32)
 
 
+def _quantize_j(v):
+    """Traced int8 soft-symbol quantization — EXACTLY the product's
+    emission math (pipeline.quantize_symbols / main.c:305-306: clamp(v/2,
+    +-127) truncated toward zero), so device-packed bytes are bit-identical
+    to quantizing the float egress on the host."""
+    return jnp.trunc(
+        jnp.clip(v * np.float32(0.5), -127.0, 127.0)).astype(jnp.int8)
+
+
+def _pack_outs_j(outs):
+    """Traced BlockOutput (kb, C, S) -> ONE flat int8 payload.
+
+    Layout: [qre | qim interleaved last-dim (kb*C*S*2 bytes)] ++
+    [2-bit (valid | locked_once<<1) codes, 4 slots/byte, S padded to a
+    multiple of 4]. A single buffer means a single device->host transfer
+    — the relay link charges a fixed ~70 ms per transfer on top of its
+    ~50 MB/s stream rate (docs/PERF.md), and the payload is ~1/6 the raw
+    float egress. Decode: _unpack_outs_np."""
+    qsym = jnp.stack([_quantize_j(outs.sym_re),
+                      _quantize_j(outs.sym_im)], axis=-1)
+    code = (outs.valid + 2 * outs.locked_once).astype(jnp.int32)
+    kb, C, S = code.shape
+    S4 = -(-S // 4) * 4
+    code = jnp.pad(code, ((0, 0), (0, 0), (0, S4 - S)))
+    w = np.array([1, 4, 16, 64], np.int32)
+    packed = jnp.sum(code.reshape(kb, C, S4 // 4, 4) * w, axis=-1)
+    return jnp.concatenate([qsym.reshape(-1),
+                            packed.astype(jnp.int8).reshape(-1)])
+
+
+def _unpack_outs_np(buf, kb, C, S):
+    """Host decode of _pack_outs_j: (sym_re i8, sym_im i8, valid bool,
+    lonce i32), each (kb, C, S)."""
+    buf = np.asarray(buf)
+    n2 = kb * C * S * 2
+    qsym = buf[:n2].reshape(kb, C, S, 2)
+    S4 = -(-S // 4) * 4
+    codes = buf[n2:].view(np.uint8).reshape(kb, C, S4 // 4)
+    code = ((codes[..., None] >> np.array([0, 2, 4, 6], np.uint8)) & 3)
+    code = code.reshape(kb, C, S4)[:, :, :S]
+    return (qsym[..., 0], qsym[..., 1],
+            (code & 1).astype(bool), (code >> 1).astype(np.int32))
+
+
 @functools.lru_cache(maxsize=8)
 def _fused_gauge_fn(cfg: DemodConfig, chunks: int, kb: int, kb_w: int,
                     backend: str, mesh=None, axis_name: str = "chunks",
-                    ext_init: bool = False):
+                    ext_init: bool = False, pack_outs: bool = False):
     """Jitted fused gauge turbo (see the section comment above).
 
     (pw0, wblocks, blocks, tails) -> (small_vec, g3_pc, w_pc, outs2)
     where small_vec is ONE flat f32 vector carrying the pass-2 exit carry,
-    per-boundary quadrants k2, fingerprints and convergence stats (int
-    payloads bitcast, not value-cast — see _unpack_small) so the happy path
-    costs a single host round-trip; g3_pc / w_pc (next-pass entries and the
-    gauge anchor) serve the rare not-converged continuation and the
-    device-resident outs2 the final assembly. The exact initial state for
-    lane 0 is baked in as a trace-time constant — unless ext_init, which
-    prepends a packed (1,)-leaf exact entry to the signature
-    ((pinit, pw0, ...)) so the SAME compiled program serves every
-    mid-stream span (demod_span_turbo) without a retrace per carry."""
+    per-boundary quadrants k2, fingerprints, convergence stats (int
+    payloads bitcast, not value-cast — see _unpack_small) and each lane's
+    last emitted symbol value, so the happy path costs a single host
+    round-trip; g3_pc / w_pc (next-pass entries and the gauge anchor)
+    serve the rare not-converged continuation and the device-resident
+    outs2 the final assembly. The exact initial state for lane 0 is baked
+    in as a trace-time constant — unless ext_init, which prepends a packed
+    (1,)-leaf exact entry to the signature ((pinit, pw0, ...)) so the SAME
+    compiled program serves every mid-stream span (demod_span_turbo)
+    without a retrace per carry.
+
+    pack_outs=True replaces the raw float32/int32 outs2 with its
+    device-quantized form (qsym (kb, C, S, 2) int8 carrying the EXACT
+    int8 soft bytes the product emits — pipeline.quantize_symbols
+    semantics — and qflags (kb, C, S) int8 = valid | locked_once << 1).
+    Quantization commutes bit-for-bit with the host-side gauge rotation
+    (sign flips/swaps of trunc-toward-zero values), so the emitted byte
+    stream is identical to quantizing the float egress on the host, at
+    ~1/5 the device->host transfer volume (the span path's dominant cost
+    on a slow link)."""
     n_dev = 1 if mesh is None else mesh.devices.size
     demod = make_batch_demod(cfg, chunks // n_dev, backend)
 
@@ -788,11 +844,30 @@ def _fused_gauge_fn(cfg: DemodConfig, chunks: int, kb: int, kb_w: int,
             (c, jnp.int32(0), z, z, z), blocks)
         return c2, (fn, fcs, fcs2)
 
+    def _last_valid_block(outs, lre, lim):
+        """Fold one block's last VALID (sym_re, sym_im) per lane into the
+        running (lre, lim) — gives each lane's final emitted symbol value
+        without touching the bulk outs egress (the QPSK span exit carry
+        needs the last emitted Q, demod_span_turbo)."""
+        v = outs.valid.astype(jnp.bool_)                     # (C, S)
+        has = jnp.any(v, axis=1)
+        idx = v.shape[1] - 1 - jnp.argmax(v[:, ::-1], axis=1)
+        r = jnp.take_along_axis(outs.sym_re, idx[:, None], axis=1)[:, 0]
+        i = jnp.take_along_axis(outs.sym_im, idx[:, None], axis=1)[:, 0]
+        return jnp.where(has, r, lre), jnp.where(has, i, lim)
+
     def pass_fp_outs(c, blocks):
         z = jnp.zeros(c.p_phase.shape[0], jnp.int32)
-        (c2, _, fn, fcs, fcs2), outs = jax.lax.scan(
-            _pass_body, (c, jnp.int32(0), z, z, z), blocks)
-        return c2, outs, (fn, fcs, fcs2)
+        zf = jnp.zeros(c.p_phase.shape[0], jnp.float32)
+
+        def body(cc, x):
+            (st, outs) = _pass_body(cc[:5], x)
+            lre, lim = _last_valid_block(outs, cc[5], cc[6])
+            return st + (lre, lim), outs
+
+        (c2, _, fn, fcs, fcs2, lre, lim), outs = jax.lax.scan(
+            body, (c, jnp.int32(0), z, z, z, zf, zf), blocks)
+        return c2, outs, (fn, fcs, fcs2), (lre, lim)
 
     if mesh is not None:
         from jax import shard_map
@@ -805,7 +880,8 @@ def _fused_gauge_fn(cfg: DemodConfig, chunks: int, kb: int, kb_w: int,
                             out_specs=(lane, (lane,) * 3), check_vma=False)
         pass_fp_outs = shard_map(
             pass_fp_outs, mesh=mesh, in_specs=(lane, blk),
-            out_specs=(lane, blk, (lane,) * 3), check_vma=False)
+            out_specs=(lane, blk, (lane,) * 3, (lane,) * 2),
+            check_vma=False)
 
     def fused(pw0, wblocks, blocks, tails, pinit=None):
         init = (batch_carry(cfg, 1) if pinit is None
@@ -821,7 +897,7 @@ def _fused_gauge_fn(cfg: DemodConfig, chunks: int, kb: int, kb_w: int,
         k1, _ = _gauge_measure_j(f1, w, cfg)
         g2 = _gauge_shift_j(init, f1, w, k1, tails, cfg)
 
-        f2, outs2, fp2 = pass_fp_outs(g2, blocks)
+        f2, outs2, fp2, (lre, lim) = pass_fp_outs(g2, blocks)
         k2, delta2 = _gauge_measure_j(f2, g2, cfg)
         g3 = _gauge_shift_j(init, f2, w, k2, tails, cfg)
 
@@ -850,7 +926,9 @@ def _fused_gauge_fn(cfg: DemodConfig, chunks: int, kb: int, kb_w: int,
             fl.reshape(-1), _bc_f32(il).reshape(-1), tail.reshape(-1),
             _bc_f32(k2), _bc_f32(fp2[0]), _bc_f32(fp2[1]), _bc_f32(fp2[2]),
             _bc_f32(lane_ok.astype(jnp.int32)),
-            _bc_f32(sti), jnp.stack([maxd, resid])])
+            _bc_f32(sti), jnp.stack([maxd, resid]), lre, lim])
+        if pack_outs:
+            return small, _pack_j(g3), _pack_j(w), _pack_outs_j(outs2)
         return small, _pack_j(g3), _pack_j(w), outs2
 
     if ext_init:
@@ -875,17 +953,21 @@ def _unpack_small(cfg, chunks, small):
     fp_cs2 = v[o:o + C].view(np.int32); o += C
     lane_ok = v[o:o + C].view(np.int32).astype(bool); o += C
     sti = v[o:o + 4].view(np.int32); o += 4
-    maxd, resid = float(v[o]), float(v[o + 1])
+    maxd, resid = float(v[o]), float(v[o + 1]); o += 2
+    last_re = v[o:o + C].copy(); o += C
+    last_im = v[o:o + C].copy(); o += C
     f2 = unpack_carry_np(fl, il, tail)
     stats = dict(converged=bool(sti[0]), settled=bool(sti[1]),
                  fp_eq=bool(sti[2]), k_stable=bool(sti[3]),
-                 max_delta=maxd, resid=resid, lane_ok=lane_ok)
+                 max_delta=maxd, resid=resid, lane_ok=lane_ok,
+                 n_valid=fp_n.copy(), last_re=last_re, last_im=last_im)
     return f2, k2, (fp_n, fp_cs, fp_cs2), stats
 
 
 def fused_gauge_run(cfg, chunks, kb, kb_w, backend, mesh, put_packed,
                     w0_np, wblocks, blocks, tails_dev, tails_np,
-                    max_passes, pw0_dev=None, init_np=None):
+                    max_passes, pw0_dev=None, init_np=None,
+                    pack_outs=False):
     """Run the fused 2-pass gauge turbo; continue on the per-pass loop in
     the rare not-converged case (shared by demod_array_turbo and bench.py).
 
@@ -897,9 +979,16 @@ def fused_gauge_run(cfg, chunks, kb, kb_w, backend, mesh, put_packed,
     mid-stream carry for demod_span_turbo — passed as a runtime input so
     the compiled program is reused across spans).
     Returns the gauge_fixpoint contract (f_np, outs, K, passes, converged,
-    max_resid, lane_ok)."""
+    max_resid, lane_ok) plus a trailing `stats` dict (None on the
+    not-converged continuation) carrying per-lane n_valid and each lane's
+    last emitted symbol value — enough for demod_span_turbo to finalize
+    the exit carry WITHOUT touching the bulk outs egress. With
+    pack_outs=True `outs` is the device-quantized (qsym, qflags) pair
+    (see _fused_gauge_fn); the continuation path (rare) always returns
+    the raw BlockOutput."""
     fused = _fused_gauge_fn(cfg, chunks, kb, kb_w, backend, mesh,
-                            ext_init=init_np is not None)
+                            ext_init=init_np is not None,
+                            pack_outs=pack_outs)
     if pw0_dev is None:
         pw0_dev = put_packed(pack_carry_np(w0_np))
     if init_np is not None:
@@ -914,7 +1003,7 @@ def fused_gauge_run(cfg, chunks, kb, kb_w, backend, mesh, put_packed,
     if stats["converged"] or max_passes <= 2:
         K = np.concatenate([[0], np.cumsum(k2)])
         return (f2, outs2, K, 2, stats["converged"], max_resid,
-                stats["lane_ok"])
+                stats["lane_ok"], stats)
     # Not converged with budget left: continue the per-pass loop from the
     # fused program's pass-3 entries and gauge anchor.
     run = _chunk_fn_packed(cfg, chunks, kb, backend, mesh)
@@ -923,7 +1012,7 @@ def fused_gauge_run(cfg, chunks, kb, kb_w, backend, mesh, put_packed,
     prev_fp = tuple(tuple(int(x) for x in t) for t in zip(*fp2))
     return gauge_fixpoint(cfg, run, put_packed, blocks, w_np, tails_np,
                           max_passes, resume=(g3, prev_fp, k2, 2),
-                          init_np=init_np)
+                          init_np=init_np) + (None,)
 
 
 @functools.lru_cache(maxsize=4)
@@ -1062,7 +1151,7 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
         put_carry = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
         blocks = jnp.asarray(blocks_np)
 
-    init_np = jax.tree_util.tree_map(np.asarray, batch_carry(cfg, 1))
+    init_np = batch_carry_np(cfg, 1)
     K = None
     lane_ok = None
 
@@ -1084,14 +1173,14 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
             wblocks = jnp.asarray(wblocks_np)
             tails_dev = jnp.asarray(tails)
         w0_np = jax.tree_util.tree_map(
-            np.array, batch_carry(cfg, chunks)._replace(fir_tail=wtails))
+            np.array, batch_carry_np(cfg, chunks)._replace(fir_tail=wtails))
         no_fused = os.environ.get("METEOR_DEMOD_NO_FUSED", "").lower() \
             not in ("", "0", "false", "no")
         if max_passes >= 2 and not no_fused:
             # Fused fast path: warmup + both passes + convergence detection
             # in one dispatch and one small egress (see _fused_gauge_fn).
             (f_np, outs, K, passes, converged, max_residual,
-             lane_ok) = fused_gauge_run(
+             lane_ok, _) = fused_gauge_run(
                 cfg, chunks, kb, kb_w, backend, mesh, put_packed, w0_np,
                 wblocks, blocks, tails_dev, tails, max_passes)
         else:
@@ -1106,7 +1195,7 @@ def demod_array_turbo(cfg: DemodConfig, x: np.ndarray, chunks: int = 32,
     else:
         run = _chunk_fn(cfg, chunks, kb, backend, mesh)
         g_np = jax.tree_util.tree_map(
-            np.array, batch_carry(cfg, chunks)._replace(fir_tail=tails))
+            np.array, batch_carry_np(cfg, chunks)._replace(fir_tail=tails))
 
         def shift_np(f: DemodCarry) -> DemodCarry:
             """g'[0] = exact initial, g'[i+1] = f[i]; tails stay
@@ -1319,6 +1408,44 @@ def demod_span_turbo(cfg: DemodConfig, carry0: DemodCarry, xf: np.ndarray,
     of a production NIC; same rationale as _bench_turbo). They must match
     xf's content.
     """
+    return span_finish(cfg, span_submit(
+        cfg, carry0, xf, chunks=chunks, max_passes=max_passes,
+        backend=backend, warmup_blocks=warmup_blocks,
+        blocks_dev=blocks_dev, wblocks_dev=wblocks_dev))
+
+
+@dataclasses.dataclass
+class SpanPending:
+    """In-flight span (span_submit -> span_finish).
+
+    Acceptance is decided from the fused program's SMALL egress alone —
+    exit_carry / consumed are final at submit time, so a pipelined caller
+    (StreamDemodulator span mode, bench.py) can dispatch the NEXT span
+    from exit_carry while this span's bulk symbol payload (`outs`, still
+    device-resident) transfers and assembles in span_finish, overlapping
+    the link with the device compute of the successor span."""
+    outs: object          # device flat int8 payload | BlockOutput (jax/np)
+    f_np: object          # pass-2 exit carries, numpy leaves
+    K: np.ndarray         # cumulative gauges (C,)
+    passes: int
+    converged: bool
+    P: int                # accepted lane prefix
+    consumed: int         # samples covered by the accepted prefix
+    exit_carry: object    # DemodCarry | None (final; feeds the next span)
+    dims: tuple = None    # (kb, C, S) of the packed payload
+
+
+def span_submit(cfg: DemodConfig, carry0: DemodCarry, xf: np.ndarray,
+                chunks: int = 32, max_passes: int = 4,
+                backend: str = "auto",
+                warmup_blocks: int | None = None,
+                blocks_dev=None, wblocks_dev=None) -> SpanPending:
+    """Dispatch one span's fused gauge fixpoint and decide acceptance.
+
+    Returns once the small vector (exit carries, gauges, per-lane
+    convergence, last emitted symbol values) is back; the bulk symbol
+    payload stays ON DEVICE in .outs (device-quantized int8, _quantize_j)
+    until span_finish. See demod_span_turbo for the contract."""
     cfg.validate()
     N = len(xf)
     L = cfg.block_len
@@ -1329,7 +1456,6 @@ def demod_span_turbo(cfg: DemodConfig, carry0: DemodCarry, xf: np.ndarray,
     chunk_len = kb * L
     carry0 = jax.tree_util.tree_map(np.asarray, carry0)
 
-    blocks_np = xf.reshape(chunks, kb, L, 2).transpose(1, 0, 2, 3)
     tails = np.zeros((chunks, taps - 1, 2), np.float32)
     tails[0] = carry0.fir_tail
     for c in range(1, chunks):
@@ -1338,14 +1464,17 @@ def demod_span_turbo(cfg: DemodConfig, carry0: DemodCarry, xf: np.ndarray,
     kb_w = min(warmup_blocks or default_warmup_blocks(L, kb), kb)
     wblocks_np, wtails = build_warmup(xf, chunks, chunk_len, kb_w, L, taps)
     if blocks_dev is None:
-        blocks_dev = jnp.asarray(blocks_np)
+        # The (kb, C, L, 2) reorder is a ~N-byte strided host copy — only
+        # pay it when the blocks actually need uploading.
+        blocks_dev = jnp.asarray(
+            xf.reshape(chunks, kb, L, 2).transpose(1, 0, 2, 3))
     if wblocks_dev is None:
         wblocks_dev = jnp.asarray(wblocks_np)
 
     init_np = jax.tree_util.tree_map(lambda a: np.asarray(a)[None], carry0)
     put_packed = lambda pc: tuple(map(jnp.asarray, pc))
     w0_np = jax.tree_util.tree_map(
-        np.array, batch_carry(cfg, chunks)._replace(fir_tail=wtails))
+        np.array, batch_carry_np(cfg, chunks)._replace(fir_tail=wtails))
     no_fused = os.environ.get("METEOR_DEMOD_NO_FUSED", "").lower() \
         not in ("", "0", "false", "no")
     if max_passes >= 2 and not no_fused:
@@ -1355,10 +1484,11 @@ def demod_span_turbo(cfg: DemodConfig, carry0: DemodCarry, xf: np.ndarray,
         # a bounded span on a high-latency link). The stream carry enters
         # as a runtime input (ext_init), so every span reuses the same
         # compiled program.
-        f_np, outs, K, passes, converged, _, lane_ok = fused_gauge_run(
-            cfg, chunks, kb, kb_w, backend, None, put_packed, w0_np,
-            wblocks_dev, blocks_dev, jnp.asarray(tails), tails,
-            max_passes, init_np=init_np)
+        f_np, outs, K, passes, converged, _, lane_ok, stats = \
+            fused_gauge_run(
+                cfg, chunks, kb, kb_w, backend, None, put_packed, w0_np,
+                wblocks_dev, blocks_dev, jnp.asarray(tails), tails,
+                max_passes, init_np=init_np, pack_outs=True)
     else:
         run_w = _chunk_fn_packed(cfg, chunks, kb_w, backend, None)
         run_g = _chunk_fn_packed(cfg, chunks, kb, backend, None)
@@ -1368,31 +1498,35 @@ def demod_span_turbo(cfg: DemodConfig, carry0: DemodCarry, xf: np.ndarray,
         f_np, outs, K, passes, converged, _, lane_ok = gauge_fixpoint(
             cfg, run_g, put_packed, blocks_dev, w_np, tails,
             max_passes, init_np=init_np)
+        stats = None
 
-    empty = np.zeros(0, dtype=_SYM_DTYPE)
-    if int(np.asarray(f_np.flags).sum()) != 0:
-        return SpanResult(empty, None, 0, passes, False, 0)
-    P = chunks if converged else verified_prefix(lane_ok)
+    # Per-lane safety flags mask into the acceptance diagnostics instead
+    # of rejecting the whole span: the verified-prefix induction only
+    # needs every ACCEPTED lane flag-free (a flagged lane's own exit is
+    # suspect, so it and everything after it stay unconsumed; the prefix
+    # before it is untainted — the same reasoning as lane_ok itself).
+    flags_np = np.asarray(f_np.flags)
+    lane_ok = np.asarray(lane_ok, bool) & (flags_np == 0)
+    converged = bool(converged) and bool(np.all(flags_np == 0))
+    P = verified_prefix(lane_ok)
     if cfg.oqpsk:
-        # Odd-gauge exits swap the half-symbol labeling (see docstring):
-        # shrink to the longest even-gauge boundary.
+        # Odd-gauge exits swap the half-symbol labeling (see
+        # demod_span_turbo's docstring): shrink to the longest even-gauge
+        # boundary.
         while P > 0 and int(K[P - 1]) % 2 != 0:
             P -= 1
     if P == 0:
-        return SpanResult(empty, None, 0, passes, converged, 0)
+        return SpanPending(None, f_np, K, passes, converged, 0, 0, None)
 
-    o = egress(outs)
-    sym_re = np.asarray(o.sym_re)        # (kb, C, S)
-    sym_im = np.asarray(o.sym_im)
-    valid = np.asarray(o.valid).astype(bool)
-    lonce = np.asarray(o.locked_once)
+    if stats is None:
+        # Rare continuation path: outs is a raw float BlockOutput and no
+        # last-symbol stats exist — materialize here (submit is
+        # synchronous on this path).
+        outs = jax.tree_util.tree_map(np.asarray, egress(outs))
+
     exit_c = jax.tree_util.tree_map(lambda a: np.asarray(a)[P - 1], f_np)
     kexit = int(K[P - 1]) % 4
     if cfg.oqpsk:
-        symbols = _assemble_oqpsk_gauge(
-            sym_re[:, :P], sym_im[:, :P], valid[:, :P], lonce[:, :P],
-            K[:P], np.asarray(f_np.slot)[:P], np.asarray(f_np.inphase)[:P],
-            np.asarray(f_np.locked_once)[:P], None)
         if kexit:                            # even by construction: signs
             s = _OQ_SIGNS[kexit][0]
             exit_c = exit_c._replace(
@@ -1401,29 +1535,101 @@ def demod_span_turbo(cfg: DemodConfig, carry0: DemodCarry, xf: np.ndarray,
                     2 * np.pi)),
                 t_prev=np.float32(s * float(exit_c.t_prev)),
                 inphase=np.float32(s * float(exit_c.inphase)))
-    else:
-        parts = []
-        for c in range(P):
-            m = valid[:, c, :].reshape(-1)
-            s = np.zeros(int(m.sum()), dtype=_SYM_DTYPE)
-            re = sym_re[:, c, :].reshape(-1)[m]
-            im = sym_im[:, c, :].reshape(-1)[m]
-            re, im = rotate_quadrant(re, im, K[c])
-            s["re"] = re
-            s["im"] = im
-            s["locked_once"] = lonce[:, c, :].reshape(-1)[m]
-            parts.append(s)
-        symbols = np.concatenate(parts) if parts else empty
-        if kexit:
-            # Rotate the exit carry into the stream's gauge (see
-            # demod_array_turbo's tail continuation for the derivation):
-            # symbols transform by e^{-j K pi/2} -> NCO phase shifts by
-            # +K pi/2; t_prev becomes the last EMITTED symbol's Q.
-            pp = np.mod(float(exit_c.p_phase) + kexit * float(_HALF_PI),
-                        2 * np.pi)
-            prev_q = float(symbols["im"][-1]) if len(symbols) \
-                else float(carry0.t_prev)
-            exit_c = exit_c._replace(p_phase=np.float32(pp),
-                                     t_prev=np.float32(prev_q))
+    elif kexit:
+        # Rotate the exit carry into the stream's gauge (see
+        # demod_array_turbo's tail continuation for the derivation):
+        # symbols transform by e^{-j K pi/2} -> NCO phase shifts by
+        # +K pi/2; t_prev becomes the last EMITTED symbol's Q.
+        pp = np.mod(float(exit_c.p_phase) + kexit * float(_HALF_PI),
+                    2 * np.pi)
+        prev_q = _span_last_q(cfg, carry0, outs, K, P, stats)
+        exit_c = exit_c._replace(p_phase=np.float32(pp),
+                                 t_prev=np.float32(prev_q))
     exit_c = exit_c._replace(tick=np.int32(0), flags=np.int32(0))
-    return SpanResult(symbols, exit_c, P * chunk_len, passes, converged, P)
+    S_out = cfg.steps_per_block + (1 if cfg.oqpsk else 0)
+    return SpanPending(outs, f_np, K, passes, converged, P,
+                       P * chunk_len, exit_c, dims=(kb, chunks, S_out))
+
+
+def _span_last_q(cfg, carry0, outs, K, P, stats):
+    """Q component of the last symbol the accepted prefix emits, in the
+    stream's gauge — the exit carry's t_prev (timing.c:65-66 keeps the
+    previous symbol's Q). From the small-vector stats when available (no
+    bulk egress); from the materialized float outs otherwise."""
+    if stats is not None:
+        nz = np.nonzero(stats["n_valid"][:P] > 0)[0]
+        if len(nz) == 0:
+            return float(carry0.t_prev)
+        c = int(nz[-1])
+        return float(rotate_quadrant(stats["last_re"][c],
+                                     stats["last_im"][c], K[c])[1])
+    valid = np.asarray(outs.valid).astype(bool)
+    for c in reversed(range(P)):
+        idx = np.nonzero(valid[:, c, :].reshape(-1))[0]
+        if len(idx):
+            re = np.asarray(outs.sym_re)[:, c, :].reshape(-1)[idx[-1]]
+            im = np.asarray(outs.sym_im)[:, c, :].reshape(-1)[idx[-1]]
+            return float(rotate_quadrant(re, im, K[c])[1])
+    return float(carry0.t_prev)
+
+
+def _assemble_qpsk_gauge(sym_re, sym_im, valid, lonce, K, scale=1.0):
+    """Vectorized QPSK gauge assembly: rotate each lane into chunk 0's
+    gauge (exact sign/swap, rotate_quadrant) and emit lane-major
+    chronological order. `scale` maps stored values to the soft-symbol
+    float scale (2.0 for the device-quantized int8 path: q =
+    trunc(clip(v/2)) means 2q re-quantizes to q bit-exactly downstream)."""
+    kb, P, S = sym_re.shape
+    r = (np.asarray(K[:P]).astype(np.int64) % 4)
+    swap = (r % 2 == 1)[:, None]
+    sre = np.where(r < 2, 1.0, -1.0).astype(np.float32)[:, None]
+    sim = np.where((r == 1) | (r == 2), -1.0, 1.0).astype(np.float32)[:, None]
+    re_l = sym_re.transpose(1, 0, 2).reshape(P, -1).astype(np.float32)
+    im_l = sym_im.transpose(1, 0, 2).reshape(P, -1).astype(np.float32)
+    re_rot = sre * np.where(swap, im_l, re_l)
+    im_rot = sim * np.where(swap, re_l, im_l)
+    m = valid.transpose(1, 0, 2).reshape(-1)
+    s = np.zeros(int(m.sum()), dtype=_SYM_DTYPE)
+    s["re"] = re_rot.reshape(-1)[m] * np.float32(scale)
+    s["im"] = im_rot.reshape(-1)[m] * np.float32(scale)
+    s["locked_once"] = lonce.transpose(1, 0, 2).reshape(-1)[m]
+    return s
+
+
+def span_finish(cfg: DemodConfig, pending: SpanPending) -> SpanResult:
+    """Transfer the accepted prefix's symbol payload and assemble it.
+
+    The device->host transfer here is the span path's dominant link cost;
+    a pipelined caller overlaps it with the next span's compute by
+    calling span_submit for the successor first."""
+    empty = np.zeros(0, dtype=_SYM_DTYPE)
+    if pending.P == 0:
+        return SpanResult(empty, None, 0, pending.passes,
+                          pending.converged, 0)
+    P, K, f_np = pending.P, pending.K, pending.f_np
+    o = pending.outs
+    if not hasattr(o, "sym_re"):
+        buf = np.asarray(egress(o))          # ONE flat int8 transfer
+        sym_re, sym_im, valid, lonce = _unpack_outs_np(buf, *pending.dims)
+        scale = 2.0
+    else:
+        if not isinstance(jax.tree_util.tree_leaves(o)[0], np.ndarray):
+            o = jax.tree_util.tree_map(np.asarray, egress(o))
+        sym_re = np.asarray(o.sym_re)        # (kb, C, S) float32
+        sym_im = np.asarray(o.sym_im)
+        valid = np.asarray(o.valid).astype(bool)
+        lonce = np.asarray(o.locked_once)
+        scale = 1.0
+    if cfg.oqpsk:
+        symbols = _assemble_oqpsk_gauge(
+            sym_re[:, :P].astype(np.float32) * np.float32(scale),
+            sym_im[:, :P].astype(np.float32) * np.float32(scale),
+            valid[:, :P], lonce[:, :P],
+            K[:P], np.asarray(f_np.slot)[:P], np.asarray(f_np.inphase)[:P],
+            np.asarray(f_np.locked_once)[:P], None)
+    else:
+        symbols = _assemble_qpsk_gauge(
+            sym_re[:, :P], sym_im[:, :P], valid[:, :P], lonce[:, :P],
+            K, scale=scale)
+    return SpanResult(symbols, pending.exit_carry, pending.consumed,
+                      pending.passes, pending.converged, P)

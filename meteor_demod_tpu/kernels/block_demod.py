@@ -801,7 +801,7 @@ def _make_dma_demod(cfg: DemodConfig, batch: int, interpret: bool, G: int,
         num_scalar_prefetch=2,
         grid=(n_grid,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),                # Ft
+            pl.BlockSpec(memory_space=pl.ANY),                   # Ft
             pl.BlockSpec((NF, 1, B), lambda s, g, o: (0, 0, 0)),
             pl.BlockSpec((NI, 1, B), lambda s, g, o: (0, 0, 0)),
             pl.BlockSpec((32, B), lambda s, g, o: (0, 0)),

@@ -168,11 +168,12 @@ def test_span_unverified_prefix_bounded_fallback(monkeypatch):
     real_run = turbo.fused_gauge_run
 
     def poisoned(*a, **k):
-        f_np, outs, K, passes, conv, resid, lane_ok = real_run(*a, **k)
+        f_np, outs, K, passes, conv, resid, lane_ok, stats = \
+            real_run(*a, **k)
         assert conv, "fixture must converge before poisoning"
         ok = np.ones(C, bool)
         ok[P:] = False
-        return f_np, outs, K, passes, False, max(resid, 0.5), ok
+        return f_np, outs, K, passes, False, max(resid, 0.5), ok, stats
 
     monkeypatch.setattr(turbo, "fused_gauge_run", poisoned)
 
@@ -202,8 +203,9 @@ def test_span_all_unverified_falls_back_whole_span(monkeypatch):
     real_run = turbo.fused_gauge_run
 
     def poisoned(*a, **k):
-        f_np, outs, K, passes, conv, resid, lane_ok = real_run(*a, **k)
-        return f_np, outs, K, passes, False, 1.0, np.zeros(C, bool)
+        f_np, outs, K, passes, conv, resid, lane_ok, stats = \
+            real_run(*a, **k)
+        return f_np, outs, K, passes, False, 1.0, np.zeros(C, bool), stats
 
     monkeypatch.setattr(turbo, "fused_gauge_run", poisoned)
 

@@ -444,11 +444,12 @@ def test_turbo_strict_bounded_fallback_resumes_from_prefix(monkeypatch):
     real_run = turbo.fused_gauge_run
 
     def poisoned(*a, **k):
-        f_np, outs, K, passes, conv, resid, lane_ok = real_run(*a, **k)
+        f_np, outs, K, passes, conv, resid, lane_ok, stats = \
+            real_run(*a, **k)
         assert conv, "fixture must converge before poisoning"
         ok = np.ones(chunks, bool)
         ok[P:] = False
-        return f_np, outs, K, passes, False, max(resid, 0.5), ok
+        return f_np, outs, K, passes, False, max(resid, 0.5), ok, stats
 
     monkeypatch.setattr(turbo, "fused_gauge_run", poisoned)
 
@@ -502,11 +503,12 @@ def test_turbo_strict_bounded_fallback_oqpsk(monkeypatch):
     real_run = turbo.fused_gauge_run
 
     def poisoned(*a, **k):
-        f_np, outs, K, passes, conv, resid, lane_ok = real_run(*a, **k)
+        f_np, outs, K, passes, conv, resid, lane_ok, stats = \
+            real_run(*a, **k)
         assert conv, "fixture must converge before poisoning"
         ok = np.ones(chunks, bool)
         ok[P:] = False
-        return f_np, outs, K, passes, False, max(resid, 0.5), ok
+        return f_np, outs, K, passes, False, max(resid, 0.5), ok, stats
 
     monkeypatch.setattr(turbo, "fused_gauge_run", poisoned)
 
