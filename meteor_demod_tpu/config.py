@@ -268,6 +268,30 @@ class DemodConfig:
         return (w + 7) // 8 * 8
 
     @property
+    def window_locked_asym(self) -> int:
+        """LOCKED-mode kernel window width, ASYMMETRIC base (the kernel
+        anchors window_delta_locked ticks BELOW each step's nominal fire
+        tick — kernels/block_demod.py _geom).
+
+        The stream-independent window must fold the per-stream first-fire
+        offset tau0 into its coverage, but tau0 is ONE-SIDED: the block's
+        first fire lands 1..ticks_per_fire(+locked jitter) ticks after
+        entry, never before (offsets[] predicts the tau0 == 0 stream). A
+        symmetric window (window_common_locked) therefore wastes
+        ~ticks_per_fire provably-dead rows on the low side — and the
+        per-step window select cost scales with W (docs/PERF.md). Low
+        side: delta_locked (drift + jitter + margin). High side:
+        ticks_per_fire + delta_locked (tau0 plus the same envelope; the
+        delta's +8 margin absorbs the gate's +1 rad late-fire allowance),
+        plus _pair_extra for OQPSK's later half-symbol fire. An
+        out-of-envelope fire lands outside [0, W) and trips
+        FLAG_WINDOW_MISS -> exact oracle fallback, same as the symmetric
+        geometry."""
+        w = (2 * self.window_delta_locked
+             + int(math.ceil(self.ticks_per_fire)) + 1 + self._pair_extra)
+        return (w + 7) // 8 * 8
+
+    @property
     def window_offsets(self) -> np.ndarray:
         """Static per-step predicted first-fire-tick offsets, shape (S,),
         int32.

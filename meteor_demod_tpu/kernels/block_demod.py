@@ -111,8 +111,12 @@ def _geom(cfg: DemodConfig, locked: bool):
     bitwise-identical to the wide geometry whenever they stay inside the
     locked envelope, and flag into the oracle fallback otherwise."""
     if locked:
+        # ASYMMETRIC base: delta_locked rows below the nominal fire tick,
+        # the rest (tau0 coverage) above it — tau0 is one-sided, so the
+        # symmetric window_common_locked wastes ~ticks_per_fire dead low
+        # rows (config.window_locked_asym).
         return (cfg.gate_offset_locked, cfg.gate_candidates,
-                cfg.window_common_locked, cfg.window_delta_common_locked)
+                cfg.window_locked_asym, cfg.window_delta_locked)
     return (0, cfg.gate_candidates, cfg.window_common,
             cfg.window_delta_common)
 

@@ -62,7 +62,7 @@ def run(name, cfg):
                               (CHAIN, BATCH, cfg.block_len, 2)) + 0.0
     res = {"config": name, "K": cfg.gate_candidates,
            "k0": cfg.gate_offset_locked, "W": cfg.window_common,
-           "W_locked": cfg.window_common_locked}
+           "W_locked": cfg.window_locked_asym}
     # Warm with the wide program until locked (production acquisition).
     wide = _fn(cfg, False)
     carry = batch_carry(cfg, BATCH)
