@@ -292,6 +292,44 @@ class DemodConfig:
         return (w + 7) // 8 * 8
 
     @property
+    def locked_pair_slices(self) -> tuple[int, int, int, int] | None:
+        """Static sub-slices (oA, WA, oB, WB) of the asymmetric locked
+        window (window_locked_asym) read by the OQPSK paired step's two
+        selects; None unless oqpsk.
+
+        The two half-symbol fires of a paired step land in distinct
+        sub-ranges of the step window: the I fire at
+        c in delta + [-(drift+jitter), tau0_max + drift+jitter] and the
+        Q fire ticks_per_fire (within the +-1 rad locked envelope) above
+        it — so each (W, B) one-hot select only needs its own slice, not
+        the full union. Derivation mirrors _window_delta /
+        window_locked_asym term for term; slices are 8-row aligned (free
+        static slicing in Mosaic). A fire outside its slice trips
+        FLAG_WINDOW_MISS -> exact oracle fallback, exactly like the full
+        window's bounds check (the flag envelope is a few ticks tighter;
+        still >= the locked envelope by the same slack margin)."""
+        if not self.oqpsk:
+            return None
+        W = self.window_locked_asym
+        delta = self.window_delta_locked
+        drift = math.ceil(self.steps_per_block * self.ticks_per_step
+                          * 2.0 ** -C.FREQ_DEV_EXP)
+        jr = math.ceil(1.0 / float(self.timing_freq))
+        slack = 4
+        tf_min = float(self.timing_freq) * (1 - 2.0 ** -C.FREQ_DEV_EXP)
+        tf_max = float(self.timing_freq) * (1 + 2.0 ** -C.FREQ_DEV_EXP)
+        tau0_max = int(math.ceil((self.fire_spacing + 1.0) / tf_min)) - 1
+        k_lo = int(math.floor((self.fire_spacing - 1.0) / tf_max))
+        k_hi = int(math.ceil((self.fire_spacing + 1.0) / tf_min))
+        a_lo = delta - (drift + jr) - slack
+        a_hi = delta + tau0_max + drift + jr + slack
+        oA = max(0, a_lo) // 8 * 8
+        WA = min(W - oA, -(-(a_hi + 1 - oA) // 8) * 8)
+        oB = max(0, a_lo + k_lo) // 8 * 8
+        WB = min(W - oB, -(-(min(a_hi + k_hi, W - 1) + 1 - oB) // 8) * 8)
+        return (oA, WA, oB, WB)
+
+    @property
     def window_offsets(self) -> np.ndarray:
         """Static per-step predicted first-fire-tick offsets, shape (S,),
         int32.

@@ -281,8 +281,10 @@ def _make_step(cfg: DemodConfig, R: int, B: int, W: int | None = None,
                              gain + gain_pole * (agc_target - mag))
 
         # ---- PLL mix (pll.c:50-97) ---------------------------------------
-        sn = _fast_sin_rows(-pp)
-        cs = _fast_sin_rows(-pp + half_pi)
+        # sin and cos as ONE (2R, B) fast_sin tile (elementwise Q14 int
+        # recurrence — bit-identical per element, half the serial ops).
+        sc2 = _fast_sin_rows(jnp.concatenate([-pp, -pp + half_pi], axis=0))
+        sn, cs = sc2[0:R], sc2[R:2 * R]
         mre = zr * cs - zi * sn
         mim = zr * sn + zi * cs
         pp_adv = pp + pf
@@ -359,7 +361,8 @@ def _make_step(cfg: DemodConfig, R: int, B: int, W: int | None = None,
 
 def _make_paired_step_tiles(cfg: DemodConfig, R: int, B: int,
                             W: int | None = None,
-                            spec: bool = False) -> Callable:
+                            spec: bool = False,
+                            slices: tuple | None = None) -> Callable:
     """OQPSK paired-fire step on (R, B) tiles — the kernel mirror of
     demod/scan.py's _make_paired_step (see its docstring for the pairing
     semantics and the alignment invariant). Fire-for-fire float op order
@@ -385,6 +388,13 @@ def _make_paired_step_tiles(cfg: DemodConfig, R: int, B: int,
     K = cfg.gate_candidates
     if W is None:
         W = cfg.window_common
+    # Perf-probe ablations (scripts/probe_oqpsk.py): TIMING-ONLY variants
+    # that break correctness, used to attribute per-step cost on chip —
+    # never set in production. "selw32": both window selects read a
+    # 32-row sub-slice; "rowb": transaction B reuses A's AGC/mix values
+    # (deletes B's serial row chain); "gateb": B reuses A's gate decision.
+    _ablate = frozenset(
+        os.environ.get("METEOR_DEMOD_ABLATE", "").split(",")) - {""}
 
     bias_keep = _F32(1.0 - C.AGC_BIAS_POLE)
     bias_pole = _F32(C.AGC_BIAS_POLE)
@@ -399,6 +409,18 @@ def _make_paired_step_tiles(cfg: DemodConfig, R: int, B: int,
         (tp, tf, prev, pp, pf, perr, updown, gain, bias_re, bias_im,
          inphase, locked, lonce, slot, t, flags) = st
         kiota, ksB, wc, iota32, table_col = tiles
+        # Per-transaction select slices (config.locked_pair_slices): each
+        # half-fire's one-hot select reads only its own 8-aligned
+        # sub-range of the step window. Aligned static slices are free
+        # (address math, no relayout); out-of-slice fires flag.
+        if "selw32" in _ablate:
+            oA, WA, oB, WB = 0, 32, 0, 32
+        elif slices is not None:
+            oA, WA, oB, WB = slices
+        else:
+            oA, WA, oB, WB = 0, W, 0, W
+        winA = (wre[oA:oA + WA], wim[oA:oA + WA], wc[:WA], oA, WA)
+        winB = (wre[oB:oB + WB], wim[oB:oB + WB], wc[:WB], oB, WB)
 
         def fire(thresh, tpv, tv, attempt):
             rem = block_ticks - tv
@@ -433,17 +455,18 @@ def _make_paired_step_tiles(cfg: DemodConfig, R: int, B: int,
             tp_n = tpv + prod_sel
             return fired, tau, tp_n, t_n, defer
 
-        def select(tau, fired):
-            c = tau - base_j
+        def select(tau, fired, win):
+            wre_s, wim_s, wc_s, off, Wf = win
+            c = tau - base_j - off
             if spec:
-                sel = wc == c                           # (W, R, B)
-                miss = jnp.logical_or(c < 0, c >= W)
+                sel = wc_s == c                         # (Wf, R, B)
+                miss = jnp.logical_or(c < 0, c >= Wf)
             else:
-                sel = jnp.logical_and(wc == c, fired)   # (W, R, B)
+                sel = jnp.logical_and(wc_s == c, fired)  # (Wf, R, B)
                 miss = jnp.logical_and(fired,
-                                       jnp.logical_or(c < 0, c >= W))
-            z_re = jnp.sum(jnp.where(sel, wre, _F32(0.0)), axis=0)
-            z_im = jnp.sum(jnp.where(sel, wim, _F32(0.0)), axis=0)
+                                       jnp.logical_or(c < 0, c >= Wf))
+            z_re = jnp.sum(jnp.where(sel, wre_s, _F32(0.0)), axis=0)
+            z_im = jnp.sum(jnp.where(sel, wim_s, _F32(0.0)), axis=0)
             return z_re, z_im, miss
 
         # ---- transaction A: the I half-fire ------------------------------
@@ -454,7 +477,19 @@ def _make_paired_step_tiles(cfg: DemodConfig, R: int, B: int,
         misalign = (slot != 1) if spec else False
         threshA = slot.astype(jnp.float32) * _PI
         firedA, tauA, tp1, t1, deferA = fire(threshA, tp, t, slot > 0)
-        zAre, zAim, missA = select(tauA, firedA)
+        # Both transactions' PLL mix phases are known right after gate A
+        # (ppA/pp1 are adds off the entry state), so all four fast_sin
+        # evaluations run as ONE (4R, B) tile — the elementwise Q14 int
+        # recurrence is ~10 serial ops either way, on 4 rows instead of
+        # one at a time (values bit-identical per element).
+        ppA = pp + pf
+        ppA = jnp.where(ppA >= _TWO_PI, ppA - _TWO_PI, ppA)
+        pp1 = jnp.where(firedA, ppA, pp)
+        sc4 = _fast_sin_rows(jnp.concatenate(
+            [-pp, -pp + half_pi, -pp1, -pp1 + half_pi], axis=0))
+        snA, csA = sc4[0:R], sc4[R:2 * R]
+        snB, csB = sc4[2 * R:3 * R], sc4[3 * R:4 * R]
+        zAre, zAim, missA = select(tauA, firedA, winA)
         biasAre = bias_re * bias_keep + bias_pole * zAre
         biasAim = bias_im * bias_keep + bias_pole * zAim
         zrA = (zAre - biasAre) * gain
@@ -462,36 +497,36 @@ def _make_paired_step_tiles(cfg: DemodConfig, R: int, B: int,
         magA = jnp.sqrt(zrA * zrA + ziA * ziA)
         gainA = jnp.maximum(_F32(0.0),
                             gain + gain_pole * (agc_target - magA))
-        snA = _fast_sin_rows(-pp)
-        csA = _fast_sin_rows(-pp + half_pi)
         mreA = zrA * csA - ziA * snA
-        ppA = pp + pf
-        ppA = jnp.where(ppA >= _TWO_PI, ppA - _TWO_PI, ppA)
 
         gain1 = jnp.where(firedA, gainA, gain)
         bre1 = jnp.where(firedA, biasAre, bias_re)
         bim1 = jnp.where(firedA, biasAim, bias_im)
-        pp1 = jnp.where(firedA, ppA, pp)
         is1A = slot == 1
         inphase1 = jnp.where(jnp.logical_and(firedA, is1A), mreA, inphase)
         slotB = jnp.where(firedA, jnp.where(is1A, 2, 1), slot)
 
         # ---- transaction B: the Q fire -----------------------------------
         threshB = slotB.astype(jnp.float32) * _PI
-        firedB, tauB, tp2, t2, deferB = fire(threshB, tp1, t1, firedA)
-        zBre, zBim, missB = select(tauB, firedB)
-        biasBre = bre1 * bias_keep + bias_pole * zBre
-        biasBim = bim1 * bias_keep + bias_pole * zBim
-        zrB = (zBre - biasBre) * gain1
-        ziB = (zBim - biasBim) * gain1
-        magB = jnp.sqrt(zrB * zrB + ziB * ziB)
-        gainB = jnp.maximum(_F32(0.0),
-                            gain1 + gain_pole * (agc_target - magB))
-        snB = _fast_sin_rows(-pp1)
-        csB = _fast_sin_rows(-pp1 + half_pi)
-        mimB = zrB * snB + ziB * csB
-        ppB = pp1 + pf
-        ppB = jnp.where(ppB >= _TWO_PI, ppB - _TWO_PI, ppB)
+        if "gateb" in _ablate:    # timing probe: reuse A's gate decision
+            firedB, tauB, tp2, t2, deferB = firedA, tauA, tp1, t1, deferA
+        else:
+            firedB, tauB, tp2, t2, deferB = fire(threshB, tp1, t1, firedA)
+        zBre, zBim, missB = select(tauB, firedB, winB)
+        if "rowb" in _ablate:     # timing probe: reuse A's AGC/mix chain
+            biasBre, biasBim, gainB = biasAre, biasAim, gainA
+            mimB, ppB = mreA, ppA
+        else:
+            biasBre = bre1 * bias_keep + bias_pole * zBre
+            biasBim = bim1 * bias_keep + bias_pole * zBim
+            zrB = (zBre - biasBre) * gain1
+            ziB = (zBim - biasBim) * gain1
+            magB = jnp.sqrt(zrB * zrB + ziB * ziB)
+            gainB = jnp.maximum(_F32(0.0),
+                                gain1 + gain_pole * (agc_target - magB))
+            mimB = zrB * snB + ziB * csB
+            ppB = pp1 + pf
+            ppB = jnp.where(ppB >= _TWO_PI, ppB - _TWO_PI, ppB)
 
         gain2 = jnp.where(firedB, gainB, gain1)
         bre2 = jnp.where(firedB, biasBre, bre1)
@@ -549,7 +584,13 @@ def _make_paired_step_tiles(cfg: DemodConfig, R: int, B: int,
         st_new = (tp_f, tf_f, prev_f, pp_n, pf_n, perr_n, updown_n,
                   gain2, bre2, bim2, inphase1, locked_n, lonce_out,
                   slot_f, t2, flags_n)
-        out = (sym_re, sym_im, do_update.astype(jnp.int32), lonce_out)
+        if "dumpc" in _ablate:    # timing/diag probe: export window coords
+            out = ((tauA - base_j).astype(jnp.float32),
+                   (tauB - base_j).astype(jnp.float32),
+                   firedA.astype(jnp.int32) + 2 * firedB.astype(jnp.int32),
+                   lonce_out)
+        else:
+            out = (sym_re, sym_im, do_update.astype(jnp.int32), lonce_out)
         return st_new, out
 
     return step
@@ -660,7 +701,8 @@ def _make_kernel(cfg: DemodConfig, R: int, B: int, G: int,
     block_ticks = cfg.block_ticks
     oqpsk = cfg.oqpsk
     make_paired = _make_paired_step_tiles
-    step = (make_paired(cfg, R, B, W) if oqpsk
+    pair_sl = cfg.locked_pair_slices if locked else None
+    step = (make_paired(cfg, R, B, W, slices=pair_sl) if oqpsk
             else _make_step(cfg, R, B, W, k0))
     pre_step = _make_step(cfg, R, B, W) if oqpsk else None
     entry_step = _make_step(cfg, R, B, W) if locked and not oqpsk else None
@@ -670,7 +712,8 @@ def _make_kernel(cfg: DemodConfig, R: int, B: int, G: int,
     s_spec = (min(cfg.steps_always_fire // G, n_grid - 1)
               if locked and os.environ.get("METEOR_DEMOD_SPEC") != "0"
               else 0)
-    spec_step = ((make_paired(cfg, R, B, W, spec=True) if oqpsk
+    spec_step = ((make_paired(cfg, R, B, W, spec=True, slices=pair_sl)
+                  if oqpsk
                   else _make_step(cfg, R, B, W, k0, spec=True))
                  if s_spec > 0 else None)
 
@@ -791,7 +834,15 @@ def _make_dma_demod(cfg: DemodConfig, batch: int, interpret: bool, G: int,
     gstart = np.clip(og[:, 0] - delta, 0, T - span).astype(np.int32)
     offw = np.clip(offsets_pad - delta - np.repeat(gstart, G),
                    0, span - W).astype(np.int32)
-    kernel = _make_kernel_dma(cfg, B, G, span, n_grid, locked)
+    # Grids whose windows the edge clips SHIFTED (static): the paired
+    # step's per-transaction select slices assume the unshifted base, so
+    # sliced spec bodies only run on shift-free grids (s_slice_hi) — the
+    # edge grids keep the full-window bodies.
+    shift = (offsets_pad - delta) - (np.repeat(gstart, G) + offw)
+    grid_clean = (shift.reshape(n_grid, G) == 0).all(axis=1)
+    s_slice_hi = int(np.argmin(grid_clean[1:]) + 1
+                     if not grid_clean[1:].all() else n_grid)
+    kernel = _make_kernel_dma(cfg, B, G, span, n_grid, locked, s_slice_hi)
 
     oqpsk = cfg.oqpsk
     pre_specs = ([pl.BlockSpec((1, 1, B), lambda s, g, o: (0, 0, 0))] * 4
@@ -861,7 +912,8 @@ def _make_dma_demod(cfg: DemodConfig, batch: int, interpret: bool, G: int,
 
 
 def _make_kernel_dma(cfg: DemodConfig, B: int, G: int, span: int,
-                     n_grid: int, locked: bool = False) -> Callable:
+                     n_grid: int, locked: bool = False,
+                     s_slice_hi: int = 0) -> Callable:
     """Kernel variant that streams the tick-major FIR array itself.
 
     The gather path materializes (S_pad, W, B) candidate windows host-side
@@ -882,6 +934,13 @@ def _make_kernel_dma(cfg: DemodConfig, B: int, G: int, span: int,
     S = cfg.steps_per_block
     block_ticks = cfg.block_ticks
     oqpsk = cfg.oqpsk
+    # Unlike the gather path (whose per-ROW clamp keeps the window coord c
+    # true at block edges), the DMA span clips SHIFT edge windows inward —
+    # so the per-transaction select slices (config.locked_pair_slices)
+    # only apply on shift-free grids [1, s_slice_hi) inside the spec
+    # region; edge grids (s == 0, the clipped tail, the gated arm) run
+    # full-window bodies.
+    pair_sl = cfg.locked_pair_slices if locked else None
     step = (_make_paired_step_tiles(cfg, 1, B, W) if oqpsk
             else _make_step(cfg, 1, B, W, k0))
     pre_step = _make_step(cfg, 1, B, W) if oqpsk else None
@@ -892,6 +951,11 @@ def _make_kernel_dma(cfg: DemodConfig, B: int, G: int, span: int,
     spec_step = ((_make_paired_step_tiles(cfg, 1, B, W, spec=True) if oqpsk
                   else _make_step(cfg, 1, B, W, k0, spec=True))
                  if s_spec > 0 else None)
+    s_sl = min(s_slice_hi, s_spec)
+    spec_step_sl = (_make_paired_step_tiles(cfg, 1, B, W, spec=True,
+                                            slices=pair_sl)
+                    if s_spec > 0 and oqpsk and pair_sl is not None
+                    and s_sl > 1 else None)
 
     def kernel(*refs):
         if oqpsk:
@@ -973,9 +1037,26 @@ def _make_kernel_dma(cfg: DemodConfig, B: int, G: int, span: int,
                 # alignment); OQPSK's own step 0 is a normal paired step.
                 run_group(spec_body, j0=0 if oqpsk else 1)
 
-            @pl.when(jnp.logical_and(s > 0, s < s_spec))
-            def _():
-                run_group(spec_body)
+            if spec_step_sl is not None:
+                # Sliced-select spec body on shift-free grids only (the
+                # edge clips shift windows; see factory comment).
+                def spec_sl_body(st, j):
+                    wre, wim, base_j = window_j(j)
+                    return spec_step_sl(st, tiles_s, wre, wim, base_j,
+                                        True)
+
+                @pl.when(jnp.logical_and(s > 0, s < s_sl))
+                def _():
+                    run_group(spec_sl_body)
+
+                if s_sl < s_spec:
+                    @pl.when(jnp.logical_and(s >= s_sl, s < s_spec))
+                    def _():
+                        run_group(spec_body)
+            else:
+                @pl.when(jnp.logical_and(s > 0, s < s_spec))
+                def _():
+                    run_group(spec_body)
 
             @pl.when(s >= s_spec)
             def _():
