@@ -361,7 +361,9 @@ def _bench_stream_span(cfg, chunks=128, kb=16, nspans=3):
         return consumed, p.passes, ok
 
     t0 = time.time()
-    consumed, passes, ok = run_spans(1)                # compile+warm
+    # Warm with TWO spans: compiles the fused program AND exercises the
+    # submit/finish pipeline overlap path the timed windows measure.
+    consumed, passes, ok = run_spans(2)
     log(f"stream-span warmup: {time.time()-t0:.1f}s, passes={passes}, "
         f"verified_all={ok}")
     rates = []

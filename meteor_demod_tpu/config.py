@@ -258,16 +258,6 @@ class DemodConfig:
         return (w + 7) // 8 * 8
 
     @property
-    def window_delta_common_locked(self) -> int:
-        return self.window_delta_locked + int(
-            math.ceil(self.ticks_per_fire)) + 1
-
-    @property
-    def window_common_locked(self) -> int:
-        w = 2 * self.window_delta_common_locked + self._pair_extra
-        return (w + 7) // 8 * 8
-
-    @property
     def window_locked_asym(self) -> int:
         """LOCKED-mode kernel window width, ASYMMETRIC base (the kernel
         anchors window_delta_locked ticks BELOW each step's nominal fire
@@ -277,7 +267,7 @@ class DemodConfig:
         offset tau0 into its coverage, but tau0 is ONE-SIDED: the block's
         first fire lands 1..ticks_per_fire(+locked jitter) ticks after
         entry, never before (offsets[] predicts the tau0 == 0 stream). A
-        symmetric window (window_common_locked) therefore wastes
+        symmetric window (delta_common each side, the r2 geometry) wastes
         ~ticks_per_fire provably-dead rows on the low side — and the
         per-step window select cost scales with W (docs/PERF.md). Low
         side: delta_locked (drift + jitter + margin). High side:
@@ -302,9 +292,10 @@ class DemodConfig:
         c in delta + [-(drift+jitter), tau0_max + drift+jitter] and the
         Q fire ticks_per_fire (within the +-1 rad locked envelope) above
         it — so each (W, B) one-hot select only needs its own slice, not
-        the full union. Derivation mirrors _window_delta /
-        window_locked_asym term for term; slices are 8-row aligned (free
-        static slicing in Mosaic). A fire outside its slice trips
+        the full union (which window_locked_asym must cover). Derivation
+        mirrors _window_delta / window_locked_asym term for term; slices
+        are 8-row aligned (free static slicing in Mosaic). A fire
+        outside its slice trips
         FLAG_WINDOW_MISS -> exact oracle fallback, exactly like the full
         window's bounds check (the flag envelope is a few ticks tighter;
         still >= the locked envelope by the same slack margin)."""

@@ -113,7 +113,7 @@ def _geom(cfg: DemodConfig, locked: bool):
     if locked:
         # ASYMMETRIC base: delta_locked rows below the nominal fire tick,
         # the rest (tau0 coverage) above it — tau0 is one-sided, so the
-        # symmetric window_common_locked wastes ~ticks_per_fire dead low
+        # r2 symmetric common window wasted ~ticks_per_fire dead low
         # rows (config.window_locked_asym).
         return (cfg.gate_offset_locked, cfg.gate_candidates,
                 cfg.window_locked_asym, cfg.window_delta_locked)

@@ -51,6 +51,10 @@ def main() -> None:
     ap.add_argument("--trace", default=None,
                     help="capture a jax.profiler trace of one dispatch")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--locked", action="store_true",
+                    help="time the LOCKED serving geometry (narrow "
+                         "asymmetric window + offset gate + all-fire spec "
+                         "arms); clean fixtures stay flag-free from cold")
     args = ap.parse_args()
 
     import jax
@@ -77,9 +81,10 @@ def main() -> None:
                              "run without --group for the CPU scan backend")
         from meteor_demod_tpu.kernels.block_demod import \
             make_pallas_batch_demod
-        demod = make_pallas_batch_demod(cfg, B, group=args.group)
+        demod = make_pallas_batch_demod(cfg, B, group=args.group,
+                                        locked=args.locked)
     else:
-        demod = make_batch_demod(cfg, B)
+        demod = make_batch_demod(cfg, B, locked=args.locked)
 
     def chained(carry, blocks):
         carry, outs = jax.lax.scan(demod, carry, blocks)
@@ -126,7 +131,7 @@ def main() -> None:
     G = args.group or 8
     S_pad = -(-S // G) * G
     n_grid = S_pad // G
-    W = cfg.window_common
+    W = cfg.window_locked_asym if args.locked else cfg.window_common
     on_tpu = jax.devices()[0].platform == "tpu"
     mode = os.environ.get("METEOR_DEMOD_WINDOWS") or (
         "dma" if on_tpu and B % 128 == 0 else "gather")
@@ -150,7 +155,8 @@ def main() -> None:
     sps = chain * cfg.block_len * B / dt
 
     print(json.dumps({
-        "config": args.config, "batch": B, "chain": chain,
+        "config": args.config, "locked": args.locked,
+        "batch": B, "chain": chain,
         "block_len": cfg.block_len, "device": jax.devices()[0].platform,
         "windows": mode,
         "compile_plus_first_dispatch_s": round(compile_s, 1),
