@@ -1140,7 +1140,7 @@ def _unpack_carry(f, i, fir_tail) -> DemodCarry:
 
 def make_pallas_batch_demod(cfg: DemodConfig, batch: int,
                             interpret: bool = False,
-                            group: int = 8,
+                            group: int | None = None,
                             lanes: int | None = None,
                             windows: str = "auto",
                             locked: bool = False) -> Callable:
@@ -1175,6 +1175,14 @@ def make_pallas_batch_demod(cfg: DemodConfig, batch: int,
     cfg.validate()
     from ..dsp.loops import TANH_TABLE
     banks = make_fir_banks(cfg)
+    # Default step grouping: G=16 measured best for the LOCKED serving
+    # geometry on chip (QPSK 1161->1189 Msamp/s, OQPSK 778->792, hi-fi
+    # 717->728; G=32 flat, G=64 worse), G=8 for the wide program (r2
+    # sweep: G=16 neutral, G=4 worse). Interpret mode keeps G=8 - the
+    # body is unrolled G times and CPU-interpret compile time scales
+    # with it.
+    if group is None:
+        group = 16 if locked and not interpret else 8
     S, G = cfg.steps_per_block, group
     _, _, W, delta = _geom(cfg, locked)
     if windows == "auto":
