@@ -87,15 +87,13 @@ def _chained_fn(cfg, batch, locked=False):
     program first (as the hosts do) so the locked run is flag-free."""
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
-        kernel = make_pallas_batch_demod(cfg, batch or 1, locked=locked)
         if batch:
-            demod = kernel
+            demod = make_pallas_batch_demod(cfg, batch, locked=locked)
         else:
-            def demod(c, x):
-                c1 = jax.tree_util.tree_map(lambda a: a[None], c)
-                c2, o = kernel(c1, x[None])
-                return (jax.tree_util.tree_map(lambda a: a[0], c2),
-                        jax.tree_util.tree_map(lambda a: a[0], o))
+            # Broadcast-lane single stream (backend.make_single_demod):
+            # one lane of the 128-wide DMA kernel, ~4x the B=1 program.
+            from meteor_demod_tpu.demod.backend import make_single_demod
+            demod = make_single_demod(cfg, "pallas", locked=locked)
     else:
         demod = make_block_demod(cfg)
         if batch:
