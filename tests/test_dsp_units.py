@@ -147,3 +147,51 @@ class TestClosedFormGate:
         fired, k = gate_fire_np(np.float32(0.0), tf, np.float32(2 * np.pi),
                                 1000, self._ks())
         assert not fired and k == 32
+
+
+class TestLockedGeometry:
+    """Static invariants of the LOCKED kernel geometry
+    (config.window_locked_asym / locked_pair_slices) across the supported
+    configuration space — the kernel compiles these as constants, so a
+    violating combination would mis-slice VMEM silently rather than fail
+    loudly."""
+
+    def _grid(self):
+        from meteor_demod_tpu.config import DemodConfig
+        for sr, symr in [(230400, 72000.0), (230400, 80000.0),
+                         (140000, 72000.0), (300000, 80000.0),
+                         (2048000, 80000.0), (1024000, 72000.0),
+                         (512000, 80000.0), (230400, 66000.0)]:
+            for interp in (4, 5, 10):
+                for order in (32, 64):
+                    for oq in (False, True):
+                        yield DemodConfig(samplerate=sr, symrate=symr,
+                                          interp=interp, rrc_order=order,
+                                          oqpsk=oq, block_len=8192)
+
+    def test_asym_window_bounds(self):
+        for cfg in self._grid():
+            W = cfg.window_locked_asym
+            assert W % 8 == 0 and 0 < W <= cfg.window_common
+            # Low anchor + one-sided tau0 coverage must fit the width.
+            import math
+            need = (2 * cfg.window_delta_locked
+                    + int(math.ceil(cfg.ticks_per_fire)) + 1
+                    + cfg._pair_extra)
+            assert W >= need
+
+    def test_pair_slices_within_window(self):
+        for cfg in self._grid():
+            sl = cfg.locked_pair_slices
+            if not cfg.oqpsk:
+                assert sl is None
+                continue
+            W = cfg.window_locked_asym
+            oA, WA, oB, WB = sl
+            assert oA % 8 == 0 and oB % 8 == 0
+            assert WA % 8 == 0 and WB % 8 == 0
+            assert 0 <= oA and oA + WA <= W and WA > 0
+            assert 0 <= oB <= W - WB and WB > 0
+            # The Q slice sits at or above the I slice (the Q fire lands
+            # ticks_per_fire later).
+            assert oB >= oA
