@@ -29,8 +29,16 @@ citations there; S_pad = steps padded to a multiple of the group size G):
 
 The numeric recurrence is op-for-op the same as demod/scan.py's step
 (including the closed-form FMA-proof timing gate); the decision structure
-(which ticks fire, lock transitions) is bit-identical, symbol values agree
-to float32-FMA tolerance.
+(which ticks fire, lock transitions) is bit-identical under XLA:CPU
+(interpret mode — pinned by the CI suite), symbol values agree to
+float32-FMA tolerance. On the real chip, Mosaic's FMA contraction drifts
+the loop-state trajectories by ULPs, which can move an occasional fire by
+one tick relative to the host oracle (measured ~1.6% of symbols, zero
+sign disagreements on lock-gated output — scripts/verify_chip.py);
+per-block symbol counts and lock telemetry stay bit-equal, and every
+product contract that needs exactness (turbo fingerprints, strict
+fallback, flag replay) compares the kernel against ITSELF, which is
+deterministic.
 """
 
 from __future__ import annotations
