@@ -268,3 +268,36 @@ def test_checkpoint_mid_flight_preserves_symbols(tmp_path):
     got = np.concatenate([part1, part2])
     np.testing.assert_array_equal(got["re"], full["re"])
     np.testing.assert_array_equal(got["im"], full["im"])
+
+
+def test_cli_degenerate_inputs_exit_clean(tmp_path):
+    """Inputs shorter than one block, a WAV truncated mid-sample, and an
+    empty stdin stream must all demodulate to an empty (lock-gated) output
+    and exit 0 — the reference simply runs out of samples and stops
+    (main.c worker loop); no backend dispatch should ever see a
+    zero-length or ragged block."""
+    from meteor_demod_tpu.sim import write_wav
+    x, _ = synth_psk(64, 230400, amplitude=6000.0, snr_db=20.0, seed=1)
+    tiny = str(tmp_path / "tiny.wav")
+    write_wav(tiny, x[:100], 230400, 16)
+    trunc = str(tmp_path / "trunc.wav")
+    with open(trunc, "wb") as f:          # header + a partial sample
+        f.write(open(tiny, "rb").read()[:51])
+    env = dict(os.environ, METEOR_DEMOD_PLATFORM="cpu")
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    for src in (tiny, trunc):
+        out = str(tmp_path / (os.path.basename(src) + ".s"))
+        proc = subprocess.run(
+            [sys.executable, "-m", "meteor_demod_tpu", "-B", "-q",
+             "-o", out, src],
+            capture_output=True, timeout=300, env=env, cwd=cwd)
+        assert proc.returncode == 0, proc.stderr.decode()[-400:]
+        assert os.path.getsize(out) == 0
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "meteor_demod_tpu", "--stdout",
+         "-s", "230400", "--bps", "8", "-"],
+        input=b"", capture_output=True, timeout=300, env=env, cwd=cwd)
+    assert proc.returncode == 0, proc.stderr.decode()[-400:]
+    assert proc.stdout == b""
