@@ -984,6 +984,11 @@ def _unpack_small(cfg, chunks, small):
     return f2, k2, (fp_n, fp_cs, fp_cs2), stats
 
 
+# Times a locked-pass fused run tripped a safety flag and was rerun wide
+# (observability; exercised end-to-end by scripts/verify_turbo_fallback.py).
+LOCKED_PASS_WIDE_RERUNS = 0
+
+
 def fused_gauge_run(cfg, chunks, kb, kb_w, backend, mesh, put_packed,
                     w0_np, wblocks, blocks, tails_dev, tails_np,
                     max_passes, pw0_dev=None, init_np=None,
@@ -1033,6 +1038,10 @@ def fused_gauge_run(cfg, chunks, kb, kb_w, backend, mesh, put_packed,
         f2, k2, fp2, stats = _unpack_small(cfg, chunks, egress(small))
         if not (locked_passes and stats["flag_any"]):
             break
+        # Locked-envelope violation on some lane: rerun with wide passes
+        # (observability counter — scripts/verify_turbo_fallback.py).
+        global LOCKED_PASS_WIDE_RERUNS
+        LOCKED_PASS_WIDE_RERUNS += 1
     max_resid = max(stats["max_delta"], stats["resid"])
     if stats["converged"] or max_passes <= 2:
         K = np.concatenate([[0], np.cumsum(k2)])
