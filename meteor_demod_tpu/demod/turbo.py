@@ -834,12 +834,20 @@ def _fused_gauge_fn(cfg: DemodConfig, chunks: int, kb: int, kb_w: int,
     # to the wide program whenever no lane flags; a flagged lane kills
     # lane_ok/convergence and fused_gauge_run reruns the wide variant —
     # never wrong output, one wasted dispatch on adversarial input. The
-    # WARMUP stays wide (its entries are cold by construction).
+    # WARMUP runs the same locked geometry: its entries are cold by
+    # construction, but a clean cold-start acquisition stays inside the
+    # locked envelope (measured flag-free on chip — docs/PERF.md), and a
+    # warmup flag on a used lane (1..) folds into `flagged` below so an
+    # envelope violation still forces the wide rerun. Correctness never
+    # depends on warmup exactness (it only seeds the fixpoint; the
+    # fp1 == fp2 convergence test guards the output), so the fold is
+    # purely to keep the locked-run invariant uniform.
     demod_p = (make_batch_demod(cfg, chunks // n_dev, backend, locked=True)
                if locked_passes else demod)
 
     def warm_phase(c, blocks):
-        c2, _ = jax.lax.scan(lambda cc, x: (demod(cc, x)[0], None), c, blocks)
+        c2, _ = jax.lax.scan(lambda cc, x: (demod_p(cc, x)[0], None),
+                             c, blocks)
         return c2
 
     def _pass_body(cc, x):
@@ -898,6 +906,16 @@ def _fused_gauge_fn(cfg: DemodConfig, chunks: int, kb: int, kb_w: int,
         init = (batch_carry(cfg, 1) if pinit is None
                 else _unpack_j(pinit))                 # leaves (1, ...)
         w_raw = warm_phase(_unpack_j(pw0), wblocks)
+        # Warmup safety flags on USED lanes (lane 0's warmup output is
+        # discarded — replaced by the exact initial state below). Sticky
+        # bitmask, cleared before the passes, so capture it here. Only the
+        # LOCKED warmup folds its flags into `flagged` (a locked-envelope
+        # violation must force the wide rerun); the wide warmup keeps the
+        # original discard semantics — its output is an estimate, and the
+        # wide program is already the tolerance tier of last resort.
+        wflag = (jnp.concatenate([jnp.zeros(1, jnp.bool_),
+                                  w_raw.flags[1:] != 0])
+                 if locked_passes else jnp.zeros(chunks, jnp.bool_))
         # finish_warmup_carry, traced: lane 0 <- exact initial state.
         w = jax.tree_util.tree_map(
             lambda a0, a: jnp.concatenate([a0, a[1:]], axis=0), init, w_raw)
@@ -919,11 +937,13 @@ def _fused_gauge_fn(cfg: DemodConfig, chunks: int, kb: int, kb_w: int,
         fp_eq = jnp.all(fp_eq_l)
         k_st = jnp.all((k2 - k1) % 4 == 0)
         maxd = jnp.max(jnp.abs(delta2)) if chunks > 1 else jnp.float32(0.0)
-        # Safety flags (FLAG_WINDOW_MISS / FLAG_UNCONSUMED) in EITHER pass
-        # invalidate the lane: a flagged lane's values are outside the
-        # kernel's exactness envelope, and a deterministic flag repeats
-        # across passes so the fingerprint alone cannot see it.
-        flagged = jnp.logical_or(f1.flags != 0, f2.flags != 0)
+        # Safety flags (FLAG_WINDOW_MISS / FLAG_UNCONSUMED) in the warmup
+        # or EITHER pass invalidate the lane: a flagged lane's values are
+        # outside the kernel's exactness envelope, and a deterministic
+        # flag repeats across passes so the fingerprint alone cannot see
+        # it.
+        flagged = functools.reduce(jnp.logical_or, [
+            wflag, f1.flags != 0, f2.flags != 0])
         conv = functools.reduce(jnp.logical_and, [
             fp_eq, k_st, maxd < np.float32(GAUGE_DELTA_TOL), settled,
             jnp.logical_not(jnp.any(flagged))])
@@ -1012,11 +1032,11 @@ def fused_gauge_run(cfg, chunks, kb, kb_w, backend, mesh, put_packed,
     (see _fused_gauge_fn); the continuation path (rare) always returns
     the raw BlockOutput.
 
-    On TPU the fixpoint passes run the LOCKED kernel geometry
+    On TPU the warmup and fixpoint passes run the LOCKED kernel geometry
     (locked_passes, ~1.4x the wide pass rate); if any lane trips a safety
     flag — outside the locked envelope, adversarial input — the whole
-    fused program is rerun with wide passes (never wrong output, one
-    wasted dispatch). METEOR_DEMOD_TURBO_LOCKED=0 disables."""
+    fused program is rerun with wide warmup + passes (never wrong output,
+    one wasted dispatch). METEOR_DEMOD_TURBO_LOCKED=0 disables."""
     locked_ok = (jax.default_backend() == "tpu"
                  and backend in ("auto", "pallas")
                  and os.environ.get("METEOR_DEMOD_TURBO_LOCKED") != "0")
