@@ -365,9 +365,14 @@ def _run_turbo(opts: Options, cfg: DemodConfig, samples_file, soft_file,
     device is present), and writes the usual lock-gated int8 soft-symbol
     stream."""
     from .demod.turbo import demod_array_turbo
-    from .io.wav import decode_iq
+    from .io.wav import decode_iq, FILE_BUFFER_SIZE
 
     raw = samples_file.read()
+    # Reference ingest parity (wav_read reads full 32 KiB buffers and
+    # discards a short trailing read, wavfile.c:50-80): -T must demodulate
+    # exactly the bytes the batch path consumes, or the two modes emit
+    # different symbol streams for the same file.
+    raw = raw[:len(raw) - len(raw) % FILE_BUFFER_SIZE]
     x = decode_iq(raw, bps)
     chunks = opts.turbo_chunks
     if chunks == 0:

@@ -245,6 +245,36 @@ def test_cli_turbo_flag(tmp_path):
     assert len(np.fromfile(out0, dtype=np.int8)) > 2000
 
 
+def test_cli_turbo_ingest_parity(tmp_path):
+    """-T consumes exactly the bytes -B does (wav_read full-32KiB-buffer
+    semantics, wavfile.c:50-80): on a file whose payload is NOT a 32 KiB
+    multiple the trailing short read is discarded by BOTH paths, so the
+    two modes emit the same number of symbols with identical decisions."""
+    x, _ = synth_psk(16000, 230400, carrier_hz=300.0, amplitude=6000.0,
+                     snr_db=20.0, seed=4)
+    wav = str(tmp_path / "p.wav")
+    from meteor_demod_tpu.sim import write_wav
+    write_wav(wav, x, 230400, 16)
+    # payload = 51200 samples * 4 B = 204800 B = 6.25 x 32768: partial tail.
+    assert (os.path.getsize(wav) - 44) % 32768 != 0
+    env = dict(os.environ, METEOR_DEMOD_PLATFORM="cpu")
+    outs = {}
+    for name, extra in (("batch", []), ("turbo", ["-T", "4"])):
+        out = str(tmp_path / f"{name}.s")
+        proc = subprocess.run(
+            [sys.executable, "-m", "meteor_demod_tpu", "-B", "-q",
+             *extra, "-o", out, wav],
+            capture_output=True, timeout=300, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        assert proc.returncode == 0, proc.stderr.decode()[-400:]
+        outs[name] = np.fromfile(out, dtype=np.int8)
+    assert outs["batch"].size == outs["turbo"].size
+    # Decision parity; soft values may differ by loop-noise LSBs on
+    # verified-prefix lanes (the documented -T contract).
+    np.testing.assert_array_equal(np.sign(outs["batch"]),
+                                  np.sign(outs["turbo"]))
+
+
 def test_checkpoint_mid_flight_preserves_symbols(tmp_path):
     """Checkpointing while blocks are still in the dispatch pipeline must not
     lose their symbols: they are persisted as backlog and delivered by the
