@@ -56,28 +56,33 @@ def one_mode(oqpsk: bool) -> None:
     t_locked = time.perf_counter() - t0
     reruns = T.LOCKED_PASS_WIDE_RERUNS - r0
 
+    # try/finally: an assertion or chip error mid-run must not leave the
+    # process env mutated (one_mode may be imported and reused).
     os.environ["METEOR_DEMOD_TURBO_LOCKED"] = "0"
-    t0 = time.perf_counter()
-    wide = T.demod_array_turbo(cfg, x, chunks=64)
-    t_wide = time.perf_counter() - t0
-    os.environ.pop("METEOR_DEMOD_TURBO_LOCKED", None)
+    try:
+        t0 = time.perf_counter()
+        wide = T.demod_array_turbo(cfg, x, chunks=64)
+        t_wide = time.perf_counter() - t0
+    finally:
+        os.environ.pop("METEOR_DEMOD_TURBO_LOCKED", None)
 
     assert locked.converged and wide.converged, (
         f"[{name}] converged: locked={locked.converged} wide={wide.converged}")
     assert reruns == 0, f"[{name}] locked run tripped {reruns} wide rerun(s)"
     n = locked.symbols["re"].size
     assert n == wide.symbols["re"].size
-    q = lambda v: np.trunc(
-        np.clip(v.astype(np.float32) * np.float32(0.5),
-                -127.0, 127.0)).astype(np.int8)
+    # Compare the EMITTED byte streams through the product quantizer itself
+    # (pipeline.quantize_symbols) so this verifier can never drift from the
+    # product's int8 semantics.
+    from meteor_demod_tpu.demod.pipeline import quantize_symbols
     pairs = [("locked_once", locked.symbols["locked_once"],
               wide.symbols["locked_once"]),
-             ("q(re)", q(locked.symbols["re"]), q(wide.symbols["re"])),
-             ("q(im)", q(locked.symbols["im"]), q(wide.symbols["im"]))]
+             ("product bytes", quantize_symbols(locked.symbols),
+              quantize_symbols(wide.symbols))]
     for f, a, b in pairs:
         ndiff = int(np.count_nonzero(a != b))
         assert ndiff == 0, (
-            f"[{name}] {f} differs on {ndiff}/{n} symbols")
+            f"[{name}] {f} differs on {ndiff}/{a.size} entries ({n} symbols)")
     print(f"[{name}] OK: {n / 1e6:.2f}M symbols bit-equal, "
           f"passes={locked.passes}/{wide.passes}, reruns=0, "
           f"wall locked {t_locked:.1f}s / wide {t_wide:.1f}s "
