@@ -63,7 +63,11 @@ TPU extensions (not in the reference):
                            verified chunk boundary (worst case: the whole
                            file sequentially). With stdin input the same
                            machinery applies to buffered spans as they
-                           fill
+                           fill; the span programs pre-compile in the
+                           background at startup (~6 s, hidden behind the
+                           ~18 s a span takes to buffer at 230 ksps), so
+                           the first span's output latency is
+                           data-dependent only
 """
 
 
@@ -313,6 +317,11 @@ def main(argv: list[str] | None = None) -> int:
     span_chunks = (opts.turbo_chunks or 32) if span_turbo else 32
     demod = StreamDemodulator(cfg, span_turbo=span_turbo,
                               span_chunks=max(2, span_chunks))
+    if span_turbo:
+        # Overlap the span program compile (+ chip claim) with the live
+        # input's buffering period, so the first span's latency is
+        # data-dependent only (StreamDemodulator.prewarm_span_async).
+        demod.prewarm_span_async()
 
     # File length probe (main.c:190-193).
     file_len = 0

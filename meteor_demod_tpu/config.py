@@ -45,6 +45,25 @@ class DemodConfig:
     # Block length in input samples. Pure performance knob; output is
     # block-size invariant.
     block_len: int = 8192
+    # LOCKED-mode envelope knobs (Pallas serving geometry only; the wide
+    # acquisition program never uses them). Both trade window width — the
+    # dominant per-step select cost, docs/PERF.md — against how far a
+    # stream may stray before FLAG_WINDOW_MISS routes its block to the
+    # exact oracle fallback. Decisions are bit-identical whenever the
+    # stream stays inside the envelope, so these are pure perf knobs with
+    # a correctness net, not accuracy knobs.
+    #   locked_jitter_rad: per-symbol timing-phase jitter budget (rad).
+    #     The steady-state M&M correction is a_t*err ~ 0.01 rad/symbol;
+    #     1.0 is a ~100x envelope.
+    #   locked_drift_frac: fraction of the worst-case timing-frequency
+    #     clamp (2^-12 relative, timing.c:7 — ~244 ppm of sampler error,
+    #     railed for the WHOLE block) budgeted for cumulative drift.
+    #     1.0 covers a clamp-railed stream flag-free; 0.5 still covers
+    #     ~122 ppm of real sampler error (typical SDR crystals are
+    #     within +-50 ppm), flagging only out-of-spec hardware into the
+    #     exact fallback.
+    locked_jitter_rad: float = 1.0
+    locked_drift_frac: float = 1.0
 
     # ---- loop parameterization (demod.c:7-15, pll.c:24-44, timing.c:18-27)
 
@@ -167,7 +186,8 @@ class DemodConfig:
         if self.oqpsk:
             return 0
         tf_max = float(self.timing_freq) * (1 + 2.0 ** -C.FREQ_DEV_EXP)
-        k_lo = int(math.floor((self.fire_spacing - 1.0) / tf_max)) - 2
+        k_lo = int(math.floor(
+            (self.fire_spacing - self.locked_jitter_rad) / tf_max)) - 2
         k0 = max(0, min(k_lo - 1, self.gate_candidates - 8))
         return (k0 // 8) * 8
 
@@ -189,7 +209,7 @@ class DemodConfig:
         out of envelope, and the speculative step flags it into the exact
         oracle fallback instead of assuming."""
         tf_min = float(self.timing_freq) * (1 - 2.0 ** -C.FREQ_DEV_EXP)
-        slack = 4.0
+        slack = 2.0 * max(1.0, self.locked_jitter_rad) + 2.0
         n = int(math.floor(
             (self.block_ticks * tf_min - slack) / (2 * math.pi))) - 2
         return max(0, min(n, self.steps_per_block))
@@ -210,13 +230,15 @@ class DemodConfig:
         return ((self.fires_per_step - 1)
                 * int(math.ceil(self.ticks_per_fire)))
 
-    def _window_delta(self, jitter_rad: float) -> int:
+    def _window_delta(self, jitter_rad: float,
+                      drift_frac: float = 1.0) -> int:
         """Window half-width for a given per-symbol phase-jitter budget:
         cumulative timing-frequency drift over the block (the clamp allows
         +-2^-12 relative, timing.c:7 — real clock error, present locked or
-        not) plus the jitter allowance plus safety margin."""
+        not; drift_frac budgets a fraction of that worst case) plus the
+        jitter allowance plus safety margin."""
         drift = math.ceil(self.steps_per_block * self.ticks_per_step
-                          * 2.0 ** -C.FREQ_DEV_EXP)
+                          * 2.0 ** -C.FREQ_DEV_EXP * drift_frac)
         jitter = math.ceil(jitter_rad / float(self.timing_freq))
         return int(drift + jitter + 8)
 
@@ -232,11 +254,14 @@ class DemodConfig:
     @property
     def window_delta_locked(self) -> int:
         """LOCKED-mode half-width: the steady-state M&M correction is
-        a_t*err ~ 0.01 rad/symbol, so a 1 rad jitter budget is a ~100x
-        envelope; an excursion beyond it (lock loss, signal dropout) lands
-        outside the window and trips FLAG_WINDOW_MISS -> exact oracle
-        fallback, the same safety net the wide window uses."""
-        return self._window_delta(1.0)
+        a_t*err ~ 0.01 rad/symbol, so the default 1 rad jitter budget is a
+        ~100x envelope; an excursion beyond it (lock loss, signal dropout)
+        lands outside the window and trips FLAG_WINDOW_MISS -> exact oracle
+        fallback, the same safety net the wide window uses. Budgets are the
+        locked_jitter_rad / locked_drift_frac knobs (see their field
+        comment)."""
+        return self._window_delta(self.locked_jitter_rad,
+                                  self.locked_drift_frac)
 
     @property
     def window(self) -> int:
@@ -303,15 +328,16 @@ class DemodConfig:
             return None
         W = self.window_locked_asym
         delta = self.window_delta_locked
+        jrad = self.locked_jitter_rad
         drift = math.ceil(self.steps_per_block * self.ticks_per_step
-                          * 2.0 ** -C.FREQ_DEV_EXP)
-        jr = math.ceil(1.0 / float(self.timing_freq))
+                          * 2.0 ** -C.FREQ_DEV_EXP * self.locked_drift_frac)
+        jr = math.ceil(jrad / float(self.timing_freq))
         slack = 4
         tf_min = float(self.timing_freq) * (1 - 2.0 ** -C.FREQ_DEV_EXP)
         tf_max = float(self.timing_freq) * (1 + 2.0 ** -C.FREQ_DEV_EXP)
-        tau0_max = int(math.ceil((self.fire_spacing + 1.0) / tf_min)) - 1
-        k_lo = int(math.floor((self.fire_spacing - 1.0) / tf_max))
-        k_hi = int(math.ceil((self.fire_spacing + 1.0) / tf_min))
+        tau0_max = int(math.ceil((self.fire_spacing + jrad) / tf_min)) - 1
+        k_lo = int(math.floor((self.fire_spacing - jrad) / tf_max))
+        k_hi = int(math.ceil((self.fire_spacing + jrad) / tf_min))
         a_lo = delta - (drift + jr) - slack
         a_hi = delta + tau0_max + drift + jr + slack
         oA = max(0, a_lo) // 8 * 8
@@ -319,6 +345,35 @@ class DemodConfig:
         oB = max(0, a_lo + k_lo) // 8 * 8
         WB = min(W - oB, -(-(min(a_hi + k_hi, W - 1) + 1 - oB) // 8) * 8)
         return (oA, WA, oB, WB)
+
+    @property
+    def pargate_bounds(self) -> tuple[int, int] | None:
+        """Static kA-candidate range (k_loA, KA) of the OQPSK PARALLEL
+        gate-B evaluation (kernels/block_demod.py, spec paired step):
+        transaction B's gate is evaluated for every feasible transaction-A
+        fire candidate kA in [k_loA, k_loA + KA) BEFORE A's gate resolves
+        — (K, KA, B) tile work traded for the serial gate-A -> gate-B
+        dependency (docs/PERF.md "Remaining levers"). In locked steady
+        state the A fire satisfies fl(kA*tf) >= fire_spacing - tp with
+        |tp residual| <= locked_jitter_rad, bounding kA to
+        [floor((pi - jr)/tf_max), ceil((pi + jr)/tf_min)]; KA rounds that
+        span up to a sublane tile, extending the margin downward. A
+        resolved kA OUTSIDE the range flags FLAG_WINDOW_MISS -> exact
+        oracle fallback, so the bound affects flag frequency only, never
+        correctness. None unless oqpsk."""
+        if not self.oqpsk:
+            return None
+        K = self.gate_candidates
+        jrad = self.locked_jitter_rad
+        tf_min = float(self.timing_freq) * (1 - 2.0 ** -C.FREQ_DEV_EXP)
+        tf_max = float(self.timing_freq) * (1 + 2.0 ** -C.FREQ_DEV_EXP)
+        k_lo = max(0, int(math.floor((self.fire_spacing - jrad) / tf_max)))
+        k_hi = min(K - 1,
+                   int(math.ceil((self.fire_spacing + jrad) / tf_min)))
+        span = k_hi - k_lo + 1
+        ka = min(K, -(-span // 8) * 8)
+        k_lo = max(0, min(k_lo - (ka - span), K - ka))
+        return (k_lo, ka)
 
     @property
     def window_offsets(self) -> np.ndarray:

@@ -156,6 +156,7 @@ class StreamDemodulator:
         self.span_blocks = span_blocks
         self.spans_run = 0
         self.span_fallbacks = 0
+        self._prewarm = None
         # LOCKED-mode program switching: once the carrier is locked, blocks
         # dispatch through the kernel's narrow-window/offset-gate geometry
         # (decision-identical while inside the locked envelope; a
@@ -241,6 +242,12 @@ class StreamDemodulator:
         # k's bulk symbol payload transfers and assembles, overlapping the
         # device->host link with the successor's device compute.
         span_pend = None
+        if self._prewarm is not None and len(self._pending) >= span_n:
+            # The background prewarm compiled the span programs while the
+            # input buffered; wait for it (normally already done) so the
+            # first real span dispatches on a warm cache.
+            self._prewarm.join()
+            self._prewarm = None
         while self.span_turbo and len(self._pending) >= span_n:
             self.sync()
             chunks.extend(self._backlog)
@@ -270,6 +277,44 @@ class StreamDemodulator:
             self.symbols_out += len(out)
             return out
         return np.zeros(0, dtype=_SYM_DTYPE)
+
+    def prewarm_span_async(self) -> None:
+        """Compile + warm the span-turbo programs on a ZERO-signal span in
+        a background thread (span mode only; idempotent).
+
+        A real span needs span_chunks*span_blocks*block_len buffered
+        samples (~18 s of live 230 ksps input at the defaults) before the
+        first submission, but that first submission pays the span
+        program's compile + first-dispatch cost (~6 s measured,
+        BENCH_r03/r04 stream-span warmup) — and on a cold process also
+        the multi-minute tunnel chip claim. Starting the warmup at CLI
+        start overlaps all of it with the buffering period, so the first
+        REAL span's latency is data-dependent only. The warm span's
+        blocks are jnp.zeros created ON device (nothing crosses the host
+        link); its submission verifies nothing (consumed == 0, unlocked
+        zero signal) and is discarded — only the compiled programs and
+        the device claim persist. process() joins the thread before the
+        first real submission."""
+        if not self.span_turbo or self._prewarm is not None:
+            return
+        import threading
+        carry0 = jax.tree_util.tree_map(np.asarray, egress(self._carry))
+
+        def work():
+            from .turbo import (span_submit, span_finish,
+                                default_warmup_blocks)
+            L, C, kb = self.cfg.block_len, self.span_chunks, self.span_blocks
+            xf = np.zeros((C * kb * L, 2), np.float32)
+            kb_w = min(default_warmup_blocks(L, kb), kb)
+            bd = jnp.zeros((kb, C, L, 2), jnp.float32)
+            wd = jnp.zeros((kb_w, C, L, 2), jnp.float32)
+            pend = span_submit(self.cfg, carry0, xf, chunks=C,
+                               backend=self._backend,
+                               blocks_dev=bd, wblocks_dev=wd)
+            span_finish(self.cfg, pend)
+
+        self._prewarm = threading.Thread(target=work, daemon=True)
+        self._prewarm.start()
 
     def _use_locked(self) -> bool:
         return bool(self._telemetry["locked"])

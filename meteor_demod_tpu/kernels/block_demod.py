@@ -370,7 +370,8 @@ def _make_step(cfg: DemodConfig, R: int, B: int, W: int | None = None,
 def _make_paired_step_tiles(cfg: DemodConfig, R: int, B: int,
                             W: int | None = None,
                             spec: bool = False,
-                            slices: tuple | None = None) -> Callable:
+                            slices: tuple | None = None,
+                            pargate: bool = False) -> Callable:
     """OQPSK paired-fire step on (R, B) tiles — the kernel mirror of
     demod/scan.py's _make_paired_step (see its docstring for the pairing
     semantics and the alignment invariant). Fire-for-fire float op order
@@ -386,7 +387,20 @@ def _make_paired_step_tiles(cfg: DemodConfig, R: int, B: int,
     update keeps its gated where() form with the real predicates — see
     _make_step's CRITICAL note: dropping a where() changes the producer's
     fusion context and XLA may FMA-contract differently, breaking the
-    bit-exact decision contract. `live` is ignored."""
+    bit-exact decision contract. `live` is ignored.
+
+    pargate=True (spec only, R == 1): transaction B's gate is evaluated
+    for EVERY feasible transaction-A fire candidate kA in
+    cfg.pargate_bounds as one (K, KA, B) tile — work that depends only on
+    the step's ENTRY state, so the compiler can overlap it with
+    transaction A's whole chain — and the resolved kA then one-hot
+    selects B's fire tick (compare + masked sum over KA sublane rows).
+    This removes gate B's compare/min chain from the serial A->B
+    dependency (docs/PERF.md r3 close-out, the named untried lever).
+    Float ops match the serial gate expression-for-expression (the
+    per-candidate diffB is the same sub, the one-hot sums are exact), so
+    decisions are bit-identical; a resolved kA outside the static bound
+    flags FLAG_WINDOW_MISS -> exact oracle fallback."""
     a_t, b_t = cfg.timing_gains
     a_p, b_p = cfg.pll_gains
     t_center = cfg.timing_freq
@@ -396,6 +410,9 @@ def _make_paired_step_tiles(cfg: DemodConfig, R: int, B: int,
     K = cfg.gate_candidates
     if W is None:
         W = cfg.window_common
+    if pargate:
+        assert spec and R == 1, "pargate applies to the spec body at R == 1"
+        k_loA, KA = cfg.pargate_bounds
     # Perf-probe ablations (scripts/probe_oqpsk.py): TIMING-ONLY variants
     # that break correctness, used to attribute per-step cost on chip —
     # never set in production. "selw32": both window selects read a
@@ -516,8 +533,52 @@ def _make_paired_step_tiles(cfg: DemodConfig, R: int, B: int,
 
         # ---- transaction B: the Q fire -----------------------------------
         threshB = slotB.astype(jnp.float32) * _PI
+        par_oob = False
         if "gateb" in _ablate:    # timing probe: reuse A's gate decision
             firedB, tauB, tp2, t2, deferB = firedA, tauA, tp1, t1, deferA
+        elif pargate:
+            # Parallel gate B (see docstring): the (K, KA, B) candidate
+            # tile depends only on the entry state (tp, t, tf), so it
+            # schedules alongside transaction A's serial chain. Serial-B
+            # float expressions are reproduced per candidate: diffB_a is
+            # the same `thresh - (tp + prod[kA])` sub (threshB == 2*pi
+            # statically in the verified slot==1 spec regime; slot
+            # misalignment flags via `misalign`), the rem compare is
+            # integer-exact, and the resolved-kA / resolved-kB picks are
+            # one-hot masked sums (x + 0 never rounds).
+            prod2 = ksB[:, 0] * tf[0]                       # (K, B)
+            ki2 = kiota[:, 0]                               # (K, B)
+            aiota2 = (jax.lax.broadcasted_iota(jnp.int32, (KA, B), 0)
+                      + k_loA)                              # absolute kA
+            # Per-candidate A product through the one-hot masked-sum FMA
+            # fence (x + 0 never rounds; the sum node keeps tp + prod[kA]
+            # from contracting into an FMA — same idiom as the serial
+            # gate's prod_sel, see _make_step's CRITICAL note).
+            selK = ki2[:, None] == aiota2[None]             # (K, KA, B)
+            prodA2 = jnp.sum(jnp.where(selK, prod2[:, None], _F32(0.0)),
+                             axis=0)                        # (KA, B)
+            tp1_a = tp[0] + prodA2
+            diffB_a = _TWO_PI - tp1_a
+            rem_a = ((block_ticks - t[0]) - (aiota2 + 1)
+                     ).astype(jnp.float32)                  # (KA, B)
+            okB = jnp.logical_and(prod2[:, None] >= diffB_a[None],
+                                  ksB[:, 0][:, None] <= rem_a[None])
+            kcB = jnp.where(okB, ki2[:, None], K)           # (K, KA, B)
+            kminB_a = jnp.min(kcB, axis=0)                  # (KA, B)
+            # ---- resolve with A's fired candidate (serial: 3 tile ops)
+            kA = (tauA - t)[0]                              # (B,)
+            selA = aiota2 == kA[None]
+            kminB = jnp.sum(jnp.where(selA, kminB_a, 0),
+                            axis=0)[None]                   # (1, B)
+            par_oob = jnp.logical_or(kA < k_loA,
+                                     kA >= k_loA + KA)[None]
+            firedB = kminB < K
+            prod_selB = jnp.sum(jnp.where(kiota == kminB, ksB * tf,
+                                          _F32(0.0)), axis=0)
+            tauB = t1 + kminB
+            tp2 = tp1 + prod_selB
+            t2 = t1 + kminB + 1
+            deferB = ~firedB
         else:
             firedB, tauB, tp2, t2, deferB = fire(threshB, tp1, t1, firedA)
         zBre, zBim, missB = select(tauB, firedB, winB)
@@ -584,9 +645,13 @@ def _make_paired_step_tiles(cfg: DemodConfig, R: int, B: int,
         if spec:
             # deferA (A non-fire) and misalign are out-of-envelope in the
             # all-fire regime; the gated body tolerates both (A defers the
-            # pair to the next step).
+            # pair to the next step). par_oob: the resolved kA fell outside
+            # the static pargate candidate range — B's parallel-gate values
+            # are then don't-care, so flag into the exact fallback.
             miss = jnp.logical_or(miss,
                                   jnp.logical_or(deferA, misalign))
+            if pargate:
+                miss = jnp.logical_or(miss, par_oob)
         flags_n = flags | jnp.where(miss, FLAG_WINDOW_MISS, 0)
 
         st_new = (tp_f, tf_f, prev_f, pp_n, pf_n, perr_n, updown_n,
@@ -720,7 +785,10 @@ def _make_kernel(cfg: DemodConfig, R: int, B: int, G: int,
     s_spec = (min(cfg.steps_always_fire // G, n_grid - 1)
               if locked and os.environ.get("METEOR_DEMOD_SPEC") != "0"
               else 0)
-    spec_step = ((make_paired(cfg, R, B, W, spec=True, slices=pair_sl)
+    pg = (oqpsk and R == 1
+          and os.environ.get("METEOR_DEMOD_PARGATE") == "1")
+    spec_step = ((make_paired(cfg, R, B, W, spec=True, slices=pair_sl,
+                              pargate=pg)
                   if oqpsk
                   else _make_step(cfg, R, B, W, k0, spec=True))
                  if s_spec > 0 else None)
@@ -956,12 +1024,16 @@ def _make_kernel_dma(cfg: DemodConfig, B: int, G: int, span: int,
     s_spec = (min(cfg.steps_always_fire // G, n_grid - 1)
               if locked and os.environ.get("METEOR_DEMOD_SPEC") != "0"
               else 0)
-    spec_step = ((_make_paired_step_tiles(cfg, 1, B, W, spec=True) if oqpsk
+    # Parallel gate B for the OQPSK spec bodies (A/B lever, docs/PERF.md):
+    # METEOR_DEMOD_PARGATE=1 opts in.
+    pg = oqpsk and os.environ.get("METEOR_DEMOD_PARGATE") == "1"
+    spec_step = ((_make_paired_step_tiles(cfg, 1, B, W, spec=True,
+                                          pargate=pg) if oqpsk
                   else _make_step(cfg, 1, B, W, k0, spec=True))
                  if s_spec > 0 else None)
     s_sl = min(s_slice_hi, s_spec)
     spec_step_sl = (_make_paired_step_tiles(cfg, 1, B, W, spec=True,
-                                            slices=pair_sl)
+                                            slices=pair_sl, pargate=pg)
                     if s_spec > 0 and oqpsk and pair_sl is not None
                     and s_sl > 1 else None)
 

@@ -61,18 +61,26 @@ def shard_blocks(blocks: np.ndarray, mesh: Mesh,
     return jax.device_put(blocks, NamedSharding(mesh, P(axis_name)))
 
 
-@functools.lru_cache(maxsize=8)
+@functools.lru_cache(maxsize=16)
 def make_fleet_demod(cfg: DemodConfig, mesh: Mesh,
                      axis_name: str = "streams",
                      backend: str = "auto",
-                     locked: bool = False) -> Callable:
+                     locked: bool = False,
+                     telemetry: bool = True) -> Callable:
     """Build the jitted fleet step: (carry, blocks) -> (carry', outs, telemetry).
 
     carry leaves and blocks have a leading `streams` axis sharded over the
     mesh. telemetry is a small replicated dict reduced with psum — the only
     collective in the step, equivalent to the reference's cross-thread
     telemetry reads (main.c:231-237) but aggregated fleet-wide.
-    """
+
+    telemetry=False builds the COLLECTIVE-FREE step (returns an empty
+    telemetry dict): the reference polls its DSP getters at the UI refresh
+    interval (main.c:231-237, -R 50/2000 ms), not per processed buffer —
+    fleets mirror that by dispatching this program between refresh ticks
+    (FleetDemodulator/MultiHostFleet telemetry_every), so the hot loop has
+    ZERO cross-device traffic and no lockstep barrier (docs/SCALING.md,
+    telemetry amortization)."""
     from ..demod.backend import default_backend, make_batch_demod
     if (backend if backend != "auto" else default_backend()) == "scan":
         locked = False                 # scan has no locked geometry
@@ -82,7 +90,9 @@ def make_fleet_demod(cfg: DemodConfig, mesh: Mesh,
         # dim (n_streams / n_devices) picks the right batched builder.
         demod = make_batch_demod(cfg, blocks.shape[0], backend, locked)
         carry, outs = demod(carry, blocks)
-        telemetry = {
+        if not telemetry:
+            return carry, outs, {}
+        tel = {
             "locked_streams": jax.lax.psum(
                 jnp.sum(carry.locked), axis_name),
             "locked_once_streams": jax.lax.psum(
@@ -93,7 +103,7 @@ def make_fleet_demod(cfg: DemodConfig, mesh: Mesh,
                 jnp.mean(carry.agc_gain), axis_name),
             "flags": jax.lax.psum(jnp.sum(carry.flags), axis_name),
         }
-        return carry, outs, telemetry
+        return carry, outs, tel
 
     sharded = shard_map(
         step, mesh=mesh,
@@ -113,7 +123,8 @@ class FleetDemodulator:
 
     def __init__(self, cfg: DemodConfig, n_streams: int,
                  mesh: Mesh | None = None, axis_name: str = "streams",
-                 backend: str = "auto", recover_flagged: bool = True):
+                 backend: str = "auto", recover_flagged: bool = True,
+                 telemetry_every: int = 1):
         cfg.validate()
         self.cfg = cfg
         self.axis_name = axis_name
@@ -122,15 +133,23 @@ class FleetDemodulator:
         if n_streams % n_dev != 0:
             raise ValueError(
                 f"n_streams {n_streams} must be divisible by mesh size {n_dev}")
+        if telemetry_every < 1:
+            raise ValueError("telemetry_every must be >= 1")
         self.n_streams = n_streams
         self._backend = backend
-        self._fn = make_fleet_demod(cfg, self.mesh, axis_name, backend)
-        # LOCKED-mode program switching (kernels/block_demod.py): once
-        # every stream is carrier-locked, blocks dispatch through the
-        # narrow-window/offset-gate kernel — decision-identical while
-        # inside the locked envelope; excursions flag into the per-stream
-        # oracle recovery below. Compiled lazily on first full lock.
-        self._fn_locked = None
+        # Telemetry amortization: the fleet-global psum (the step's only
+        # collective) runs every telemetry_every-th block — the reference
+        # polls its getters at the UI refresh interval (main.c:231-237),
+        # not per buffer. Blocks in between dispatch the collective-free
+        # program; self.telemetry then holds the last refresh-tick values
+        # (per-stream outputs and safety flags stay per-block regardless —
+        # they are sharded readbacks, not collectives). Program switching
+        # (wide<->locked) decides on refresh-tick telemetry only, so it
+        # stays consistent across processes in the multi-host mirror.
+        self.telemetry_every = telemetry_every
+        self._block_idx = 0
+        self._fns = {}
+        self._fn = self._get_fn(locked=False, telemetry=True)
         self.carry = fleet_carry(cfg, n_streams, self.mesh, axis_name)
         self.telemetry = None
         self.stream_flags = None
@@ -141,6 +160,14 @@ class FleetDemodulator:
         # per-sample path is always exact, demod.c:23-48).
         self.recover_flagged = recover_flagged
         self.recovered_streams = 0
+
+    def _get_fn(self, locked: bool, telemetry: bool) -> Callable:
+        key = (locked, telemetry)
+        if key not in self._fns:
+            self._fns[key] = make_fleet_demod(
+                self.cfg, self.mesh, self.axis_name, self._backend,
+                locked=locked, telemetry=telemetry)
+        return self._fns[key]
 
     def process_blocks(self, blocks: np.ndarray):
         """blocks: (n_streams, block_len) complex64 (or (..., 2) float32)
@@ -154,23 +181,30 @@ class FleetDemodulator:
         blocks = np.ascontiguousarray(blocks, dtype=np.float32)
         prev_carry = self.carry
         x = shard_blocks(blocks, self.mesh, self.axis_name)
-        fn = self._fn
-        if (self.telemetry is not None
-                and int(self.telemetry["locked_streams"]) == self.n_streams
-                and int(self.telemetry["flags"]) == 0):
-            if self._fn_locked is None:
-                self._fn_locked = make_fleet_demod(
-                    self.cfg, self.mesh, self.axis_name, self._backend,
-                    locked=True)
-            fn = self._fn_locked
+        tel_tick = (self._block_idx % self.telemetry_every) == 0
+        self._block_idx += 1
+        # LOCKED-mode program switching (kernels/block_demod.py): once
+        # every stream is carrier-locked, blocks dispatch through the
+        # narrow-window/offset-gate kernel — decision-identical while
+        # inside the locked envelope; excursions flag into the per-stream
+        # oracle recovery below. Decided on refresh-tick telemetry.
+        locked = (self.telemetry is not None
+                  and int(self.telemetry["locked_streams"]) == self.n_streams
+                  and int(self.telemetry["flags"]) == 0)
+        fn = self._get_fn(locked, tel_tick)
         self.carry, outs, telemetry = fn(self.carry, x)
-        outs, self.telemetry, self.stream_flags = egress(
-            (outs, telemetry, self.carry.flags))
+        if tel_tick:
+            outs, self.telemetry, self.stream_flags = egress(
+                (outs, telemetry, self.carry.flags))
+        else:
+            outs, self.stream_flags = egress((outs, self.carry.flags))
         if self.recover_flagged and np.any(self.stream_flags):
-            outs = self._recover(prev_carry, blocks, outs)
+            outs = self._recover(prev_carry, blocks, outs,
+                                 update_telemetry=tel_tick)
         return outs
 
-    def _recover(self, prev_carry: DemodCarry, blocks: np.ndarray, outs):
+    def _recover(self, prev_carry: DemodCarry, blocks: np.ndarray, outs,
+                 update_telemetry: bool = True):
         """Re-demodulate every flagged stream's block with the exact scalar
         oracle (from the pre-block carry), splice the corrected symbols into
         `outs` (left-justified in the step slots — chronological order, which
@@ -211,6 +245,11 @@ class FleetDemodulator:
         sharding = NamedSharding(self.mesh, P(self.axis_name))
         self.carry = DemodCarry(
             **{k: jax.device_put(v, sharding) for k, v in cur.items()})
+        if not update_telemetry:
+            # Between refresh ticks self.telemetry keeps the last tick's
+            # values (the recovery corrected the carry, so the next tick's
+            # psum reflects the spliced state).
+            return outs
         # Re-derive the fleet telemetry from the corrected host state (the
         # psum values were computed before the splice).
         self.telemetry = {

@@ -84,8 +84,10 @@ class MultiHostFleet:
 
     def __init__(self, cfg: DemodConfig, streams_per_device: int,
                  backend: str = "auto", axis_name: str = "streams",
-                 recover_flagged: bool = True):
+                 recover_flagged: bool = True, telemetry_every: int = 1):
         cfg.validate()
+        if telemetry_every < 1:
+            raise ValueError("telemetry_every must be >= 1")
         self.cfg = cfg
         self.axis_name = axis_name
         self.mesh = make_mesh(jax.devices(), axis_name=axis_name)
@@ -93,7 +95,22 @@ class MultiHostFleet:
         self.n_streams = streams_per_device * len(jax.devices())
         self.n_local = streams_per_device * len(jax.local_devices())
         self._sharding = NamedSharding(self.mesh, P(axis_name))
+        # Telemetry amortization (see make_fleet_demod / docs/SCALING.md):
+        # the fleet-global psum — the step's ONLY collective, hence the
+        # only lockstep barrier between hosts — runs every
+        # telemetry_every-th block, mirroring the reference's UI-rate
+        # getter polls (main.c:231-237). Between refresh ticks the
+        # collective-free program runs and hosts proceed fully
+        # independently; self.telemetry holds the last tick's values.
+        # The block counter advances identically in every process (the
+        # step is called in SPMD lockstep by construction), so all
+        # processes always dispatch the same program.
+        self.telemetry_every = telemetry_every
+        self._block_idx = 0
         self._fn = make_fleet_demod(cfg, self.mesh, axis_name, backend)
+        self._fn_notel = (make_fleet_demod(cfg, self.mesh, axis_name,
+                                           backend, telemetry=False)
+                          if telemetry_every > 1 else None)
         c = init_carry(cfg)
         self.carry = jax.tree_util.tree_map(
             lambda x: jax.make_array_from_process_local_data(
@@ -128,7 +145,10 @@ class MultiHostFleet:
         prev_carry = self.carry
         x = jax.make_array_from_process_local_data(self._sharding,
                                                    local_blocks)
-        self.carry, outs, telemetry = self._fn(self.carry, x)
+        tel_tick = (self._block_idx % self.telemetry_every) == 0
+        self._block_idx += 1
+        fn = self._fn if tel_tick else self._fn_notel
+        self.carry, outs, telemetry = fn(self.carry, x)
         # ONE jitted-copy dispatch for everything the step reads back
         # (outputs, safety flags, replicated psum telemetry). Loop-program
         # outputs cannot transfer directly on the tunneled backend
@@ -141,26 +161,42 @@ class MultiHostFleet:
                                                telemetry))
         outs_local = jax.tree_util.tree_map(self._local_rows_np, outs_c)
         self.local_stream_flags = self._local_rows_np(flags_c)
-        self.telemetry = {k: np.asarray(next(iter(v.addressable_shards)).data)
-                          for k, v in tel_c.items()}
-        # Collective recovery trigger: the psum'd flag count is replicated,
-        # so EVERY process enters the rebuild (make_array_from_process_
-        # local_data is called by all) whenever ANY host flagged a stream;
-        # each recovers only its own rows. Same always-exact contract as
-        # the single-host FleetDemodulator.
-        if self.recover_flagged and int(self.telemetry["flags"]) != 0:
+        if tel_tick:
+            self.telemetry = {
+                k: np.asarray(next(iter(v.addressable_shards)).data)
+                for k, v in tel_c.items()}
+            # Collective recovery trigger: the psum'd flag count is
+            # replicated, so EVERY process enters the rebuild whenever ANY
+            # host flagged a stream; each recovers only its own rows (the
+            # telemetry re-derivation inside is a collective psum). Same
+            # always-exact contract as the single-host FleetDemodulator.
+            if self.recover_flagged and int(self.telemetry["flags"]) != 0:
+                outs_local = self._recover_local(prev_carry, local_blocks,
+                                                 outs_local)
+        elif self.recover_flagged and np.any(self.local_stream_flags):
+            # Between refresh ticks the trigger is LOCAL (the per-stream
+            # flags ride the per-block readback; no collective exists to
+            # consult), so only flagging processes enter — the rebuild must
+            # therefore skip the collective telemetry re-derivation
+            # (collective=False): make_array_from_process_local_data is
+            # metadata-only, and the corrected rows flow into the next
+            # refresh tick's psum naturally.
             outs_local = self._recover_local(prev_carry, local_blocks,
-                                             outs_local)
+                                             outs_local, collective=False)
         return outs_local
 
     def _recover_local(self, prev_carry: DemodCarry,
-                       local_blocks: np.ndarray, outs_local):
+                       local_blocks: np.ndarray, outs_local,
+                       collective: bool = True):
         """Re-demodulate this process's flagged streams with the exact
         scalar oracle (mirror of FleetDemodulator._recover, on local rows),
-        then collectively rebuild the global carry from every process's
-        corrected local rows and re-derive the fleet-global telemetry from
-        the corrected state (one psum over the rebuilt rows — the same
-        field semantics as FleetDemodulator._recover)."""
+        then rebuild the global carry from this process's corrected local
+        rows and — when `collective` (refresh-tick recovery, every process
+        participating) — re-derive the fleet-global telemetry from the
+        corrected state (one psum over the rebuilt rows — the same field
+        semantics as FleetDemodulator._recover). collective=False is the
+        between-ticks path: local-only rebuild, telemetry left at the last
+        tick's values."""
         from ..demod import scalar
         from ..demod.pipeline import (numpy_carry_to_scalar_state,
                                       scalar_state_to_numpy_carry)
@@ -197,6 +233,8 @@ class MultiHostFleet:
         self.carry = DemodCarry(**{
             k: jax.make_array_from_process_local_data(self._sharding, v)
             for k, v in cur.items()})
+        if not collective:
+            return outs_local
         nvalid = jax.make_array_from_process_local_data(
             self._sharding,
             np.ascontiguousarray(outs_local.valid.sum(axis=1),

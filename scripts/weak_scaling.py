@@ -64,9 +64,10 @@ def _stream_fixture(cfg, g):
 # ---------------------------------------------------------------------------
 
 def _worker(argv) -> None:
-    (pid, nprocs, port, spd, block, steps, core0, ncores, out) = argv
-    pid, nprocs, spd, block, steps, core0, ncores = map(
-        int, (pid, nprocs, spd, block, steps, core0, ncores))
+    (pid, nprocs, port, spd, block, steps, core0, ncores, tel_every,
+     out) = argv
+    pid, nprocs, spd, block, steps, core0, ncores, tel_every = map(
+        int, (pid, nprocs, spd, block, steps, core0, ncores, tel_every))
     # Pin BEFORE jax initializes any thread pools: every thread this
     # process ever creates inherits the affinity mask, so the process can
     # use exactly its own cores no matter how many threads XLA spawns.
@@ -86,18 +87,23 @@ def _worker(argv) -> None:
     if nprocs > 1:
         init_distributed(coordinator_address=f"localhost:{port}",
                          num_processes=nprocs, process_id=pid)
-    fleet = MultiHostFleet(cfg, streams_per_device=spd)
+    fleet = MultiHostFleet(cfg, streams_per_device=spd,
+                           telemetry_every=tel_every)
     sl = fleet.local_stream_slice()
     rows = np.stack([_stream_fixture(cfg, g)
                      for g in range(sl.start, sl.stop)])
     run = lambda: fleet.process_local_blocks(rows)
 
-    run()                                     # compile + warm
-    run()
+    # Warm a whole telemetry period (compiles BOTH programs) and time whole
+    # periods, so the measured mean holds exactly steps/tel_every refresh
+    # ticks regardless of phase.
+    steps = -(-steps // tel_every) * tel_every
+    for _ in range(max(2, tel_every)):
+        run()
     t0 = time.perf_counter()
     for _ in range(steps):
         run()
-    dt = (time.perf_counter() - t0) / steps   # lockstep: psum syncs procs
+    dt = (time.perf_counter() - t0) / steps   # refresh-tick psum syncs procs
     sps_dev = spd * cfg.block_len / dt
     with open(out, "w") as f:
         json.dump(dict(pid=pid, nprocs=nprocs, step_ms=round(dt * 1e3, 2),
@@ -128,7 +134,8 @@ def run_pinned(args) -> dict:
         outs = [os.path.join(tmp, f"p{n_procs}_{i}.json")
                 for i in range(n_procs)]
         procs = [_spawn([i, n_procs, port, args.spd, args.block,
-                         args.steps, i * cpg, cpg, outs[i]], env)
+                         args.steps, i * cpg, cpg, args.telemetry_every,
+                         outs[i]], env)
                  for i in range(n_procs)]
         for p in procs:
             assert p.wait(timeout=900) == 0
@@ -140,6 +147,7 @@ def run_pinned(args) -> dict:
     eff = round(min(per_dev) / base["msps_per_device"], 3)
     return dict(mode="pinned", host_cores=ncore, cores_per_process=cpg,
                 spd=args.spd, block_len=args.block,
+                telemetry_every=args.telemetry_every,
                 baseline_msps_per_device=base["msps_per_device"],
                 scaled_msps_per_device=per_dev,
                 efficiency_2proc_vs_1proc=eff)
@@ -164,10 +172,13 @@ def run_overhead(args) -> dict:
 
     cfg = DemodConfig(samplerate=230400, block_len=args.block)
     spd = args.spd
+    te = args.telemetry_every
     rows = np.stack([_stream_fixture(cfg, g) for g in range(spd)])
 
-    fleet = FleetDemodulator(cfg, spd, mesh=make_mesh(jax.devices()[:1]))
-    fleet.process_blocks(rows)
+    fleet = FleetDemodulator(cfg, spd, mesh=make_mesh(jax.devices()[:1]),
+                             telemetry_every=te)
+    for _ in range(max(1, te)):               # compile+warm both programs
+        fleet.process_blocks(rows)
 
     fn = jit_batch_demod(cfg, spd)
     carry = batch_carry(cfg, spd)
@@ -186,10 +197,12 @@ def run_overhead(args) -> dict:
         carry, outs = fn(carry, jnp.asarray(xf))
         egress(outs)
 
-    fleet_ms = timed(lambda: fleet.process_blocks(rows), args.steps)
-    plain_ms = timed(plain_step, args.steps)
+    steps = -(-args.steps // te) * te         # whole telemetry periods
+    fleet_ms = timed(lambda: fleet.process_blocks(rows), steps)
+    plain_ms = timed(plain_step, steps)
     ovh = fleet_ms - plain_ms
     return dict(mode="overhead", spd=spd, block_len=args.block,
+                telemetry_every=te,
                 fleet_step_ms=round(fleet_ms, 2),
                 plain_step_ms=round(plain_ms, 2),
                 sharding_overhead_ms=round(ovh, 2),
@@ -256,6 +269,12 @@ def main() -> None:
                     help="streams per device (fixed per-device load)")
     ap.add_argument("--block", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--telemetry-every", type=int, default=1,
+                    help="fleet psum every K blocks (the reference polls "
+                         "telemetry at the UI refresh interval, "
+                         "main.c:231-237 — a 2000 ms batch refresh at "
+                         "230 ksps / 8192-sample blocks is K~56); timed "
+                         "steps round up to whole periods")
     ap.add_argument("--no-force", action="store_true",
                     help="use real devices instead of a virtual CPU mesh")
     args = ap.parse_args()

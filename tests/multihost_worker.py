@@ -50,6 +50,35 @@ def main():
         rows.append(x[:cfg.block_len])
     outs = fleet.process_local_blocks(np.stack(rows))
 
+    # Telemetry amortization under the REAL 2-process rendezvous: a fleet
+    # with telemetry_every=3 runs blocks 0 (tick, psum), 1 and 2
+    # (collective-free program — no Gloo traffic, no lockstep barrier) and
+    # must produce bit-identical outputs to the per-block-psum fleet on
+    # every block, with telemetry frozen at the tick values in between.
+    fleet_k = MultiHostFleet(cfg, streams_per_device=2, telemetry_every=3)
+    fleet_1 = MultiHostFleet(cfg, streams_per_device=2)
+    blk = np.stack(rows)
+    for b in range(3):
+        ok = fleet_k.process_local_blocks(blk)
+        o1 = fleet_1.process_local_blocks(blk)
+        for name in ok._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ok, name)), np.asarray(getattr(o1, name)),
+                err_msg=f"amortized block {b} field {name}")
+        if b == 0:
+            tel0 = {k: np.asarray(v).copy()
+                    for k, v in fleet_k.telemetry.items()}
+        else:
+            for k, v in tel0.items():
+                np.testing.assert_array_equal(
+                    np.asarray(fleet_k.telemetry[k]), v,
+                    err_msg=f"telemetry changed between ticks: {k}")
+    for k, v in fleet_k.carry._asdict().items():
+        np.testing.assert_array_equal(
+            np.asarray(fleet_k._local_rows(v)),
+            np.asarray(fleet_1._local_rows(getattr(fleet_1.carry, k))),
+            err_msg=f"amortized carry {k}")
+
     np.savez(outpath,
              start=sl.start, stop=sl.stop,
              sym_re=outs.sym_re, sym_im=outs.sym_im, valid=outs.valid,

@@ -91,6 +91,45 @@ def test_fleet_recovers_flagged_stream_exactly():
         np.testing.assert_array_equal(got[:, 1], seq["im"], err_msg=f"s{i}")
 
 
+def test_fleet_recovery_between_telemetry_ticks():
+    """With telemetry_every=K the flag block (block 5, not a multiple of
+    K=4) is a NON-tick block: recovery must still trigger from the
+    per-block per-stream flags, splice the exact oracle result, and leave
+    the (stale, last-tick) telemetry untouched — the corrected state flows
+    into the next tick's psum instead."""
+    cfg = DemodConfig(samplerate=230400, block_len=2048)
+    n_streams, n_blocks, K = 8, 7, 4
+    assert FLAG_BLOCK % K != 0
+    data = _mixed_fleet(cfg, n_streams, n_blocks)
+
+    fleet = FleetDemodulator(cfg, n_streams, telemetry_every=K)
+    ref = FleetDemodulator(cfg, n_streams)
+    tel_prev_tick = None
+    for b in range(n_blocks):
+        blk = data[:, b * cfg.block_len:(b + 1) * cfg.block_len]
+        outs = fleet.process_blocks(blk)
+        router = ref.process_blocks(blk)
+        if b == FLAG_BLOCK - 1:        # the tick at block 4 (K=4)
+            tel_prev_tick = {k: np.asarray(v).copy()
+                             for k, v in fleet.telemetry.items()}
+        if b == FLAG_BLOCK:
+            assert fleet.flagged_streams().tolist() == [FLAGGED]
+            # Non-tick recovery leaves telemetry at the last tick's values.
+            for k, v in tel_prev_tick.items():
+                np.testing.assert_array_equal(
+                    np.asarray(fleet.telemetry[k]), v, err_msg=k)
+        for name in outs._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(outs, name)),
+                np.asarray(getattr(router, name)),
+                err_msg=f"block {b} field {name}")
+    assert fleet.recovered_streams == 1
+    # The final carry is bit-identical to the per-block fleet's.
+    for k, v in fleet.carry._asdict().items():
+        np.testing.assert_array_equal(
+            np.asarray(v), np.asarray(getattr(ref.carry, k)), err_msg=k)
+
+
 def test_fleet_sticky_flags_without_recovery():
     """recover_flagged=False preserves the report-only behavior: flags stay
     sticky and the stream remains suspect."""

@@ -191,9 +191,22 @@ def test_pallas_dma_chains_across_blocks():
                                np.asarray(ro2.sym_re)[m], rtol=5e-4, atol=0.1)
 
 
-@pytest.mark.parametrize("mode", ["qpsk", "oqpsk"])
-@pytest.mark.parametrize("windows", ["gather", "dma"])
-def test_pallas_locked_geometry_bitwise_when_locked(mode, windows):
+@pytest.mark.parametrize("mode,windows,pargate,tight", [
+    ("qpsk", "gather", False, False), ("qpsk", "dma", False, False),
+    ("oqpsk", "gather", False, False), ("oqpsk", "dma", False, False),
+    # Parallel gate B (config.pargate_bounds): same contract as the serial
+    # locked kernel — decisions/ints bit-equal to the wide program, floats
+    # within ULP, zero flags on a clean locked fixture (which also pins
+    # that the static kA-candidate bound covers the locked envelope).
+    ("oqpsk", "gather", True, False), ("oqpsk", "dma", True, False),
+    # Tightened locked envelope (locked_jitter_rad=0.5/drift_frac=0.5):
+    # narrower windows/slices must stay flag-free and decision-identical
+    # on a clean locked stream.
+    ("qpsk", "dma", False, True), ("oqpsk", "dma", True, True),
+    ("oqpsk", "dma", False, True),
+])
+def test_pallas_locked_geometry_bitwise_when_locked(mode, windows, pargate,
+                                                    tight, monkeypatch):
     """The LOCKED-mode kernel (narrow window + verified offset gate,
     kernels/block_demod.py _geom) must match the wide kernel on a
     carrier-locked flag-free stream to the framework's cross-program
@@ -205,9 +218,14 @@ def test_pallas_locked_geometry_bitwise_when_locked(mode, windows):
     see module docstring). Lock is acquired through the (fast, jitted)
     scan backend; both kernels then demodulate the same next blocks from
     the identical carry."""
+    if pargate:
+        monkeypatch.setenv("METEOR_DEMOD_PARGATE", "1")
     oq = mode == "oqpsk"
+    knobs = (dict(locked_jitter_rad=0.5, locked_drift_frac=0.5)
+             if tight else {})
     cfg = DemodConfig(samplerate=230400, block_len=1024,
-                      symrate=80000.0 if oq else 72000.0, oqpsk=oq)
+                      symrate=80000.0 if oq else 72000.0, oqpsk=oq,
+                      **knobs)
     B = 4
     nwarm, ntest = 15, 2   # QPSK fixture locks at block 13 (scan backend)
     n = (nwarm + ntest) * cfg.block_len

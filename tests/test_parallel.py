@@ -85,6 +85,48 @@ def test_fleet_telemetry_psum(cfg):
     assert fleet.flagged_streams().size == 0
 
 
+def test_fleet_telemetry_amortized_matches_per_block(cfg):
+    """telemetry_every=K (the reference polls getters at the UI refresh
+    interval, main.c:231-237, not per buffer) must not change ANY stream's
+    output or carry — the collective-free program is the same demod minus
+    the psum — and telemetry must update exactly on the refresh ticks
+    (blocks 0, K, 2K, ...) while staying at the last tick's values in
+    between."""
+    n_streams, n_blocks, K = 8, 5, 3
+    data = _fleet_blocks(cfg, n_streams, n_blocks, seed0=80)
+
+    ref = FleetDemodulator(cfg, n_streams)
+    amo = FleetDemodulator(cfg, n_streams, telemetry_every=K)
+    tel_seen = []
+    for b in range(n_blocks):
+        blk = data[:, b * cfg.block_len:(b + 1) * cfg.block_len]
+        r = ref.process_blocks(blk)
+        a = amo.process_blocks(blk)
+        for name in r._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, name)), np.asarray(getattr(r, name)),
+                err_msg=f"block {b} field {name}")
+        # Between ticks the amortized fleet reports the LAST tick's
+        # telemetry; on ticks it must equal the per-block fleet's.
+        if b % K == 0:
+            for k in ref.telemetry:
+                np.testing.assert_array_equal(
+                    np.asarray(amo.telemetry[k]),
+                    np.asarray(ref.telemetry[k]), err_msg=f"tick {b} {k}")
+        tel_seen.append({k: np.asarray(v).copy()
+                         for k, v in amo.telemetry.items()})
+        # Per-stream flags ride every block regardless of ticks.
+        assert amo.stream_flags.shape == (n_streams,)
+    # Non-tick blocks kept the tick values (symbols count frozen).
+    assert (tel_seen[1]["symbols"] == tel_seen[0]["symbols"]
+            and tel_seen[2]["symbols"] == tel_seen[0]["symbols"])
+    assert tel_seen[3]["symbols"] != tel_seen[0]["symbols"]
+    # Carry equality: the two fleets are in the identical state.
+    for k, v in amo.carry._asdict().items():
+        np.testing.assert_array_equal(
+            np.asarray(v), np.asarray(getattr(ref.carry, k)), err_msg=k)
+
+
 def test_fleet_rejects_bad_shapes(cfg):
     fleet = FleetDemodulator(cfg, 8)
     with pytest.raises(ValueError):
