@@ -362,8 +362,18 @@ def _bench_stream_span(cfg, chunks=128, kb=16, nspans=3):
     # Warm with TWO spans: compiles the fused program AND exercises the
     # submit/finish pipeline overlap path the timed windows measure.
     consumed, passes, ok = run_spans(2)
-    log(f"stream-span warmup: {time.time()-t0:.1f}s, passes={passes}, "
+    warm_s = time.time() - t0
+    log(f"stream-span warmup: {warm_s:.1f}s, passes={passes}, "
         f"verified_all={ok}")
+    # First-span latency on a warm cache: what a live -T session pays for
+    # its first span's symbols once the data is buffered — the CLI
+    # pre-compiles at startup (StreamDemodulator.prewarm_span_async), so
+    # this, not warm_s, is the user-visible first-span cost.
+    t0 = time.perf_counter()
+    consumed1, _, _ = run_spans(1)
+    first_span_s = time.perf_counter() - t0
+    log(f"stream-span first-span latency (warm): {first_span_s:.2f}s "
+        f"({consumed1/1e6:.1f} Msamples)")
     rates = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -372,7 +382,106 @@ def _bench_stream_span(cfg, chunks=128, kb=16, nspans=3):
     sps = max(rates)
     log(f"stream-span: best {sps/1e6:.1f} Msamples/s "
         f"(passes={passes}, verified_all={ok})")
-    return (sps, passes, ok, _spread(rates))
+    return (sps, passes, ok, _spread(rates), round(warm_s, 1),
+            round(first_span_s, 2))
+
+
+def _bench_acquisition(cfg, batch=FLEET_BATCH, max_disp=40,
+                       carrier_hz=400.0, tag="nominal"):
+    """Cold start -> all-locked -> first locked dispatch (pll.c:109-130
+    sweep, pll.c:117-123 hysteresis).
+
+    A COLD batch fleet dispatches the wide chained program on a
+    seam-periodic device-resident span, reading the locked-stream count
+    after each dispatch (the production host's own switch telemetry),
+    until every stream is locked; then the LOCKED program's first and
+    steady dispatches are timed (the wide->locked switch cost). An
+    untimed replay captures the locked_once output rows for the exact
+    per-stream lock step. Returns a dict for the BENCH record."""
+    # Seam-periodic carrier over the CHAIN-block span.
+    span = CHAIN * cfg.block_len
+    carrier = round(carrier_hz * span / cfg.samplerate) \
+        * cfg.samplerate / span
+    nsym = int(span * cfg.symrate / cfg.samplerate) + 64
+    x, _ = synth_psk(nsym, cfg.samplerate, symrate=cfg.symrate,
+                     oqpsk=cfg.oqpsk, carrier_hz=carrier,
+                     amplitude=6000.0, snr_db=18.0, seed=21)
+    bl = iq_to_f32(x[:span].reshape(CHAIN, cfg.block_len))
+    blocks = jnp.broadcast_to(jnp.asarray(bl)[:, None],
+                              (CHAIN, batch, cfg.block_len, 2)) + 0.0
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
+        from meteor_demod_tpu.kernels.block_demod import \
+            make_pallas_batch_demod
+        demod = make_pallas_batch_demod(cfg, batch)
+    else:
+        demod = jax.vmap(make_block_demod(cfg))
+
+    def chained_lo(carry, blocks):
+        carry, outs = jax.lax.scan(demod, carry, blocks)
+        return carry, outs.locked_once
+
+    fn = jax.jit(chained_lo)
+    # Warm the program on a throwaway carry so the timed dwell below is
+    # dispatch+readback only (the production host compiles once per fleet).
+    c, _ = fn(batch_carry(cfg, batch), blocks)
+    assert _sync(c) == 0
+
+    carry = batch_carry(cfg, batch)
+    t0 = time.perf_counter()
+    disp = 0
+    locked_n = 0
+    while disp < max_disp:
+        carry, _ = fn(carry, blocks)
+        disp += 1
+        locked_n = int(np.sum(egress(carry.locked)))
+        if locked_n == batch:
+            break
+    dwell_s = time.perf_counter() - t0
+    samples = disp * CHAIN * cfg.block_len
+
+    # Untimed replay for the exact per-stream lock step (deterministic).
+    lock_step = np.full(batch, -1, np.int64)
+    c2 = batch_carry(cfg, batch)
+    base = 0
+    for _ in range(disp):
+        c2, lo = fn(c2, blocks)
+        lo = np.asarray(egress(lo))          # (CHAIN, batch, S)
+        lo = lo.transpose(1, 0, 2).reshape(batch, -1)
+        first = np.argmax(lo > 0, axis=1)
+        hit = (lo > 0).any(axis=1) & (lock_step < 0)
+        lock_step[hit] = base + first[hit]
+        base += lo.shape[1]
+    # step index -> approx input sample (a step ~ one symbol).
+    lock_samp = lock_step * cfg.ticks_per_step / cfg.interp
+    lock_s = lock_samp / cfg.samplerate
+
+    # Wide -> locked switch cost: first locked dispatch (compile/cache
+    # load + dispatch) and a steady locked dispatch.
+    fn_l = _chained_fn(cfg, batch, locked=on_tpu and locked_n == batch)
+    t0 = time.perf_counter()
+    cl, _ = fn_l(carry, blocks)
+    assert _sync(cl) == 0
+    first_locked_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cl, _ = fn_l(carry, blocks)
+    _sync(cl)
+    steady_locked_s = time.perf_counter() - t0
+    out = {
+        "carrier_hz": round(carrier, 1),
+        "all_locked": locked_n == batch,
+        "dispatches": disp,
+        "samples_dwelled": samples,
+        "wide_dwell_s": round(dwell_s, 2),
+        "acq_realtime_x": round(samples / cfg.samplerate / dwell_s, 1),
+        "lock_signal_s_p50": round(float(np.median(lock_s)), 3),
+        "lock_signal_s_max": round(float(lock_s.max()), 3),
+        "locked_first_dispatch_s": round(first_locked_s, 2),
+        "locked_steady_dispatch_s": round(steady_locked_s, 3),
+    }
+    log(f"acquisition[{tag}]: {out}")
+    return out
 
 
 def _bench_fir(cfg, seconds=2.0):
@@ -461,6 +570,26 @@ def main():
         cfg, mesh=make_chunk_mesh(jax.devices()[:1])))
     span = maybe("stream-span", lambda: _bench_stream_span(cfg))
     fir = maybe("timeshard-fir", lambda: _bench_fir(cfg))
+    # Cold-start acquisition (BASELINE north star's "measured at 1 chip"
+    # serving story silently assumed steady state before r4): nominal
+    # carrier and an adversarial one at ~85% of the default fmax sweep
+    # range (pll.c:126-128).
+    acq = maybe("acquisition", lambda: _bench_acquisition(cfg))
+    fmax_hz = float(cfg.pll_fmax) * cfg.symrate / (2 * np.pi)
+    acq_edge = maybe("acquisition-edge", lambda: _bench_acquisition(
+        cfg, carrier_hz=0.85 * fmax_hz, tag="fmax-edge", max_disp=60))
+    # BASELINE configs[3] pll-bw variants: the hi-fi geometry at 0.5x/2x
+    # the default loop bandwidth (golden parity for -b is pinned on CPU by
+    # tests/test_golden_reference.py::test_golden_freq_delta_and_pll_bw).
+    pllbw = {}
+    for bw in (0.5, 2.0):
+        r = maybe(f"hifi-pllbw-{bw}", lambda bw=bw: _bench(
+            DemodConfig(samplerate=SAMPLERATE, rrc_order=64, interp=10,
+                        pll_bw=bw, block_len=BLOCK_LEN), FLEET_BATCH, 1.5))
+        if r:
+            pllbw[str(bw)] = round(r[0] / 1e6, 2)
+    if hifi:
+        pllbw["1.0"] = round(hifi[0] / 1e6, 2)
 
     value = fleet_sps / 1e6
     turbo_sps, turbo_passes, turbo_conv, turbo_spread = \
@@ -485,6 +614,8 @@ def main():
             round(span[0] / REALTIME_SPS, 1) if span else None,
         "stream_span_passes": span[1] if span else None,
         "stream_span_spread_msps": span[3] if span else None,
+        "stream_span_warmup_s": span[4] if span else None,
+        "stream_span_first_span_s": span[5] if span else None,
         "turbo_single_recording_msamples_per_s":
             round(turbo_sps / 1e6, 1) if turbo_sps else None,
         "turbo_single_recording_realtime_x":
@@ -509,6 +640,9 @@ def main():
             round(fir["sharded"][0] / 1e6, 1) if fir else None,
         "plain_fir_msamples_per_s":
             round(fir["plain"][0] / 1e6, 1) if fir else None,
+        "fleet_acquisition": acq,
+        "fleet_acquisition_fmax_edge": acq_edge,
+        "hifi_pllbw_fleet_msamples_per_s": pllbw or None,
         "device": str(dev.platform),
         "block_len": cfg.block_len,
         "chained_blocks_per_dispatch": CHAIN,

@@ -400,7 +400,16 @@ def _make_paired_step_tiles(cfg: DemodConfig, R: int, B: int,
     Float ops match the serial gate expression-for-expression (the
     per-candidate diffB is the same sub, the one-hot sums are exact), so
     decisions are bit-identical; a resolved kA outside the static bound
-    flags FLAG_WINDOW_MISS -> exact oracle fallback."""
+    flags FLAG_WINDOW_MISS -> exact oracle fallback.
+
+    NOTE: the bound assumes a fire interval's phase history (|tp
+    residual| <= locked_jitter_rad after the previous fire), which a
+    block's FIRST paired step does NOT have — its A fire lands at the
+    entry offset tau0 in [1, ticks_per_fire + jitter], below k_loA for
+    early entries (measured: every stream flags at step 0 without this) —
+    so the kernel factories run step 0 with the serial-gate spec body,
+    exactly like the QPSK offset gate's k0 == 0 entry prologue
+    (_make_step docstring)."""
     a_t, b_t = cfg.timing_gains
     a_p, b_p = cfg.pll_gains
     t_center = cfg.timing_freq
@@ -792,6 +801,11 @@ def _make_kernel(cfg: DemodConfig, R: int, B: int, G: int,
                   if oqpsk
                   else _make_step(cfg, R, B, W, k0, spec=True))
                  if s_spec > 0 else None)
+    # Step 0 enters at an arbitrary phase offset, outside pargate's kA
+    # bound — it runs the serial-gate spec body (see the pargate note in
+    # _make_paired_step_tiles).
+    spec_step_entry = (make_paired(cfg, R, B, W, spec=True, slices=pair_sl)
+                       if pg and s_spec > 0 else None)
 
     def kernel(*refs):
         if oqpsk:
@@ -834,12 +848,17 @@ def _make_kernel(cfg: DemodConfig, R: int, B: int, G: int,
             tiles_s = _make_tiles(R, B, K - k0, W, table_ref, k0)
             spec_body = lambda st, j: spec_step(
                 st, tiles_s, wre_ref[j], wim_ref[j], base_ref[j], True)
+            spec_body_entry = lambda st, j: (
+                spec_step_entry if spec_step_entry is not None and j == 0
+                else spec_step)(
+                st, tiles_s, wre_ref[j], wim_ref[j], base_ref[j], True)
 
             @pl.when(s == 0)
             def _():
                 # Step 0 ran in the prologue (QPSK entry / OQPSK pre-fire
-                # alignment); OQPSK's own step 0 is a normal paired step.
-                run_group(spec_body, j0=0 if oqpsk else 1)
+                # alignment); OQPSK's own step 0 is a normal paired step
+                # (serial-gate body under pargate — arbitrary entry phase).
+                run_group(spec_body_entry, j0=0 if oqpsk else 1)
 
             @pl.when(jnp.logical_and(s > 0, s < s_spec))
             def _():
@@ -1036,6 +1055,11 @@ def _make_kernel_dma(cfg: DemodConfig, B: int, G: int, span: int,
                                             slices=pair_sl, pargate=pg)
                     if s_spec > 0 and oqpsk and pair_sl is not None
                     and s_sl > 1 else None)
+    # Pargate assumes a fire interval's phase history, which the block's
+    # FIRST paired step lacks (see _make_paired_step_tiles docstring) —
+    # step 0 runs the serial-gate spec body.
+    spec_step_entry = (_make_paired_step_tiles(cfg, 1, B, W, spec=True)
+                       if pg and s_spec > 0 else None)
 
     def kernel(*refs):
         if oqpsk:
@@ -1111,11 +1135,19 @@ def _make_kernel_dma(cfg: DemodConfig, B: int, G: int, span: int,
                 wre, wim, base_j = window_j(j)
                 return spec_step(st, tiles_s, wre, wim, base_j, True)
 
+            def spec_body_entry(st, j):
+                # OQPSK step 0 enters at an arbitrary phase offset: the
+                # serial-gate spec body (pargate's kA bound doesn't hold).
+                wre, wim, base_j = window_j(j)
+                fn = (spec_step_entry if spec_step_entry is not None
+                      and j == 0 else spec_step)
+                return fn(st, tiles_s, wre, wim, base_j, True)
+
             @pl.when(s == 0)
             def _():
                 # Step 0 ran in the prologue (QPSK entry / OQPSK pre-fire
                 # alignment); OQPSK's own step 0 is a normal paired step.
-                run_group(spec_body, j0=0 if oqpsk else 1)
+                run_group(spec_body_entry, j0=0 if oqpsk else 1)
 
             if spec_step_sl is not None:
                 # Sliced-select spec body on shift-free grids only (the

@@ -134,16 +134,20 @@ def run(name, cfg, variants):
     carry = _warm(cfg, BATCH, blocks)
     per_call = CHAIN * cfg.block_len * BATCH
     for tag in variants:
-        if tag == "b256":
-            blocks2 = _blocks(cfg, 256)
-            carry2 = _warm(cfg, 256, blocks2)
-            _measure("b256", _fn(cfg, True, 256), carry2, blocks2,
-                     2 * per_call, res)
-            continue
-        c = cfg_t if tag.startswith("tight") else cfg
-        pg = tag.endswith("pargate")
-        _measure(tag, _fn(c, True, BATCH, pargate=pg), carry, blocks,
-                 per_call, res)
+        try:
+            if tag == "b256":
+                blocks2 = _blocks(cfg, 256)
+                carry2 = _warm(cfg, 256, blocks2)
+                _measure("b256", _fn(cfg, True, 256), carry2, blocks2,
+                         2 * per_call, res)
+                continue
+            c = cfg_t if tag.startswith("tight") else cfg
+            pg = tag.endswith("pargate")
+            _measure(tag, _fn(c, True, BATCH, pargate=pg), carry, blocks,
+                     per_call, res)
+        except Exception as e:   # noqa: BLE001 — erratic remote compiles
+            log(f"  {tag}: FAILED {e}")
+            res[f"{tag}_error"] = str(e)[:200]
     print(json.dumps(res), flush=True)
 
 
@@ -153,9 +157,12 @@ def main():
     log(f"claim: {time.time()-t0:.1f}s")
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("all", "oqpsk"):
+        # b256 dropped here: the locked OQPSK kernel at batch 256 crashes
+        # the remote AOT compiler (array.h limits<=dim check, SIGABRT) —
+        # an upstream compiler bug; the wide b256 program compiles fine.
         run("oqpsk", DemodConfig(samplerate=SAMPLERATE, block_len=BLOCK_LEN,
                                  symrate=80000.0, oqpsk=True),
-            ["base", "pargate", "tight", "tight_pargate", "b256"])
+            ["base", "pargate", "tight", "tight_pargate"])
     if which in ("all", "hifi"):
         run("hifi", DemodConfig(samplerate=SAMPLERATE, block_len=BLOCK_LEN,
                                 rrc_order=64, interp=10),

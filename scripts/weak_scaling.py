@@ -94,10 +94,18 @@ def _worker(argv) -> None:
                      for g in range(sl.start, sl.stop)])
     run = lambda: fleet.process_local_blocks(rows)
 
-    # Warm a whole telemetry period (compiles BOTH programs) and time whole
-    # periods, so the measured mean holds exactly steps/tel_every refresh
-    # ticks regardless of phase.
+    # Warm until the fleet LOCKS (the post-lock program switch compiles a
+    # new program — it must not land in the timed window), then one whole
+    # telemetry period (compiles the post-lock tick AND non-tick
+    # programs). Timed steps cover whole periods, so the mean holds
+    # exactly steps/tel_every refresh ticks regardless of phase.
     steps = -(-steps // tel_every) * tel_every
+    warm = 0
+    while warm < 64 and not (
+            fleet.telemetry is not None
+            and int(fleet.telemetry["locked_streams"]) == fleet.n_streams):
+        run()
+        warm += 1
     for _ in range(max(2, tel_every)):
         run()
     t0 = time.perf_counter()
@@ -177,7 +185,15 @@ def run_overhead(args) -> dict:
 
     fleet = FleetDemodulator(cfg, spd, mesh=make_mesh(jax.devices()[:1]),
                              telemetry_every=te)
-    for _ in range(max(1, te)):               # compile+warm both programs
+    # Warm until locked (the post-lock switch compiles a new program),
+    # then one whole period (post-lock tick + non-tick programs).
+    warm = 0
+    while warm < 64 and not (
+            fleet.telemetry is not None
+            and int(fleet.telemetry["locked_streams"]) == spd):
+        fleet.process_blocks(rows)
+        warm += 1
+    for _ in range(max(1, te)):
         fleet.process_blocks(rows)
 
     fn = jit_batch_demod(cfg, spd)
