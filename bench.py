@@ -86,14 +86,17 @@ def _chained_fn(cfg, batch, locked=False):
     serving regime. Callers warm the carry to full lock with the wide
     program first (as the hosts do) so the locked run is flag-free."""
     on_tpu = jax.devices()[0].platform == "tpu"
+    # Serving-tier envelope for the locked program (config.serving) — the
+    # same program the production hosts dispatch.
+    cfg_l = cfg.serving() if locked else cfg
     if on_tpu:
         if batch:
-            demod = make_pallas_batch_demod(cfg, batch, locked=locked)
+            demod = make_pallas_batch_demod(cfg_l, batch, locked=locked)
         else:
             # Broadcast-lane single stream (backend.make_single_demod):
             # one lane of the 128-wide DMA kernel, ~4x the B=1 program.
             from meteor_demod_tpu.demod.backend import make_single_demod
-            demod = make_single_demod(cfg, "pallas", locked=locked)
+            demod = make_single_demod(cfg_l, "pallas", locked=locked)
     else:
         demod = make_block_demod(cfg)
         if batch:
@@ -512,7 +515,12 @@ def _bench_fir(cfg, seconds=2.0):
         s = fn(xf)
         float(np.asarray(egress(s)))
         dt1 = time.perf_counter() - t0
-        n_calls = max(3, min(200, int(seconds / dt1)))
+        # Subtract the ~25 ms egress-fence RTT when sizing the window: a
+        # per-dispatch time this small otherwise collapses n_calls until
+        # the single end-of-window fence dominates the measurement (r4:
+        # the same FIR measured 2.5 GB/s fence-limited vs 4.0 GB/s with a
+        # 300-dispatch window — scripts/fir_roofline.py).
+        n_calls = max(30, min(300, int(seconds / max(dt1 - 0.025, 1e-4))))
         rates = []
         for _ in range(3):
             t0 = time.perf_counter()

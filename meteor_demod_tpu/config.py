@@ -385,6 +385,25 @@ class DemodConfig:
         k = np.arange(self.steps_per_block, dtype=np.float64)
         return np.round(k * self.ticks_per_step).astype(np.int32)
 
+    def serving(self) -> "DemodConfig":
+        """Replica with the SERVING-tier locked envelope (0.5 rad jitter /
+        0.5 drift budget) — measured on chip (docs/PERF.md r4): OQPSK fleet
+        +10.1%, hi-fi +9.6%, QPSK +3.3%, flag-free on the golden fixtures.
+
+        Used by STEADY-STATE locked dispatch only (fleet/stream hosts
+        switch programs after every stream reports carrier lock); an
+        out-of-envelope excursion flags into the exact oracle fallback,
+        same as the default envelope. Consumers that run a COLD
+        acquisition through the locked program (the turbo warmup,
+        demod/turbo.py) keep the roomy default — the acquisition
+        transient's timing excursions exceed the serving budget. A
+        non-default envelope set explicitly on this config is respected
+        as-is."""
+        if (self.locked_jitter_rad, self.locked_drift_frac) != (1.0, 1.0):
+            return self
+        return dataclasses.replace(self, locked_jitter_rad=0.5,
+                                   locked_drift_frac=0.5)
+
     def validate(self) -> None:
         if self.samplerate <= 0:
             raise ValueError("samplerate must be positive")

@@ -323,7 +323,10 @@ class StreamDemodulator:
         if self._use_locked():
             from .backend import jit_single_demod
             if self._fn_locked is None:
-                self._fn_locked = jit_single_demod(self.cfg, self._backend,
+                # Serving-tier envelope (config.serving()): the stream is
+                # in locked steady state when this program dispatches.
+                self._fn_locked = jit_single_demod(self.cfg.serving(),
+                                                   self._backend,
                                                    locked=True)
             return self._fn_locked
         return self._fn
@@ -362,8 +365,10 @@ class StreamDemodulator:
         """Demodulate chain_blocks consecutive blocks in one dispatch."""
         k = self.chain_blocks
         L = self.cfg.block_len
-        fn = _jit_chained_single(self.cfg, k, self._backend,
-                                 locked=self._use_locked())
+        locked = self._use_locked()
+        # Serving-tier envelope for the steady-state locked program.
+        fn = _jit_chained_single(self.cfg.serving() if locked else self.cfg,
+                                 k, self._backend, locked=locked)
         prev_carry = self._carry
         blocks = jnp.asarray(iq_to_f32(span).reshape(k, L, 2))
         carry, outs = fn(prev_carry, blocks)

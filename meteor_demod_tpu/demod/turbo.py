@@ -842,11 +842,22 @@ def _fused_gauge_fn(cfg: DemodConfig, chunks: int, kb: int, kb_w: int,
     # depends on warmup exactness (it only seeds the fixpoint; the
     # fp1 == fp2 convergence test guards the output), so the fold is
     # purely to keep the locked-run invariant uniform.
-    demod_p = (make_batch_demod(cfg, chunks // n_dev, backend, locked=True)
+    # Envelope tiers (config.serving): the PASSES run the serving-tier
+    # locked geometry — their entries are warmed/gauge-shifted carries in
+    # locked steady state, exactly the regime the tight envelope is sized
+    # for (+10% OQPSK / +3% QPSK measured, docs/PERF.md r4) — while the
+    # WARMUP keeps the roomy default envelope: its entries are cold by
+    # construction and the acquisition transient's timing excursions
+    # exceed the serving budget (the r3 flag-free-warmup measurement was
+    # made at the 1.0 rad envelope).
+    demod_p = (make_batch_demod(cfg.serving(), chunks // n_dev, backend,
+                                locked=True)
+               if locked_passes else demod)
+    demod_w = (make_batch_demod(cfg, chunks // n_dev, backend, locked=True)
                if locked_passes else demod)
 
     def warm_phase(c, blocks):
-        c2, _ = jax.lax.scan(lambda cc, x: (demod_p(cc, x)[0], None),
+        c2, _ = jax.lax.scan(lambda cc, x: (demod_w(cc, x)[0], None),
                              c, blocks)
         return c2
 

@@ -96,20 +96,39 @@ def _fast_sin_rows(fx):
     return y.astype(jnp.float32) * _INV_Q
 
 
-def _lut_tanh_rows(v, iota32, table_col):
+# tanh LUT saturation split: 13 of the 32 table entries are EXACTLY
+# +-1.0f (f32 rounds tanh(|x| >= 10) to 1.0 — the distance 2e^-2|x| is
+# under half an ulp), so the masked-sum lookup only needs the interior
+# rows; the saturated tails resolve with two compares. Bounds derived
+# from the table itself so the split can never drift from it.
+from ..dsp.loops import TANH_TABLE as _TANH_TABLE_NP
+_TT = np.asarray(_TANH_TABLE_NP, dtype=np.float32)
+_SAT_LO = int(np.argmax(np.abs(_TT) < 1.0))
+_SAT_HI = int(len(_TT) - np.argmax(np.abs(_TT[::-1]) < 1.0))
+assert np.all(_TT[:_SAT_LO] == -1.0) and np.all(_TT[_SAT_HI:] == 1.0)
+_N_INNER = _SAT_HI - _SAT_LO
+
+
+def _lut_tanh_rows(v, tiota, table_col):
     """Truncating tanh lookup (pll.c:153-159) on (R, B) state rows.
 
-    iota32: (32, R, B) loop-invariant iota; table_col: (32, 1, B) — the
-    numpy tanh table enters the kernel as an input block (Pallas kernels
-    cannot capture array constants). Evaluated as a masked sum over the
-    (32, R, B) tile — compare/select/add-tree instead of the 63 full-width
-    row ops of an unrolled per-entry tree. Exactly one entry is selected
-    per stream, so the sum is bit-exact (x + 0 never rounds) — same value
-    as a scalar table lookup.
-    """
+    tiota: (_N_INNER, R, B) loop-invariant iota holding the INTERIOR row
+    indices [_SAT_LO, _SAT_HI); table_col: (_N_INNER, 1, B) — the numpy
+    tanh table's interior rows enter the kernel as an input block (Pallas
+    kernels cannot capture array constants). Evaluated as a masked sum
+    over the interior tile — exactly one entry is selected per in-range
+    stream, so the sum is bit-exact (x + 0 never rounds) — with the
+    saturated tails (entries that are EXACTLY +-1.0f, see _SAT_LO/_SAT_HI)
+    folded into two compares. Per-element values are identical to a full
+    32-row table lookup; in locked steady state |v| ~ 134 >> 16, so the
+    hot path always takes the saturated branch and the interior rows are
+    pure overlap-hidden work (13 fewer rows x 2 LUTs per step than the
+    r3 full-table sum)."""
     idx = jnp.clip(jnp.trunc(v), -16.0, 15.0).astype(jnp.int32) + 16
-    sel = iota32 == idx                       # (32, R, B), idx broadcast
-    return jnp.sum(jnp.where(sel, table_col, _F32(0.0)), axis=0)
+    sel = tiota == idx                 # (_N_INNER, R, B), idx broadcast
+    inner = jnp.sum(jnp.where(sel, table_col, _F32(0.0)), axis=0)
+    return jnp.where(idx < _SAT_LO, _F32(-1.0),
+                     jnp.where(idx >= _SAT_HI, _F32(1.0), inner))
 
 
 def _geom(cfg: DemodConfig, locked: bool):
@@ -135,7 +154,7 @@ def _make_step(cfg: DemodConfig, R: int, B: int, W: int | None = None,
 
     Returns step(st, tiles, wre, wim, base_j, live) -> (st', out) where st
     is the 16-tuple of (R, B) state tiles in packed-row order, tiles the
-    loop-invariant (kiota, ksB, wc, iota32, table_col) tuple, wre/wim the
+    loop-invariant (kiota, ksB, wc, tiota, table_col) tuple, wre/wim the
     (W, R, B) candidate window for this step, base_j the window's tick
     origin (scalar or (R, B)), live the dead-step mask, and out the
     (sym_re, sym_im, valid, locked_once) tiles.
@@ -198,7 +217,7 @@ def _make_step(cfg: DemodConfig, R: int, B: int, W: int | None = None,
     def step(st, tiles, wre, wim, base_j, live):
         (tp, tf, prev, pp, pf, perr, updown, gain, bias_re, bias_im,
          inphase, locked, lonce, slot, t, flags) = st
-        kiota, ksB, wc, iota32, table_col = tiles
+        kiota, ksB, wc, tiota, table_col = tiles
 
         if oqpsk:
             thresh = slot.astype(jnp.float32) * _PI
@@ -323,8 +342,8 @@ def _make_step(cfg: DemodConfig, R: int, B: int, W: int | None = None,
         prev = jnp.where(do_update, sym_im, prev)
 
         # ---- Costas update (pll.c:99-130) --------------------------------
-        e = (_lut_tanh_rows(sym_re, iota32, table_col) * sym_im
-             - _lut_tanh_rows(sym_im, iota32, table_col) * sym_re)
+        e = (_lut_tanh_rows(sym_re, tiota, table_col) * sym_im
+             - _lut_tanh_rows(sym_im, tiota, table_col) * sym_re)
         pp_upd = jnp.fmod(pp_adv + a_p * e, _TWO_PI)
         pf_upd = pf + b_p * e
         err_upd = perr * err_keep + jnp.abs(e) * err_pole
@@ -442,7 +461,7 @@ def _make_paired_step_tiles(cfg: DemodConfig, R: int, B: int,
     def step(st, tiles, wre, wim, base_j, live):
         (tp, tf, prev, pp, pf, perr, updown, gain, bias_re, bias_im,
          inphase, locked, lonce, slot, t, flags) = st
-        kiota, ksB, wc, iota32, table_col = tiles
+        kiota, ksB, wc, tiota, table_col = tiles
         # Per-transaction select slices (config.locked_pair_slices): each
         # half-fire's one-hot select reads only its own 8-aligned
         # sub-range of the step window. Aligned static slices are free
@@ -625,8 +644,8 @@ def _make_paired_step_tiles(cfg: DemodConfig, R: int, B: int,
         tf_f = jnp.where(do_update, t_center + fd, tf)
         prev_f = jnp.where(do_update, sym_im, prev)
 
-        e = (_lut_tanh_rows(sym_re, iota32, table_col) * sym_im
-             - _lut_tanh_rows(sym_im, iota32, table_col) * sym_re)
+        e = (_lut_tanh_rows(sym_re, tiota, table_col) * sym_im
+             - _lut_tanh_rows(sym_im, tiota, table_col) * sym_re)
         pp_upd = jnp.fmod(pp2 + a_p * e, _TWO_PI)
         pf_upd = pf + b_p * e
         err_upd = perr * err_keep + jnp.abs(e) * err_pole
@@ -712,9 +731,11 @@ def _make_tiles(R, B, K_eff, W, table_ref, k0=0):
     kiota = jax.lax.broadcasted_iota(jnp.int32, (K_eff, R, B), 0)
     ksB = (kiota + 1 + k0).astype(jnp.float32)
     wc = jax.lax.broadcasted_iota(jnp.int32, (W, R, B), 0)
-    iota32 = jax.lax.broadcasted_iota(jnp.int32, (32, R, B), 0)
-    table_col = table_ref[:, :][:, None, :]              # (32, 1, B)
-    return kiota, ksB, wc, iota32, table_col
+    # Interior tanh rows only (see _lut_tanh_rows saturation split).
+    tiota = (jax.lax.broadcasted_iota(jnp.int32, (_N_INNER, R, B), 0)
+             + _SAT_LO)
+    table_col = table_ref[_SAT_LO:_SAT_HI, :][:, None, :]  # (_N_INNER,1,B)
+    return kiota, ksB, wc, tiota, table_col
 
 
 def _assemble_outs(res, S, batch, oqpsk) -> BlockOutput:

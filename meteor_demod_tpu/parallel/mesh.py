@@ -164,8 +164,11 @@ class FleetDemodulator:
     def _get_fn(self, locked: bool, telemetry: bool) -> Callable:
         key = (locked, telemetry)
         if key not in self._fns:
+            # Steady-state locked dispatch uses the serving-tier envelope
+            # (config.serving(): tighter windows, +3-10% measured).
+            cfg = self.cfg.serving() if locked else self.cfg
             self._fns[key] = make_fleet_demod(
-                self.cfg, self.mesh, self.axis_name, self._backend,
+                cfg, self.mesh, self.axis_name, self._backend,
                 locked=locked, telemetry=telemetry)
         return self._fns[key]
 

@@ -67,7 +67,10 @@ def _block_fir(banks, precision):
     """polyphase_fir_block's TPU path with a precision knob (probe copy)."""
     interp, taps = np.shape(banks)
     ch = _FIR_CHUNK
-    wm = jnp.asarray(_toeplitz_weight(np.asarray(banks), ch))
+    # numpy, NOT a device array: trace-time constants must fold at trace
+    # (a captured device buffer measured 12x slower on this backend —
+    # CLAUDE.md "trace-time constants must be numpy").
+    wm_np = _toeplitz_weight(np.asarray(banks), ch)
 
     def fir(x, tail):
         L = x.shape[0]
@@ -78,7 +81,7 @@ def _block_fir(banks, precision):
                                xin[None, L:L + taps - 1]], axis=0)
         win = jnp.concatenate([a, ext], axis=1)
         out = jax.lax.dot_general(
-            win, wm, (((1,), (0,)), ((), ())),
+            win, jnp.asarray(wm_np), (((1,), (0,)), ((), ())),
             precision=precision, preferred_element_type=jnp.float32)
         return out.transpose(0, 2, 1).reshape(L, interp, 2)
 
@@ -89,7 +92,7 @@ def _tmajor_scan(banks, precision):
     """polyphase_fir_block_tmajor's TPU path (probe copy, precision knob)."""
     interp, taps = np.shape(banks)
     ch = _FIR_CHUNK
-    wm_t = jnp.asarray(_toeplitz_weight(np.asarray(banks), ch).T)
+    wm_t_np = _toeplitz_weight(np.asarray(banks), ch).T
 
     def fir(x, tail_t):
         L, Bb = x.shape[0], x.shape[1]
@@ -104,7 +107,7 @@ def _tmajor_scan(banks, precision):
 
         def chunk_dot(_, rhs):
             return None, jax.lax.dot_general(
-                wm_t, rhs, (((1,), (0,)), ((), ())),
+                jnp.asarray(wm_t_np), rhs, (((1,), (0,)), ((), ())),
                 precision=precision, preferred_element_type=jnp.float32)
 
         _, out = jax.lax.scan(chunk_dot, None, winf)
@@ -119,7 +122,7 @@ def _tmajor_batched(banks, precision):
     matmuls for one big matmul + one (k, 2B, O) -> (k, O, 2B) transpose."""
     interp, taps = np.shape(banks)
     ch = _FIR_CHUNK
-    wm = jnp.asarray(_toeplitz_weight(np.asarray(banks), ch))   # (U, O)
+    wm_np2 = _toeplitz_weight(np.asarray(banks), ch)            # (U, O)
 
     def fir(x, tail_t):
         L, Bb = x.shape[0], x.shape[1]
@@ -132,7 +135,7 @@ def _tmajor_batched(banks, precision):
         win = jnp.concatenate([a, ext], axis=1)
         winf = win.transpose(0, 1, 3, 2).reshape(k, u_len, 2 * Bb)
         out = jax.lax.dot_general(
-            winf, wm, (((1,), (0,)), ((), ())),
+            winf, jnp.asarray(wm_np2), (((1,), (0,)), ((), ())),
             precision=precision,
             preferred_element_type=jnp.float32)      # (k, 2B, O)
         return out.transpose(0, 2, 1).reshape(L * interp, 2, Bb)
@@ -141,13 +144,16 @@ def _tmajor_batched(banks, precision):
 
 
 def _time(fn, args, n_bytes_hint, samples, seconds=2.0):
-    r = fn(*args)
-    float(np.asarray(egress(jnp.sum(r))))                 # compile+warm
-    jfn = jax.jit(lambda *a: jnp.sum(fn(*a)))
+    # Compile+warm FIRST, then calibrate n_calls on a warm dispatch — a
+    # dt1 that includes compile collapses n_calls to 3 and the ~27 ms
+    # egress fence then dominates the window (the r4 probe's first runs
+    # measured exactly that, 3-12x low).
+    jfn = jax.jit(lambda x, t: jnp.sum(fn(x, t)))
+    float(np.asarray(egress(jfn(*args))))                # compile + warm
     t0 = time.perf_counter()
     float(np.asarray(egress(jfn(*args))))
     dt1 = time.perf_counter() - t0
-    n_calls = max(3, min(200, int(seconds / dt1)))
+    n_calls = max(30, min(300, int(seconds / max(dt1 - 0.025, 1e-4))))
     rates = []
     for _ in range(3):
         t0 = time.perf_counter()

@@ -143,6 +143,33 @@ def test_golden_qpsk_hifi(ref_binary, tmp_path):
     assert mad < 0.5, mad
 
 
+@pytest.mark.parametrize("bw", [2.0, 4.0])
+def test_golden_hifi_pll_bw_sweep(ref_binary, tmp_path, bw):
+    """configs[3] 'pll-bw variants' on the hi-fi geometry (fir-order 64,
+    oversamp 10, -b 2 / 4), each pinned against the C binary.
+
+    Only INTEGER bandwidths are testable: the reference's human_to_float
+    truncates through an int (utils.c:62-83), so `-b 0.5` silently becomes
+    bw 0 — zero loop gains, the PLL never locks (verified: at -b 0.5 the
+    C binary emits a late false-locked stream uncorrelated with its own
+    -b 1 decode, while DemodConfig(pll_bw=0.5) here tracks genuinely —
+    its symbol stream correlates perfectly with the bw-1 decode). Our CLI
+    reproduces the truncation quirk bit-for-bit (utils.py, tested); the
+    sub-1.0 API-only row is measured in bench.py's hifi_pllbw sweep."""
+    x, _ = synth_psk(32000, 230400, carrier_hz=250.0, amplitude=6000.0,
+                     snr_db=20.0, seed=17)
+    wav = str(tmp_path / "g.wav")
+    write_wav(wav, x, 230400, 16)
+    ref = run_ref(ref_binary, ["-f", "64", "-O", "10", "-b", str(bw), wav],
+                  str(tmp_path / "ref.s"))
+    ours = run_ours(DemodConfig(samplerate=230400, rrc_order=64, interp=10,
+                                pll_bw=bw),
+                    wav, 16, str(tmp_path / "ours.s"))
+    sign_agree, mad = score(ref, ours)
+    assert sign_agree > 0.999, sign_agree
+    assert mad < 0.5, mad
+
+
 def test_golden_qpsk_float32(ref_binary, tmp_path):
     """32-bit float WAV samples (wavfile.c:66-68)."""
     x, _ = synth_psk(32000, 230400, carrier_hz=350.0, amplitude=5000.0,
