@@ -204,6 +204,15 @@ def _make_step(cfg: DemodConfig, R: int, B: int, W: int | None = None,
     K_eff = K - k0
     k0_f = _F32(k0)
     oqpsk = cfg.oqpsk
+    # Perf-probe ablations (scripts/probe_hifi.py): TIMING-ONLY variants
+    # that break correctness, used to attribute the single-fire step's
+    # per-step cost on chip — never set in production. "selw32": the
+    # window select reads a 32-row sub-slice; "rowa": the AGC/sqrt chain
+    # is deleted (z used raw); "notanh": both Costas LUT lookups replaced
+    # by a sub; "nogate": the gate's compare/min tree replaced by a
+    # constant fire at k0+8.
+    _ablate = frozenset(
+        os.environ.get("METEOR_DEMOD_ABLATE", "").split(",")) - {""}
 
     bias_keep = _F32(1.0 - C.AGC_BIAS_POLE)
     bias_pole = _F32(C.AGC_BIAS_POLE)
@@ -228,10 +237,13 @@ def _make_step(cfg: DemodConfig, R: int, B: int, W: int | None = None,
         diff = thresh - tp                          # (R, B)
         rem = block_ticks - t                       # (R, B) i32
         prod = ksB * tf                             # (K_eff, R, B)
-        ok = jnp.logical_and(prod >= diff,
-                             ksB <= rem.astype(jnp.float32))
-        kcand = jnp.where(ok, kiota, K_eff)
-        k_min = jnp.min(kcand, axis=0)
+        if "nogate" in _ablate:    # timing probe: constant fire at k0+8
+            k_min = jnp.full_like(t, 8)
+        else:
+            ok = jnp.logical_and(prod >= diff,
+                                 ksB <= rem.astype(jnp.float32))
+            kcand = jnp.where(ok, kiota, K_eff)
+            k_min = jnp.min(kcand, axis=0)
         if spec:
             # All-fire speculation: assume the gate fires; verify, don't
             # gate. A non-firing stream here is out of envelope (see
@@ -283,12 +295,16 @@ def _make_step(cfg: DemodConfig, R: int, B: int, W: int | None = None,
 
         # ---- select fired tick from the (W, R, B) window tile ------------
         c = tau - base_j                           # (R, B) window coord
-        if spec:
-            sel = wc == c                          # (W, R, B); fired assumed
+        if "selw32" in _ablate:    # timing probe: 32-row select sub-slice
+            wre_s, wim_s, wc_s = wre[0:32], wim[0:32], wc[:32]
         else:
-            sel = jnp.logical_and(wc == c, fired)  # (W, R, B)
-        z_re = jnp.sum(jnp.where(sel, wre, _F32(0.0)), axis=0)
-        z_im = jnp.sum(jnp.where(sel, wim, _F32(0.0)), axis=0)
+            wre_s, wim_s, wc_s = wre, wim, wc
+        if spec:
+            sel = wc_s == c                        # (W, R, B); fired assumed
+        else:
+            sel = jnp.logical_and(wc_s == c, fired)  # (W, R, B)
+        z_re = jnp.sum(jnp.where(sel, wre_s, _F32(0.0)), axis=0)
+        z_im = jnp.sum(jnp.where(sel, wim_s, _F32(0.0)), axis=0)
         if spec:
             miss = jnp.logical_or(
                 jnp.logical_or(c < 0, c >= W),
@@ -299,13 +315,17 @@ def _make_step(cfg: DemodConfig, R: int, B: int, W: int | None = None,
                 early)
 
         # ---- AGC (agc.c:12-25) -------------------------------------------
-        bias_re_n = bias_re * bias_keep + bias_pole * z_re
-        bias_im_n = bias_im * bias_keep + bias_pole * z_im
-        zr = (z_re - bias_re_n) * gain
-        zi = (z_im - bias_im_n) * gain
-        mag = jnp.sqrt(zr * zr + zi * zi)
-        gain_n = jnp.maximum(_F32(0.0),
-                             gain + gain_pole * (agc_target - mag))
+        if "rowa" in _ablate:      # timing probe: delete the AGC/sqrt chain
+            bias_re_n, bias_im_n, gain_n = bias_re, bias_im, gain
+            zr, zi = z_re, z_im
+        else:
+            bias_re_n = bias_re * bias_keep + bias_pole * z_re
+            bias_im_n = bias_im * bias_keep + bias_pole * z_im
+            zr = (z_re - bias_re_n) * gain
+            zi = (z_im - bias_im_n) * gain
+            mag = jnp.sqrt(zr * zr + zi * zi)
+            gain_n = jnp.maximum(_F32(0.0),
+                                 gain + gain_pole * (agc_target - mag))
 
         # ---- PLL mix (pll.c:50-97) ---------------------------------------
         # sin and cos as ONE (2R, B) fast_sin tile (elementwise Q14 int
@@ -342,8 +362,11 @@ def _make_step(cfg: DemodConfig, R: int, B: int, W: int | None = None,
         prev = jnp.where(do_update, sym_im, prev)
 
         # ---- Costas update (pll.c:99-130) --------------------------------
-        e = (_lut_tanh_rows(sym_re, tiota, table_col) * sym_im
-             - _lut_tanh_rows(sym_im, tiota, table_col) * sym_re)
+        if "notanh" in _ablate:    # timing probe: delete both LUT lookups
+            e = sym_re - sym_im
+        else:
+            e = (_lut_tanh_rows(sym_re, tiota, table_col) * sym_im
+                 - _lut_tanh_rows(sym_im, tiota, table_col) * sym_re)
         pp_upd = jnp.fmod(pp_adv + a_p * e, _TWO_PI)
         pf_upd = pf + b_p * e
         err_upd = perr * err_keep + jnp.abs(e) * err_pole
