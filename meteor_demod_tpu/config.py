@@ -347,6 +347,37 @@ class DemodConfig:
         return (oA, WA, oB, WB)
 
     @property
+    def gate_spec_bounds(self) -> tuple[int, int]:
+        """(k0s, Ks): the ALL-FIRE spec bodies' gate candidate range
+        (kernels/block_demod.py; LOCKED program only).
+
+        Every spec-region step follows a previous fire with |tp residual|
+        <= locked_jitter_rad, so the fire candidate k* lies in
+        [floor((fs-jr)/tf_max), ceil((fs+jr)/tf_min)] (+-2 margin taken).
+        Candidates below k0s are skipped and VERIFIED in-step (one
+        compare: fl(k0s*tf) >= diff would mean an earlier fire ->
+        FLAG_WINDOW_MISS -> exact oracle fallback); candidates above the
+        range cannot be the min when one in range fires (fl(k*tf)
+        monotone in k), and a spec-region non-fire already flags. Bounds
+        therefore affect flag frequency only, never correctness. The r4
+        probe attributed 4.7-8.5% of the step to the gate's full
+        candidate tile; this shrinks it ~2x (QPSK 16->8 rows, OQPSK
+        16->7 per transaction, hi-fi 16->10). Unlike gate_offset_locked
+        (whose non-fire consumption semantics need the k0+K_eff == K
+        identity), the spec body fires unconditionally, so neither end
+        needs sublane alignment."""
+        K = self.gate_candidates
+        jr = self.locked_jitter_rad
+        tf_min = float(self.timing_freq) * (1 - 2.0 ** -C.FREQ_DEV_EXP)
+        tf_max = float(self.timing_freq) * (1 + 2.0 ** -C.FREQ_DEV_EXP)
+        k0s = max(0, int(math.floor(
+            (self.fire_spacing - jr) / tf_max)) - 2)
+        k_hi = min(K, int(math.ceil(
+            (self.fire_spacing + jr) / tf_min)) + 2)
+        k0s = min(k0s, max(0, k_hi - 1))
+        return k0s, k_hi - k0s
+
+    @property
     def pargate_bounds(self) -> tuple[int, int] | None:
         """Static kA-candidate range (k_loA, KA) of the OQPSK PARALLEL
         gate-B evaluation (kernels/block_demod.py, spec paired step):

@@ -149,7 +149,8 @@ def _geom(cfg: DemodConfig, locked: bool):
 
 
 def _make_step(cfg: DemodConfig, R: int, B: int, W: int | None = None,
-               k0: int = 0, spec: bool = False) -> Callable:
+               k0: int = 0, spec: bool = False,
+               kspec: tuple | None = None) -> Callable:
     """Shared per-step recurrence body for both kernel variants.
 
     Returns step(st, tiles, wre, wim, base_j, live) -> (st', out) where st
@@ -181,6 +182,14 @@ def _make_step(cfg: DemodConfig, R: int, B: int, W: int | None = None,
     is out of envelope and raises FLAG_WINDOW_MISS, routing the block to
     the exact oracle fallback.
 
+    kspec=(k0s, Ks) (spec only) narrows the gate to the all-fire
+    candidate range cfg.gate_spec_bounds: in the spec region the fire
+    follows a previous fire with an in-envelope phase residual, so only
+    ~half the offset-gate candidates are feasible — skipped low
+    candidates are verified by the same `early` compare as k0, and a
+    non-fire (fire above the range) flags via ~fired. Decisions are
+    bitwise-identical for in-envelope streams (fl(k*tf) monotone).
+
     CRITICAL: every FLOAT state update keeps its gated where() form with
     the real computed `fired` predicate, even though the predicate is
     provably true for unflagged streams. Removing a where() changes the
@@ -202,6 +211,9 @@ def _make_step(cfg: DemodConfig, R: int, B: int, W: int | None = None,
     if W is None:
         W = cfg.window_common
     K_eff = K - k0
+    if kspec is not None:
+        assert spec, "kspec applies to the all-fire spec body only"
+        k0, K_eff = kspec
     k0_f = _F32(k0)
     oqpsk = cfg.oqpsk
     # Perf-probe ablations (scripts/probe_hifi.py): TIMING-ONLY variants
@@ -413,7 +425,8 @@ def _make_paired_step_tiles(cfg: DemodConfig, R: int, B: int,
                             W: int | None = None,
                             spec: bool = False,
                             slices: tuple | None = None,
-                            pargate: bool = False) -> Callable:
+                            pargate: bool = False,
+                            kspec: tuple | None = None) -> Callable:
     """OQPSK paired-fire step on (R, B) tiles — the kernel mirror of
     demod/scan.py's _make_paired_step (see its docstring for the pairing
     semantics and the alignment invariant). Fire-for-fire float op order
@@ -461,6 +474,18 @@ def _make_paired_step_tiles(cfg: DemodConfig, R: int, B: int,
     K = cfg.gate_candidates
     if W is None:
         W = cfg.window_common
+    # kspec=(k0s, Ks): narrow BOTH transactions' gates to the all-fire
+    # candidate range (cfg.gate_spec_bounds — OQPSK pays the gate twice
+    # per step, so this halves 2x16 candidate rows to 2x~7). Skipped low
+    # candidates are verified per transaction (the `early` compare folds
+    # into defer -> FLAG_WINDOW_MISS); fires above the range defer and
+    # flag in the spec region. See _make_step's kspec note.
+    if kspec is not None:
+        assert spec and not pargate
+        k0p, Kp = kspec
+    else:
+        k0p, Kp = 0, cfg.gate_candidates
+    k0p_f = _F32(k0p)
     if pargate:
         assert spec and R == 1, "pargate applies to the spec body at R == 1"
         k_loA, KA = cfg.pargate_bounds
@@ -500,12 +525,13 @@ def _make_paired_step_tiles(cfg: DemodConfig, R: int, B: int,
 
         def fire(thresh, tpv, tv, attempt):
             rem = block_ticks - tv
-            prod = ksB * tf                             # (K, R, B)
-            ok = jnp.logical_and(prod >= (thresh - tpv),
+            diffv = thresh - tpv
+            prod = ksB * tf                             # (Kp, R, B)
+            ok = jnp.logical_and(prod >= diffv,
                                  ksB <= rem.astype(jnp.float32))
-            kcand = jnp.where(ok, kiota, K)
+            kcand = jnp.where(ok, kiota, Kp)
             k_min = jnp.min(kcand, axis=0)
-            fired_raw = k_min < K
+            fired_raw = k_min < Kp
             if spec:
                 # All-fire speculation: attempt/live statically true; a
                 # non-fire is out of envelope -> defer flags it. Integer
@@ -513,22 +539,29 @@ def _make_paired_step_tiles(cfg: DemodConfig, R: int, B: int,
                 fired = fired_raw
                 k_idx = k_min
                 defer = ~fired_raw
-                t_n = tv + k_min + 1
+                t_n = tv + k_min + 1 + k0p
             else:
                 fired = jnp.logical_and(jnp.logical_and(fired_raw, attempt),
                                         live)
-                k_idx = jnp.where(fired, k_min, jnp.minimum(rem, K) - 1)
+                k_idx = jnp.where(fired, k_min, jnp.minimum(rem, Kp) - 1)
                 k_idx = jnp.where(jnp.logical_and(attempt, live), k_idx, -1)
                 defer = jnp.logical_and(
                     jnp.logical_and(jnp.logical_and(~fired_raw, attempt),
                                     live),
-                    rem > K)
+                    rem > Kp)
                 t_n = jnp.where(jnp.logical_and(attempt, live),
                                 tv + k_idx + 1, tv)
             prod_sel = jnp.sum(jnp.where(kiota == k_idx, prod, _F32(0.0)),
                                axis=0)
-            tau = tv + k_idx
+            tau = tv + k_idx + k0p if spec else tv + k_idx
             tp_n = tpv + prod_sel
+            if k0p:
+                # In-step verification of the skipped candidates, same
+                # compare as _make_step's offset gate: a wide-gate fire at
+                # k <= k0p is out of the spec envelope -> defer -> flag.
+                m_f = jnp.minimum(k0p_f, rem.astype(jnp.float32))
+                early = jnp.logical_and(m_f >= _F32(1.0), m_f * tf >= diffv)
+                defer = jnp.logical_or(defer, early)
             return fired, tau, tp_n, t_n, defer
 
         def select(tau, fired, win):
@@ -840,16 +873,22 @@ def _make_kernel(cfg: DemodConfig, R: int, B: int, G: int,
               else 0)
     pg = (oqpsk and R == 1
           and os.environ.get("METEOR_DEMOD_PARGATE") == "1")
+    ks = cfg.gate_spec_bounds if (locked and not pg) else None
     spec_step = ((make_paired(cfg, R, B, W, spec=True, slices=pair_sl,
-                              pargate=pg)
+                              pargate=pg, kspec=ks)
                   if oqpsk
-                  else _make_step(cfg, R, B, W, k0, spec=True))
+                  else _make_step(cfg, R, B, W, k0, spec=True, kspec=ks))
                  if s_spec > 0 else None)
     # Step 0 enters at an arbitrary phase offset, outside pargate's kA
-    # bound — it runs the serial-gate spec body (see the pargate note in
-    # _make_paired_step_tiles).
+    # bound and the spec-gate shrink — it runs the full-gate serial spec
+    # body with FULL-K tiles (see _make_paired_step_tiles).
     spec_step_entry = (make_paired(cfg, R, B, W, spec=True, slices=pair_sl)
-                       if pg and s_spec > 0 else None)
+                       if s_spec > 0 and oqpsk and (pg or ks is not None)
+                       else None)
+    if ks is not None:
+        k0s, Ks = ks
+    else:
+        k0s, Ks = k0, cfg.gate_candidates - k0
 
     def kernel(*refs):
         if oqpsk:
@@ -889,13 +928,15 @@ def _make_kernel(cfg: DemodConfig, R: int, B: int, G: int,
             _store_states(fs_ref, is_ref, st)
 
         if spec_step is not None:
-            tiles_s = _make_tiles(R, B, K - k0, W, table_ref, k0)
+            tiles_s = _make_tiles(R, B, Ks, W, table_ref, k0s)
             spec_body = lambda st, j: spec_step(
                 st, tiles_s, wre_ref[j], wim_ref[j], base_ref[j], True)
             spec_body_entry = lambda st, j: (
-                spec_step_entry if spec_step_entry is not None and j == 0
-                else spec_step)(
-                st, tiles_s, wre_ref[j], wim_ref[j], base_ref[j], True)
+                spec_step_entry(st, _make_tiles(R, B, K, W, table_ref),
+                                wre_ref[j], wim_ref[j], base_ref[j], True)
+                if spec_step_entry is not None and j == 0
+                else spec_step(st, tiles_s, wre_ref[j], wim_ref[j],
+                               base_ref[j], True))
 
             @pl.when(s == 0)
             def _():
@@ -1088,22 +1129,35 @@ def _make_kernel_dma(cfg: DemodConfig, B: int, G: int, span: int,
               if locked and os.environ.get("METEOR_DEMOD_SPEC") != "0"
               else 0)
     # Parallel gate B for the OQPSK spec bodies (A/B lever, docs/PERF.md):
-    # METEOR_DEMOD_PARGATE=1 opts in.
+    # METEOR_DEMOD_PARGATE=1 opts in (and disables the spec-gate shrink —
+    # pargate's candidate math assumes the full gate tile).
     pg = oqpsk and os.environ.get("METEOR_DEMOD_PARGATE") == "1"
+    # Spec-gate shrink (config.gate_spec_bounds): the all-fire bodies'
+    # gate evaluates only the feasible candidate range.
+    ks = cfg.gate_spec_bounds if (locked and not pg) else None
     spec_step = ((_make_paired_step_tiles(cfg, 1, B, W, spec=True,
-                                          pargate=pg) if oqpsk
-                  else _make_step(cfg, 1, B, W, k0, spec=True))
+                                          pargate=pg, kspec=ks) if oqpsk
+                  else _make_step(cfg, 1, B, W, k0, spec=True, kspec=ks))
                  if s_spec > 0 else None)
     s_sl = min(s_slice_hi, s_spec)
     spec_step_sl = (_make_paired_step_tiles(cfg, 1, B, W, spec=True,
-                                            slices=pair_sl, pargate=pg)
+                                            slices=pair_sl, pargate=pg,
+                                            kspec=ks)
                     if s_spec > 0 and oqpsk and pair_sl is not None
                     and s_sl > 1 else None)
-    # Pargate assumes a fire interval's phase history, which the block's
-    # FIRST paired step lacks (see _make_paired_step_tiles docstring) —
-    # step 0 runs the serial-gate spec body.
+    # Pargate and the spec-gate shrink both assume a fire interval's
+    # phase history, which the block's FIRST paired step lacks (entry at
+    # arbitrary phase offset) — OQPSK step 0 runs the full-gate serial
+    # spec body with FULL-K tiles.
     spec_step_entry = (_make_paired_step_tiles(cfg, 1, B, W, spec=True)
-                       if pg and s_spec > 0 else None)
+                       if s_spec > 0 and oqpsk and (pg or ks is not None)
+                       else None)
+    # Spec-body gate tile geometry (tiles_s): kspec when shrunk, else the
+    # offset-gate geometry the spec body inherits.
+    if ks is not None:
+        k0s, Ks = ks
+    else:
+        k0s, Ks = k0, cfg.gate_candidates - k0
 
     def kernel(*refs):
         if oqpsk:
@@ -1173,7 +1227,7 @@ def _make_kernel_dma(cfg: DemodConfig, B: int, G: int, span: int,
             _store_states(fs_ref, is_ref, st)
 
         if spec_step is not None:
-            tiles_s = _make_tiles(1, B, K - k0, W, table_ref, k0)
+            tiles_s = _make_tiles(1, B, Ks, W, table_ref, k0s)
 
             def spec_body(st, j):
                 wre, wim, base_j = window_j(j)
@@ -1181,11 +1235,14 @@ def _make_kernel_dma(cfg: DemodConfig, B: int, G: int, span: int,
 
             def spec_body_entry(st, j):
                 # OQPSK step 0 enters at an arbitrary phase offset: the
-                # serial-gate spec body (pargate's kA bound doesn't hold).
+                # full-gate serial spec body with FULL-K tiles (neither
+                # pargate's kA bound nor the spec-gate shrink holds).
                 wre, wim, base_j = window_j(j)
-                fn = (spec_step_entry if spec_step_entry is not None
-                      and j == 0 else spec_step)
-                return fn(st, tiles_s, wre, wim, base_j, True)
+                if spec_step_entry is not None and j == 0:
+                    return spec_step_entry(
+                        st, _make_tiles(1, B, K, W, table_ref),
+                        wre, wim, base_j, True)
+                return spec_step(st, tiles_s, wre, wim, base_j, True)
 
             @pl.when(s == 0)
             def _():
