@@ -1,0 +1,124 @@
+"""Locked-envelope flag boundary vs sampler error (CPU, interpret mode).
+
+The serving tier (config.serving: locked_jitter_rad 0.5 / drift_frac 0.5)
+budgets cumulative timing drift for ~122 ppm of sampler clock error; the
+docs claim streams inside the budget run flag-free and streams outside
+flag into the exact oracle fallback. This script MEASURES that boundary:
+QPSK/OQPSK streams synthesized with a real symbol-rate offset of e ppm
+(the sampler-error equivalent — the M&M loop rails t_freq at e relative,
+timing.c:83-86 clamps at 244 ppm), locked with the wide program, then
+dispatched through the serving-tier locked kernel (interpret mode — flag
+behavior is decision-level, bit-identical to the chip) for N blocks,
+counting flagged blocks.
+
+Also characterizes an EXTRA-tight envelope (0.25 rad / 0.375 drift,
+~91 ppm budget) — the candidate next step PERF.md's close-out gates on
+this measurement.
+
+Run: `METEOR_DEMOD_PLATFORM=cpu python scripts/characterize_envelope.py`
+(~15 min; ~6 interpret compiles; the flag boundary in ppm is block-length-independent — the drift budget is a per-block fraction of the clamp). Results -> docs/PERF.md.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import jax.numpy as jnp
+
+from meteor_demod_tpu.config import DemodConfig
+from meteor_demod_tpu.demod.scan import make_block_demod
+from meteor_demod_tpu.demod.state import batch_carry
+from meteor_demod_tpu.dsp.fir import iq_to_f32
+from meteor_demod_tpu.kernels.block_demod import make_pallas_batch_demod
+from meteor_demod_tpu.sim import synth_psk
+
+BLOCK_LEN = 2048
+B = 2                      # streams (all same ppm; 2 seeds)
+N_BLOCKS = 8               # locked-program blocks per measurement
+PPM = [0, 100, 150, 244]
+ENVELOPES = {
+    "serving (0.5/0.5)": dict(locked_jitter_rad=0.5, locked_drift_frac=0.5),
+    "extra-tight (0.25/0.375)": dict(locked_jitter_rad=0.25,
+                                     locked_drift_frac=0.375),
+}
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def _fixture(cfg, ppm, nwarm):
+    """B streams whose SYMBOL rate is off by -ppm relative (the sampler
+    clock running ppm fast): t_freq must track -ppm to stay in sync."""
+    n = (nwarm + N_BLOCKS) * cfg.block_len
+    sym_eff = cfg.symrate / (1.0 + ppm * 1e-6)
+    xs = []
+    for b in range(B):
+        x, _ = synth_psk(int(n * sym_eff / cfg.samplerate) + 64,
+                         cfg.samplerate, symrate=sym_eff,
+                         oqpsk=cfg.oqpsk, carrier_hz=60.0 + 25.0 * b,
+                         amplitude=6000.0, snr_db=22.0, seed=300 + b)
+        xs.append(x[:n])
+    return iq_to_f32(np.stack(xs))
+
+
+def run(mode, oqpsk):
+    cfg0 = DemodConfig(samplerate=230400, block_len=BLOCK_LEN,
+                       symrate=80000.0 if oqpsk else 72000.0, oqpsk=oqpsk)
+    nwarm = 60
+    scan_fn = jax.jit(jax.vmap(make_block_demod(cfg0)))
+    rows = {}
+    locked_fns = {}
+    for env_name, knobs in ENVELOPES.items():
+        cfg = DemodConfig(**{**cfg0.__dict__, **knobs})
+        locked_fns[env_name] = jax.jit(make_pallas_batch_demod(
+            cfg, B, interpret=True, locked=True))
+    for ppm in PPM:
+        xf = _fixture(cfg0, ppm, nwarm)
+        carry = batch_carry(cfg0, B)
+        for k in range(nwarm):
+            carry, _ = scan_fn(
+                carry, jnp.asarray(
+                    xf[:, k * BLOCK_LEN:(k + 1) * BLOCK_LEN]))
+        carry = jax.tree_util.tree_map(np.asarray, carry)
+        locked_n = int(carry.locked.sum())
+        if locked_n < B:
+            log(f"[{mode} {ppm}ppm] only {locked_n}/{B} locked after warm"
+                f" — skipping (acquisition, not envelope)")
+            continue
+        for env_name in ENVELOPES:
+            c = jax.tree_util.tree_map(jnp.asarray, carry)
+            flagged_blocks = 0
+            for k in range(nwarm, nwarm + N_BLOCKS):
+                blk = jnp.asarray(
+                    xf[:, k * BLOCK_LEN:(k + 1) * BLOCK_LEN])
+                c, _ = locked_fns[env_name](c, blk)
+                f = np.asarray(c.flags)
+                if np.any(f):
+                    flagged_blocks += 1
+                    # clear and continue (the production path would
+                    # oracle-recover; we count envelope violations)
+                    c = c._replace(flags=jnp.zeros_like(c.flags))
+            rows.setdefault(env_name, {})[ppm] = flagged_blocks
+            log(f"[{mode} {ppm}ppm] {env_name}: "
+                f"{flagged_blocks}/{N_BLOCKS} blocks flagged")
+    print(json.dumps({"mode": mode, "n_blocks": N_BLOCKS,
+                      "flagged": rows}), flush=True)
+
+
+def main():
+    run("qpsk", False)
+    run("oqpsk", True)
+
+
+if __name__ == "__main__":
+    main()

@@ -170,6 +170,54 @@ def test_golden_hifi_pll_bw_sweep(ref_binary, tmp_path, bw):
     assert mad < 0.5, mad
 
 
+def test_oqpsk_230p4k_reference_crashes_we_decode(ref_binary, tmp_path):
+    """OQPSK at 230.4 ksps — the README's own rtl_sdr capture rate
+    (/root/reference/README.md:75) and this framework's production
+    serving shape — SEGFAULTS the reference on EVERY input (any seed,
+    carrier, default or hi-fi knobs): at osf 2.88 its OQPSK loop state
+    blows up to NaN and lut_tanh indexes the table with (int)NaN
+    (pll.c:153-158 guards val>15 / val<-16 but NaN falls through both
+    compares; AddressSanitizer pins the wild read at pll.c:158 via
+    compute_error <- pll_update_estimate <- demod_oqpsk). The golden
+    OQPSK parity test above therefore runs at 240 ksps (osf 3.0), where
+    the reference is healthy.
+
+    This test pins BOTH sides of the divergence: (a) the upstream crash
+    (if a fixed reference ever lands, this assert flips and the combo
+    should graduate to a golden comparison), and (b) OUR decode of the
+    same recording against the synthesized ground-truth symbols —
+    perfect hard-decision correlation modulo the OQPSK gauge group
+    (quadrant x conjugate), via full FFT cross-correlation (the lag
+    absorbs lock time and pipeline latency)."""
+    x, sym = synth_psk(32000, 230400, symrate=80000.0, oqpsk=True,
+                       carrier_hz=220.0, amplitude=6000.0, snr_db=20.0,
+                       seed=18)
+    wav = str(tmp_path / "g.wav")
+    write_wav(wav, x, 230400, 16)
+    proc = subprocess.run(
+        [ref_binary, "-B", "-q", "-o", str(tmp_path / "ref.s"),
+         "-m", "oqpsk", "-r", "80k", wav],
+        capture_output=True, timeout=120)
+    assert proc.returncode != 0, (
+        "reference no longer crashes on OQPSK @ 230.4k — "
+        "promote this combo to a golden comparison test")
+
+    ours = run_ours(DemodConfig(samplerate=230400, symrate=80000.0,
+                                oqpsk=True),
+                    wav, 16, str(tmp_path / "ours.s"))
+    tx = (np.sign(sym[:, 0]) + 1j * np.sign(sym[:, 1])).astype(np.complex64)
+    z = ours.astype(np.float32).reshape(-1, 2)
+    z = (np.sign(z[:, 0]) + 1j * np.sign(z[:, 1])).astype(np.complex64)
+    best = 0.0
+    for zz in (z, np.conj(z)):
+        L = len(tx) + len(zz)
+        c = np.abs(np.fft.ifft(np.fft.fft(tx, L)
+                               * np.conj(np.fft.fft(zz, L)))) / len(zz)
+        best = max(best, float(c.max()))
+    # |+-1 +- 1j| symbols: perfect alignment scores 2.0.
+    assert best / 2.0 > 0.999, best
+
+
 def test_golden_qpsk_float32(ref_binary, tmp_path):
     """32-bit float WAV samples (wavfile.c:66-68)."""
     x, _ = synth_psk(32000, 230400, carrier_hz=350.0, amplitude=5000.0,
