@@ -15,8 +15,14 @@ Also characterizes an EXTRA-tight envelope (0.25 rad / 0.375 drift,
 ~91 ppm budget) — the candidate next step PERF.md's close-out gates on
 this measurement.
 
-Run: `METEOR_DEMOD_PLATFORM=cpu python scripts/characterize_envelope.py`
-(~15 min; ~6 interpret compiles; the flag boundary in ppm is block-length-independent — the drift budget is a per-block fraction of the clamp). Results -> docs/PERF.md.
+Run: `python scripts/characterize_envelope.py` (CPU interpret, block
+2048 — NOTE the drift boundary is block-length DEPENDENT: at small
+blocks the fixed jitter/margin terms swamp the accumulated drift, so
+the small-L run mostly characterizes the JITTER envelope; its
+clean-signal flag rates are the meaningful CPU result), or
+`python scripts/characterize_envelope.py tpu` for the REAL compiled
+kernels at the production block length 8192 — the honest drift (ppm)
+boundary. Results -> docs/PERF.md.
 """
 from __future__ import annotations
 
@@ -29,7 +35,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+TPU = "tpu" in sys.argv[1:]
+if not TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import jax.numpy as jnp
@@ -41,8 +49,8 @@ from meteor_demod_tpu.dsp.fir import iq_to_f32
 from meteor_demod_tpu.kernels.block_demod import make_pallas_batch_demod
 from meteor_demod_tpu.sim import synth_psk
 
-BLOCK_LEN = 2048
-B = 2                      # streams (all same ppm; 2 seeds)
+BLOCK_LEN = 2048           # tpu mode: 8192 (production)
+B = 2                      # streams (all same ppm); tpu mode: 128
 N_BLOCKS = 8               # locked-program blocks per measurement
 PPM = [0, 100, 150, 244]
 ENVELOPES = {
@@ -57,39 +65,65 @@ def log(m):
 
 
 def _fixture(cfg, ppm, nwarm):
-    """B streams whose SYMBOL rate is off by -ppm relative (the sampler
-    clock running ppm fast): t_freq must track -ppm to stay in sync."""
+    """B streams sampled by a clock running ppm FAST: the nominal signal
+    is synthesized on an 8x grid and linearly resampled at stride
+    8*(1+ppm*1e-6) — t_freq must then track -ppm relative to stay in
+    sync (a synth at a ppm-shifted symbol rate instead needs an exact
+    rational fine grid with a ~10^4 denominator and takes minutes)."""
     n = (nwarm + N_BLOCKS) * cfg.block_len
-    sym_eff = cfg.symrate / (1.0 + ppm * 1e-6)
+    over = 8
+    scale = 1.0 + ppm * 1e-6
+    nfine = int(n * over * scale) + 2 * over
+    nsym = int(nfine * cfg.symrate / (cfg.samplerate * over)) + 64
     xs = []
-    for b in range(B):
-        x, _ = synth_psk(int(n * sym_eff / cfg.samplerate) + 64,
-                         cfg.samplerate, symrate=sym_eff,
-                         oqpsk=cfg.oqpsk, carrier_hz=60.0 + 25.0 * b,
-                         amplitude=6000.0, snr_db=22.0, seed=300 + b)
-        xs.append(x[:n])
+    for b in range(min(B, 4)):
+        xf, _ = synth_psk(nsym, cfg.samplerate * over,
+                          symrate=cfg.symrate, oqpsk=cfg.oqpsk,
+                          carrier_hz=60.0 + 25.0 * b,
+                          amplitude=6000.0, snr_db=22.0, seed=300 + b)
+        xf = xf[:nfine]
+        t = np.arange(n, dtype=np.float64) * (over * scale)
+        i0 = np.floor(t).astype(np.int64)
+        fr = (t - i0).astype(np.float32)
+        x = (xf[i0] * (1.0 - fr) + xf[i0 + 1] * fr).astype(np.complex64)
+        xs.append(x)
+    # Return the UNIQUE streams only; the caller tiles to B on device
+    # (a full (B, n, 2) fixture would cross the ~MB/s host link per ppm).
     return iq_to_f32(np.stack(xs))
 
 
 def run(mode, oqpsk):
+    global BLOCK_LEN, B
+    if TPU:
+        BLOCK_LEN, B = 8192, 128
     cfg0 = DemodConfig(samplerate=230400, block_len=BLOCK_LEN,
                        symrate=80000.0 if oqpsk else 72000.0, oqpsk=oqpsk)
-    nwarm = 60
-    scan_fn = jax.jit(jax.vmap(make_block_demod(cfg0)))
+    nwarm = 60 if not TPU else 24
+    if TPU:
+        scan_fn = jax.jit(make_pallas_batch_demod(cfg0, B))
+    else:
+        scan_fn = jax.jit(jax.vmap(make_block_demod(cfg0)))
     rows = {}
     locked_fns = {}
     for env_name, knobs in ENVELOPES.items():
         cfg = DemodConfig(**{**cfg0.__dict__, **knobs})
         locked_fns[env_name] = jax.jit(make_pallas_batch_demod(
-            cfg, B, interpret=True, locked=True))
+            cfg, B, interpret=not TPU, locked=True))
     for ppm in PPM:
         xf = _fixture(cfg0, ppm, nwarm)
+        nu = xf.shape[0]
+        xd = jnp.asarray(xf)                  # (nu, n, 2), ONE upload
+
+        def blk_at(k):
+            sl = xd[:, k * BLOCK_LEN:(k + 1) * BLOCK_LEN]
+            return (jnp.broadcast_to(sl[None], (B // nu, nu, BLOCK_LEN, 2))
+                    .reshape(B, BLOCK_LEN, 2))
+
         carry = batch_carry(cfg0, B)
         for k in range(nwarm):
-            carry, _ = scan_fn(
-                carry, jnp.asarray(
-                    xf[:, k * BLOCK_LEN:(k + 1) * BLOCK_LEN]))
-        carry = jax.tree_util.tree_map(np.asarray, carry)
+            carry, _ = scan_fn(carry, blk_at(k))
+        from meteor_demod_tpu.demod.pipeline import egress as _eg
+        carry = jax.tree_util.tree_map(np.asarray, _eg(carry))
         locked_n = int(carry.locked.sum())
         if locked_n < B:
             log(f"[{mode} {ppm}ppm] only {locked_n}/{B} locked after warm"
@@ -99,10 +133,8 @@ def run(mode, oqpsk):
             c = jax.tree_util.tree_map(jnp.asarray, carry)
             flagged_blocks = 0
             for k in range(nwarm, nwarm + N_BLOCKS):
-                blk = jnp.asarray(
-                    xf[:, k * BLOCK_LEN:(k + 1) * BLOCK_LEN])
-                c, _ = locked_fns[env_name](c, blk)
-                f = np.asarray(c.flags)
+                c, _ = locked_fns[env_name](c, blk_at(k))
+                f = np.asarray(_eg(c.flags))
                 if np.any(f):
                     flagged_blocks += 1
                     # clear and continue (the production path would

@@ -71,6 +71,11 @@ def main() -> None:
     from meteor_demod_tpu.sim import synth_psk
 
     cfg = make_cfg(args.config, args.block)
+    if args.locked:
+        # The shipped locked program is the serving tier (config.serving:
+        # tight envelope + spec-gate shrink) — profile what production
+        # dispatches.
+        cfg = cfg.serving()
     B, chain = args.batch, args.chain
     if args.group is not None:
         # --group tunes the Pallas kernel's step grouping — it has no
@@ -93,7 +98,8 @@ def main() -> None:
     fn = jax.jit(chained)
 
     nsym = int(chain * cfg.block_len * cfg.symrate / cfg.samplerate) + 64
-    x, _ = synth_psk(nsym, cfg.samplerate, carrier_hz=400.0, amplitude=6000.0,
+    x, _ = synth_psk(nsym, cfg.samplerate, symrate=cfg.symrate,
+                     oqpsk=cfg.oqpsk, carrier_hz=400.0, amplitude=6000.0,
                      snr_db=18.0, seed=0)
     bl = iq_to_f32(x[:chain * cfg.block_len].reshape(chain, cfg.block_len))
     blocks = jnp.asarray(np.broadcast_to(
@@ -102,6 +108,15 @@ def main() -> None:
 
     def sync(c):
         return int(np.sum(egress(c.flags)))   # the only honest fence
+
+    if args.locked:
+        # Acquire lock with the WIDE program first, as the production
+        # hosts do — the serving-tier locked envelope is sized for
+        # steady state, not cold acquisition.
+        wide = jax.jit(lambda c, b: jax.lax.scan(
+            make_batch_demod(cfg, B, locked=False), c, b))
+        carry, _ = wide(carry, blocks)
+        assert sync(carry) == 0
 
     t0 = time.time()
     carry, _ = fn(carry, blocks)
