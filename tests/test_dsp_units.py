@@ -180,6 +180,35 @@ class TestLockedGeometry:
                     + cfg._pair_extra)
             assert W >= need
 
+    def test_gate_spec_bounds_cover_inenvelope_fires(self):
+        """config.gate_spec_bounds must cover every fire an in-envelope
+        stream can produce: k* = min{k: fl(k*tf) >= fl(fs - tp)} with
+        |tp| <= locked_jitter_rad and tf within the M&M clamp. Checked
+        numerically at the extremes for every grid config and both
+        envelope tiers (a candidate outside the bound only costs a flag,
+        but INSIDE-envelope fires outside it would flag steady-state
+        serving traffic — the boundary this pins)."""
+        import numpy as np
+        for base in self._grid():
+            for cfg in (base, base.serving()):
+                k0s, Ks = cfg.gate_spec_bounds
+                K = cfg.gate_candidates
+                assert 0 <= k0s and 0 < Ks and k0s + Ks <= K
+                jr = cfg.locked_jitter_rad
+                fs = np.float32(cfg.fire_spacing)
+                for tp in (-jr, 0.0, jr):
+                    for dev in (-1.0, 0.0, 1.0):
+                        tf = np.float32(float(cfg.timing_freq)
+                                        * (1 + dev * 2.0 ** -12))
+                        diff = np.float32(fs - np.float32(tp))
+                        k = np.arange(1, K + 1, dtype=np.float32)
+                        fired = (k * tf).astype(np.float32) >= diff
+                        assert fired.any()
+                        kstar = int(np.argmax(fired)) + 1  # 1-based
+                        assert k0s + 1 <= kstar <= k0s + Ks, (
+                            cfg.symrate, cfg.interp, cfg.oqpsk, jr,
+                            tp, dev, kstar, (k0s, Ks))
+
     def test_pair_slices_within_window(self):
         for cfg in self._grid():
             sl = cfg.locked_pair_slices
