@@ -456,33 +456,43 @@ def _bench_acquisition(cfg, batch=FLEET_BATCH, max_disp=40,
         hit = (lo > 0).any(axis=1) & (lock_step < 0)
         lock_step[hit] = base + first[hit]
         base += lo.shape[1]
-    # step index -> approx input sample (a step ~ one symbol).
-    lock_samp = lock_step * cfg.ticks_per_step / cfg.interp
-    lock_s = lock_samp / cfg.samplerate
+    # step index -> approx input sample (a step ~ one symbol); -1 entries
+    # never locked and are excluded from the stats.
+    locked_mask = lock_step >= 0
+    lock_s = (lock_step[locked_mask] * cfg.ticks_per_step / cfg.interp
+              / cfg.samplerate)
+    all_locked = locked_n == batch
 
-    # Wide -> locked switch cost: first locked dispatch (compile/cache
-    # load + dispatch) and a steady locked dispatch.
-    fn_l = _chained_fn(cfg, batch, locked=on_tpu and locked_n == batch)
-    t0 = time.perf_counter()
-    cl, _ = fn_l(carry, blocks)
-    assert _sync(cl) == 0
-    first_locked_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    cl, _ = fn_l(carry, blocks)
-    _sync(cl)
-    steady_locked_s = time.perf_counter() - t0
     out = {
         "carrier_hz": round(carrier, 1),
-        "all_locked": locked_n == batch,
+        "all_locked": all_locked,
+        "streams_locked": int(locked_mask.sum()),
         "dispatches": disp,
         "samples_dwelled": samples,
         "wide_dwell_s": round(dwell_s, 2),
         "acq_realtime_x": round(samples / cfg.samplerate / dwell_s, 1),
-        "lock_signal_s_p50": round(float(np.median(lock_s)), 3),
-        "lock_signal_s_max": round(float(lock_s.max()), 3),
-        "locked_first_dispatch_s": round(first_locked_s, 2),
-        "locked_steady_dispatch_s": round(steady_locked_s, 3),
+        "lock_signal_s_p50": (round(float(np.median(lock_s)), 3)
+                              if lock_s.size else None),
+        "lock_signal_s_max": (round(float(lock_s.max()), 3)
+                              if lock_s.size else None),
+        "locked_first_dispatch_s": None,
+        "locked_steady_dispatch_s": None,
     }
+    if on_tpu and all_locked:
+        # Wide -> locked switch cost: first locked dispatch (compile/cache
+        # load + dispatch) and a steady locked dispatch. Only measured
+        # when the fleet actually locked — otherwise these keys would
+        # silently time the WIDE program under a 'locked' label.
+        fn_l = _chained_fn(cfg, batch, locked=True)
+        t0 = time.perf_counter()
+        cl, _ = fn_l(carry, blocks)
+        assert _sync(cl) == 0
+        out["locked_first_dispatch_s"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        cl, _ = fn_l(carry, blocks)
+        _sync(cl)
+        out["locked_steady_dispatch_s"] = round(
+            time.perf_counter() - t0, 3)
     log(f"acquisition[{tag}]: {out}")
     return out
 

@@ -356,7 +356,12 @@ def main(argv: list[str] | None = None) -> int:
                 runner.done.wait()
         except KeyboardInterrupt:
             runner.stop.set()
-        worker.join()
+        finally:
+            worker.join()
+            # Never exit while the span prewarm is mid-claim/mid-compile
+            # (a killed daemon thread wedges the tunneled chip; the
+            # worker's finish() normally joined it already).
+            demod.join_prewarm()
 
     if not opts.stdout_mode:
         soft_file.close()

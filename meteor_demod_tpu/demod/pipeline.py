@@ -246,8 +246,7 @@ class StreamDemodulator:
             # The background prewarm compiled the span programs while the
             # input buffered; wait for it (normally already done) so the
             # first real span dispatches on a warm cache.
-            self._prewarm.join()
-            self._prewarm = None
+            self.join_prewarm()
         while self.span_turbo and len(self._pending) >= span_n:
             self.sync()
             chunks.extend(self._backlog)
@@ -298,11 +297,16 @@ class StreamDemodulator:
         if not self.span_turbo or self._prewarm is not None:
             return
         import threading
-        carry0 = jax.tree_util.tree_map(np.asarray, egress(self._carry))
+        # Capture the carry OBJECT here (immutable tree; process() only
+        # rebinds self._carry) — every device op, including the snapshot
+        # egress and, on a cold process, the multi-minute tunnel chip
+        # claim, happens on the BACKGROUND thread, never the caller's.
+        carry_ref = self._carry
 
         def work():
             from .turbo import (span_submit, span_finish,
                                 default_warmup_blocks)
+            carry0 = jax.tree_util.tree_map(np.asarray, egress(carry_ref))
             L, C, kb = self.cfg.block_len, self.span_chunks, self.span_blocks
             xf = np.zeros((C * kb * L, 2), np.float32)
             kb_w = min(default_warmup_blocks(L, kb), kb)
@@ -315,6 +319,17 @@ class StreamDemodulator:
 
         self._prewarm = threading.Thread(target=work, daemon=True)
         self._prewarm.start()
+
+    def join_prewarm(self) -> None:
+        """Wait for a running span prewarm to finish (idempotent).
+
+        MUST be called before process exit (finish() does; the CLI also
+        joins on its shutdown path): the prewarm thread is a daemon, and
+        killing a TPU process mid-claim/mid-compile wedges the tunneled
+        chip for many minutes (CLAUDE.md)."""
+        if self._prewarm is not None:
+            self._prewarm.join()
+            self._prewarm = None
 
     def _use_locked(self) -> bool:
         return bool(self._telemetry["locked"])
@@ -443,6 +458,7 @@ class StreamDemodulator:
     def finish(self) -> np.ndarray:
         """Drain the dispatch pipeline, then process the remaining sub-block
         tail via the exact oracle."""
+        self.join_prewarm()     # never exit mid-claim/mid-compile
         self.sync()
         chunks, self._backlog = self._backlog, []
         if len(self._pending):

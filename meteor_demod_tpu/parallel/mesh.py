@@ -149,7 +149,7 @@ class FleetDemodulator:
         self.telemetry_every = telemetry_every
         self._block_idx = 0
         self._fns = {}
-        self._fn = self._get_fn(locked=False, telemetry=True)
+        self._get_fn(locked=False, telemetry=True)   # eager first build
         self.carry = fleet_carry(cfg, n_streams, self.mesh, axis_name)
         self.telemetry = None
         self.stream_flags = None

@@ -94,11 +94,14 @@ def _worker(argv) -> None:
                      for g in range(sl.start, sl.stop)])
     run = lambda: fleet.process_local_blocks(rows)
 
-    # Warm until the fleet LOCKS (the post-lock program switch compiles a
-    # new program — it must not land in the timed window), then one whole
-    # telemetry period (compiles the post-lock tick AND non-tick
-    # programs). Timed steps cover whole periods, so the mean holds
-    # exactly steps/tel_every refresh ticks regardless of phase.
+    # Warm until the fleet LOCKS so every timed step runs the same
+    # steady-state regime in every process (MultiHostFleet has no
+    # locked-program switch — that is FleetDemodulator-only — but mixing
+    # acquisition and steady-state blocks across the baseline/scaled
+    # runs would skew the ratio), then one whole telemetry period
+    # (compiles the non-tick program). Timed steps cover whole periods,
+    # so the mean holds exactly steps/tel_every refresh ticks regardless
+    # of phase.
     steps = -(-steps // tel_every) * tel_every
     warm = 0
     while warm < 64 and not (
