@@ -48,6 +48,7 @@ BLOCK_LEN = 8192
 CHAIN = 16
 BATCH = 128
 TIGHT = dict(locked_jitter_rad=0.5, locked_drift_frac=0.5)
+TIGHT2 = dict(locked_jitter_rad=0.5, locked_drift_frac=0.25)
 
 
 def log(m):
@@ -122,9 +123,12 @@ def _blocks(cfg, batch):
 def run(name, cfg, variants):
     log(f"== {name} ==")
     cfg_t = DemodConfig(**{**cfg.__dict__, **TIGHT})
+    cfg_t2 = DemodConfig(**{**cfg.__dict__, **TIGHT2})
     res = {"config": name,
            "W_locked_base": cfg.window_locked_asym,
            "W_locked_tight": cfg_t.window_locked_asym,
+           "W_locked_tight2": cfg_t2.window_locked_asym,
+           "slices_tight2": cfg_t2.locked_pair_slices,
            "slices_base": cfg.locked_pair_slices,
            "slices_tight": cfg_t.locked_pair_slices,
            "k0_base": cfg.gate_offset_locked,
@@ -141,7 +145,8 @@ def run(name, cfg, variants):
                 _measure("b256", _fn(cfg, True, 256), carry2, blocks2,
                          2 * per_call, res)
                 continue
-            c = cfg_t if tag.startswith("tight") else cfg
+            c = (cfg_t2 if tag.startswith("tight2")
+                 else cfg_t if tag.startswith("tight") else cfg)
             pg = tag.endswith("pargate")
             _measure(tag, _fn(c, True, BATCH, pargate=pg), carry, blocks,
                      per_call, res)
@@ -162,14 +167,14 @@ def main():
         # an upstream compiler bug; the wide b256 program compiles fine.
         run("oqpsk", DemodConfig(samplerate=SAMPLERATE, block_len=BLOCK_LEN,
                                  symrate=80000.0, oqpsk=True),
-            ["base", "pargate", "tight", "tight_pargate"])
+            ["tight", "tight2"])
     if which in ("all", "hifi"):
         run("hifi", DemodConfig(samplerate=SAMPLERATE, block_len=BLOCK_LEN,
                                 rrc_order=64, interp=10),
-            ["base", "tight"])
+            ["tight", "tight2"])
     if which in ("all", "qpsk"):
         run("qpsk", DemodConfig(samplerate=SAMPLERATE, block_len=BLOCK_LEN),
-            ["base", "tight", "b256"])
+            ["tight", "tight2"])
 
 
 if __name__ == "__main__":

@@ -199,9 +199,9 @@ def test_pallas_dma_chains_across_blocks():
     # within ULP, zero flags on a clean locked fixture (which also pins
     # that the static kA-candidate bound covers the locked envelope).
     ("oqpsk", "gather", True, False), ("oqpsk", "dma", True, False),
-    # Tightened locked envelope (locked_jitter_rad=0.5/drift_frac=0.5):
-    # narrower windows/slices must stay flag-free and decision-identical
-    # on a clean locked stream.
+    # The serving-tier envelope (locked_jitter_rad=0.5/drift_frac=0.25,
+    # the config.serving() values): narrower windows/slices must stay
+    # flag-free and decision-identical on a clean locked stream.
     ("qpsk", "dma", False, True), ("oqpsk", "dma", True, True),
     ("oqpsk", "dma", False, True),
 ])
@@ -221,7 +221,7 @@ def test_pallas_locked_geometry_bitwise_when_locked(mode, windows, pargate,
     if pargate:
         monkeypatch.setenv("METEOR_DEMOD_PARGATE", "1")
     oq = mode == "oqpsk"
-    knobs = (dict(locked_jitter_rad=0.5, locked_drift_frac=0.5)
+    knobs = (dict(locked_jitter_rad=0.5, locked_drift_frac=0.25)
              if tight else {})
     cfg = DemodConfig(samplerate=230400, block_len=1024,
                       symrate=80000.0 if oq else 72000.0, oqpsk=oq,
