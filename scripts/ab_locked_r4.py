@@ -7,16 +7,18 @@ the LOCKED fleet program variants:
 
 - base:    the r3 serving geometry (locked_jitter_rad=1.0, drift_frac=1.0)
 - pargate: + parallel gate B over the feasible kA candidates (OQPSK only;
-           config.pargate_bounds, METEOR_DEMOD_PARGATE=1)
-- tight:   locked_jitter_rad=0.5, locked_drift_frac=0.5 — narrower select
-           windows/slices (out-of-envelope streams flag into the exact
-           oracle fallback; the bench fixture must stay flag-free or the
-           variant is a REJECT)
-- tight+pargate (OQPSK)
-- b256:    base geometry at batch 256 (is the step latency-bound enough
-           for lane-group interleave to pay? r2 measured <= +4% on the
-           wide program)
+           config.pargate_bounds, METEOR_DEMOD_PARGATE=1) — measured
+           REJECT, kept for re-measurement
+- tight:   locked_jitter_rad=0.5, locked_drift_frac=0.5
+- tight2:  locked_jitter_rad=0.5, locked_drift_frac=0.25 — the SHIPPED
+           serving tier (config.serving())
+- b256:    base geometry at batch 256 — measured REJECT (and the locked
+           OQPSK b256 program crashes the remote AOT compiler)
 
+Out-of-envelope streams flag into the exact oracle fallback; a variant
+must stay flag-free on the bench fixture or it is a REJECT. main() runs
+the tight/tight2 comparison by default; edit the per-config variant
+lists to re-measure the historical levers (results in docs/PERF.md).
 Prints one JSON line per config. Run: `python scripts/ab_locked_r4.py`
 (~10-20 min warm, longer on first compiles).
 """

@@ -11,9 +11,11 @@ dispatched through the serving-tier locked kernel (interpret mode — flag
 behavior is decision-level, bit-identical to the chip) for N blocks,
 counting flagged blocks.
 
-Also characterizes an EXTRA-tight envelope (0.25 rad / 0.375 drift,
-~91 ppm budget) — the candidate next step PERF.md's close-out gates on
-this measurement.
+Also characterizes the tight2 (0.5/0.25 — promoted to the shipped
+serving tier after measuring flag-free through the full clamp range)
+and extra-tight (0.25 rad / 0.375 — REJECTED: flags clean OQPSK signal,
+the 0.25 rad jitter budget has no margin over ordinary timing noise)
+envelopes.
 
 Run: `python scripts/characterize_envelope.py` (CPU interpret, block
 2048 — NOTE the drift boundary is block-length DEPENDENT: at small
