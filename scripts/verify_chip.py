@@ -90,8 +90,16 @@ def run(name, cfg, locked):
     L = cfg.block_len
     banks = make_fir_banks(cfg)
 
-    demod = make_pallas_batch_demod(cfg, B, locked=locked)
-    fn = jax.jit(demod)
+    # Locked runs verify the SHIPPED serving-tier program (config.serving:
+    # tight envelope + spec-gate shrink), the one production dispatches —
+    # switching wide -> locked once every stream reports lock, exactly
+    # like the production hosts (the serving envelope is sized for steady
+    # state, not the acquisition transient).
+    fn_wide = jax.jit(make_pallas_batch_demod(cfg, B))
+    fn_locked = (jax.jit(make_pallas_batch_demod(cfg.serving(), B,
+                                                 locked=True))
+                 if locked else None)
+    all_locked = False
     # Device FIR identical to the kernel's internal one (same program
     # family/layout): tick-major over the batch.
     fir = jax.jit(lambda xt, tail: polyphase_fir_block_tmajor(xt, tail,
@@ -116,10 +124,12 @@ def run(name, cfg, locked):
         Ft, tail_t = fir(xt, tail_t)
         Ft_np = np.asarray(egress(Ft))                     # (T, 2, B)
 
-        carry, outs = fn(carry, jnp.asarray(blk))
+        use = fn_locked if (locked and all_locked) else fn_wide
+        carry, outs = use(carry, jnp.asarray(blk))
         o = egress(outs)
         c_np = egress(carry)
         assert int(c_np.flags.sum()) == 0, f"{name}: flags at block {k}"
+        all_locked = int(c_np.locked.sum()) == B
 
         for d in range(DISTINCT):
             lane = d * rep
