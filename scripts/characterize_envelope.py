@@ -1,9 +1,10 @@
 """Locked-envelope flag boundary vs sampler error (CPU, interpret mode).
 
-The serving tier (config.serving: locked_jitter_rad 0.5 / drift_frac 0.5)
-budgets cumulative timing drift for ~122 ppm of sampler clock error; the
-docs claim streams inside the budget run flag-free and streams outside
-flag into the exact oracle fallback. This script MEASURES that boundary:
+The serving tier (config.serving: locked_jitter_rad 0.5, drift_frac
+0.25 after this script's own measurement promoted it) budgets cumulative
+timing drift against sampler clock error; streams inside the envelope
+run flag-free and streams outside flag into the exact oracle fallback.
+This script MEASURES that boundary:
 QPSK/OQPSK streams synthesized with a real symbol-rate offset of e ppm
 (the sampler-error equivalent — the M&M loop rails t_freq at e relative,
 timing.c:83-86 clamps at 244 ppm), locked with the wide program, then
