@@ -355,12 +355,16 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 runner.done.wait()
         except KeyboardInterrupt:
-            runner.stop.set()
+            pass
         finally:
+            # Signal the worker on EVERY exit path (a non-KeyboardInterrupt
+            # exception in the UI loop must not leave join() waiting on a
+            # worker that is still streaming), then never exit while the
+            # span prewarm is mid-claim/mid-compile (a killed daemon
+            # thread wedges the tunneled chip; the worker's finish()
+            # normally joined it already).
+            runner.stop.set()
             worker.join()
-            # Never exit while the span prewarm is mid-claim/mid-compile
-            # (a killed daemon thread wedges the tunneled chip; the
-            # worker's finish() normally joined it already).
             demod.join_prewarm()
 
     if not opts.stdout_mode:

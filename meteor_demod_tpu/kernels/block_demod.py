@@ -249,8 +249,11 @@ def _make_step(cfg: DemodConfig, R: int, B: int, W: int | None = None,
         diff = thresh - tp                          # (R, B)
         rem = block_ticks - t                       # (R, B) i32
         prod = ksB * tf                             # (K_eff, R, B)
-        if "nogate" in _ablate:    # timing probe: constant fire at k0+8
-            k_min = jnp.full_like(t, 8)
+        if "nogate" in _ablate:
+            # Timing probe: constant in-range fire (an out-of-range
+            # constant makes `fired` statically False and XLA then DCEs
+            # the whole gated update chain, inflating the ablation).
+            k_min = jnp.full_like(t, min(8, K_eff - 1))
         else:
             ok = jnp.logical_and(prod >= diff,
                                  ksB <= rem.astype(jnp.float32))

@@ -57,9 +57,12 @@ B = 2                      # streams (all same ppm); tpu mode: 128
 N_BLOCKS = 8               # locked-program blocks per measurement
 PPM = [0, 100, 150, 244]
 ENVELOPES = {
-    "serving (0.5/0.5)": dict(locked_jitter_rad=0.5, locked_drift_frac=0.5),
-    "tight2 (0.5/0.25)": dict(locked_jitter_rad=0.5,
-                              locked_drift_frac=0.25),
+    # NOTE labels: "serving" is the SHIPPED tier (config.serving(),
+    # 0.5/0.25 — promoted by this script's own measurement); "r4-mid" is
+    # the interim 0.5/0.5 tier kept for comparison.
+    "r4-mid (0.5/0.5)": dict(locked_jitter_rad=0.5, locked_drift_frac=0.5),
+    "serving (0.5/0.25)": dict(locked_jitter_rad=0.5,
+                               locked_drift_frac=0.25),
     "extra-tight (0.25/0.375)": dict(locked_jitter_rad=0.25,
                                      locked_drift_frac=0.375),
 }

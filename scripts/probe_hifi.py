@@ -19,7 +19,8 @@ shapes and op structure are the production ones, so the timing deltas are
 honest. Also times the QPSK serving program unablated for the ratio
 denominator. One JSON line with Msamples/s per ablation.
 
-Run on the TPU: `python scripts/probe_hifi.py [qpsk]`.
+Run on the TPU: `python scripts/probe_hifi.py [hifi-only]`
+(both configs by default; `hifi-only` skips the QPSK sweep).
 """
 from __future__ import annotations
 
@@ -127,7 +128,7 @@ def main():
     log(f"claim: {time.time()-t0:.1f}s")
     run("hifi", DemodConfig(samplerate=SAMPLERATE, block_len=BLOCK_LEN,
                             rrc_order=64, interp=10), ABLATIONS)
-    if "qpsk" in sys.argv[1:] or True:
+    if "hifi-only" not in sys.argv[1:]:
         run("qpsk", DemodConfig(samplerate=SAMPLERATE,
                                 block_len=BLOCK_LEN), ABLATIONS)
 

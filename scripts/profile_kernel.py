@@ -52,9 +52,11 @@ def main() -> None:
                     help="capture a jax.profiler trace of one dispatch")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--locked", action="store_true",
-                    help="time the LOCKED serving geometry (narrow "
-                         "asymmetric window + offset gate + all-fire spec "
-                         "arms); clean fixtures stay flag-free from cold")
+                    help="time the LOCKED serving-tier geometry "
+                         "(config.serving: narrow asymmetric window, "
+                         "offset/spec gates); lock is acquired with the "
+                         "wide program first — the serving envelope is "
+                         "sized for steady state, not cold acquisition")
     args = ap.parse_args()
 
     import jax
