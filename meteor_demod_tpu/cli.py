@@ -62,12 +62,14 @@ TPU extensions (not in the reference):
                            resumes the exact sequential path from the last
                            verified chunk boundary (worst case: the whole
                            file sequentially). With stdin input the same
-                           machinery applies to buffered spans as they
-                           fill; the span programs pre-compile in the
-                           background at startup (~6 s, hidden behind the
-                           ~18 s a span takes to buffer at 230 ksps), so
-                           the first span's output latency is
-                           data-dependent only
+                           machinery applies to buffered spans: input
+                           BUFFERS until a span fills (~18 s of live
+                           230 ksps input per span at the defaults — the
+                           -T latency trade vs the per-block live path),
+                           while the span programs pre-compile in the
+                           background (~6 s, hidden behind the buffering),
+                           so each span's output latency is data-dependent
+                           only
 """
 
 

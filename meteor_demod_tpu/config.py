@@ -399,7 +399,14 @@ class DemodConfig:
         jrad = self.locked_jitter_rad
         tf_min = float(self.timing_freq) * (1 - 2.0 ** -C.FREQ_DEV_EXP)
         tf_max = float(self.timing_freq) * (1 + 2.0 ** -C.FREQ_DEV_EXP)
-        k_lo = max(0, int(math.floor((self.fire_spacing - jrad) / tf_max)))
+        # kA is a 0-based CANDIDATE INDEX (tick count k_idx = kA + 1, see
+        # _make_paired_step_tiles), so the exact lower bound for the tick
+        # count x = (fs - jr)/tf_max is ceil(x) - 1 as an index — floor(x)
+        # is one too high exactly when x is integral, which would land a
+        # feasible in-envelope kA below the bound and trip par_oob ->
+        # FLAG_WINDOW_MISS on clean traffic (perf only; the oracle
+        # fallback preserves exactness).
+        k_lo = max(0, int(math.ceil((self.fire_spacing - jrad) / tf_max)) - 1)
         k_hi = min(K - 1,
                    int(math.ceil((self.fire_spacing + jrad) / tf_min)))
         span = k_hi - k_lo + 1

@@ -231,34 +231,68 @@ class StreamDemodulator:
 
     # -- processing ----------------------------------------------------------
     def process(self, samples: np.ndarray) -> np.ndarray:
-        """Feed samples (any length, complex64); returns produced symbols."""
+        """Feed samples (any length, complex64); returns produced symbols.
+
+        Span-turbo mode BUFFERS sub-span input instead of draining it
+        through the sequential paths — per-chunk feeding (the CLI's stdin
+        loop delivers ~8k-sample pieces) must still accumulate the
+        span_chunks*span_blocks*block_len samples a span submission needs,
+        so the drain loops only run in non-span mode (and in finish()).
+        The cost is latency: span mode emits nothing until a full span has
+        buffered (~18 s of live 230 ksps input at the CLI defaults) — the
+        documented -T trade (cli.py). Also a device-access serialization
+        point: until the first join_prewarm() below, span mode performs NO
+        device operation on this thread, so the background prewarm thread
+        (prewarm_span_async) is never concurrent with a dispatch."""
         self._pending = np.concatenate(
             [self._pending, np.asarray(samples, dtype=np.complex64)])
         L = self.cfg.block_len
         chunks, self._backlog = self._backlog, []
-        span_n = self.span_chunks * self.span_blocks * L
-        # Pipelined spans: span k+1 is SUBMITTED from span k's exit carry
-        # (final at submit time — demod/turbo.py SpanPending) before span
-        # k's bulk symbol payload transfers and assembles, overlapping the
-        # device->host link with the successor's device compute.
-        span_pend = None
-        if self._prewarm is not None and len(self._pending) >= span_n:
-            # The background prewarm compiled the span programs while the
-            # input buffered; wait for it (normally already done) so the
-            # first real span dispatches on a warm cache.
-            self.join_prewarm()
-        while self.span_turbo and len(self._pending) >= span_n:
-            self.sync()
-            chunks.extend(self._backlog)
-            self._backlog = []
-            pend = self._submit_span(self._pending[:span_n])
-            if pend is None:           # unverified span: sequential path
-                break
+        if self.span_turbo:
+            span_n = self.span_chunks * self.span_blocks * L
+            # Pipelined spans: span k+1 is SUBMITTED from span k's exit
+            # carry (final at submit time — demod/turbo.py SpanPending)
+            # before span k's bulk symbol payload transfers and assembles,
+            # overlapping the device->host link with the successor's
+            # device compute.
+            span_pend = None
+            while len(self._pending) >= span_n:
+                # The background prewarm compiled the span programs while
+                # the input buffered; wait for it (normally already done)
+                # so the first real span dispatches on a warm cache — and
+                # so no two threads ever touch the device concurrently.
+                self.join_prewarm()
+                self.sync()
+                chunks.extend(self._backlog)
+                self._backlog = []
+                pend = self._submit_span(self._pending[:span_n])
+                if pend is None:
+                    # Unverified span: bounded sequential progress (one
+                    # chained dispatch) so the buffer cannot grow without
+                    # bound, then retry the span path on the shifted
+                    # buffer. Never wrong output, worst case one redundant
+                    # pass over the consumed prefix.
+                    seq = self._pending[:self.chain_blocks * L]
+                    self._pending = self._pending[self.chain_blocks * L:]
+                    chunks.append(self._run_chained(seq))
+                    continue
+                if span_pend is not None:
+                    chunks.append(self._finish_span(span_pend))
+                span_pend = pend
             if span_pend is not None:
                 chunks.append(self._finish_span(span_pend))
-            span_pend = pend
-        if span_pend is not None:
-            chunks.append(self._finish_span(span_pend))
+        else:
+            self._drain_blocks(chunks)
+        if chunks:
+            out = np.concatenate(chunks)
+            self.symbols_out += len(out)
+            return out
+        return np.zeros(0, dtype=_SYM_DTYPE)
+
+    def _drain_blocks(self, chunks: list) -> None:
+        """Drain _pending through the chained / single-block device paths
+        down to a sub-block tail, appending symbol arrays to `chunks`."""
+        L = self.cfg.block_len
         while len(self._pending) >= self.chain_blocks * L:
             # Drain in-flight singles first and FLUSH their symbols into the
             # output now — emitting them later would reorder the stream.
@@ -271,11 +305,6 @@ class StreamDemodulator:
         while len(self._pending) >= L:
             block, self._pending = self._pending[:L], self._pending[L:]
             chunks.append(self._run_block(block))
-        if chunks:
-            out = np.concatenate(chunks)
-            self.symbols_out += len(out)
-            return out
-        return np.zeros(0, dtype=_SYM_DTYPE)
 
     def prewarm_span_async(self) -> None:
         """Compile + warm the span-turbo programs on a ZERO-signal span in
@@ -292,8 +321,16 @@ class StreamDemodulator:
         blocks are jnp.zeros created ON device (nothing crosses the host
         link); its submission verifies nothing (consumed == 0, unlocked
         zero signal) and is discarded — only the compiled programs and
-        the device claim persist. process() joins the thread before the
-        first real submission."""
+        the device claim persist.
+
+        Device-access serialization: PJRT clients need not be re-entrant
+        (and a disrupted claim/compile wedges the tunneled chip —
+        CLAUDE.md), so the prewarm must never run concurrently with a
+        dispatch. In span mode process() performs NO device operation
+        until a full span has buffered, and joins this thread before its
+        first dispatch (span, chained fallback, or finish-time drain
+        alike) — the prewarm therefore has the device to itself for the
+        whole buffering window."""
         if not self.span_turbo or self._prewarm is not None:
             return
         import threading
@@ -456,11 +493,16 @@ class StreamDemodulator:
             self._backlog.append(self._drain_one())
 
     def finish(self) -> np.ndarray:
-        """Drain the dispatch pipeline, then process the remaining sub-block
-        tail via the exact oracle."""
+        """Drain the dispatch pipeline and any buffered full blocks (span
+        mode can hold up to a whole span), then process the remaining
+        sub-block tail via the exact oracle."""
         self.join_prewarm()     # never exit mid-claim/mid-compile
         self.sync()
         chunks, self._backlog = self._backlog, []
+        self._drain_blocks(chunks)
+        self.sync()
+        chunks.extend(self._backlog)
+        self._backlog = []
         if len(self._pending):
             st = carry_to_scalar_state(self.cfg, self._carry)
             symbols, st = scalar.demod_stream_np(self.cfg, self._pending, st)

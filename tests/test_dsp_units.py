@@ -209,6 +209,40 @@ class TestLockedGeometry:
                             cfg.symrate, cfg.interp, cfg.oqpsk, jr,
                             tp, dev, kstar, (k0s, Ks))
 
+    def test_pargate_bounds_cover_inenvelope_fires(self):
+        """config.pargate_bounds must cover every transaction-A fire
+        candidate INDEX an in-envelope OQPSK stream can resolve: kA is
+        0-based (tick count = kA + 1), so the exact lower bound for tick
+        count x = (fs - jr)/tf_max is ceil(x) - 1 as an index — the r4
+        advisor found floor(x) lands one too high when x is integral,
+        tripping par_oob -> FLAG_WINDOW_MISS on clean traffic. Checked
+        numerically at the envelope extremes for every OQPSK grid config
+        and both envelope tiers."""
+        import numpy as np
+        for base in self._grid():
+            for cfg in (base, base.serving()):
+                pb = cfg.pargate_bounds
+                if not cfg.oqpsk:
+                    assert pb is None
+                    continue
+                k_loA, KA = pb
+                K = cfg.gate_candidates
+                assert 0 <= k_loA and 0 < KA and k_loA + KA <= K
+                jr = cfg.locked_jitter_rad
+                fs = np.float32(cfg.fire_spacing)
+                for tp in (-jr, 0.0, jr):
+                    for dev in (-1.0, 0.0, 1.0):
+                        tf = np.float32(float(cfg.timing_freq)
+                                        * (1 + dev * 2.0 ** -12))
+                        diff = np.float32(fs - np.float32(tp))
+                        k = np.arange(1, K + 1, dtype=np.float32)
+                        fired = (k * tf).astype(np.float32) >= diff
+                        assert fired.any()
+                        kA = int(np.argmax(fired))     # 0-based index
+                        assert k_loA <= kA < k_loA + KA, (
+                            cfg.symrate, cfg.interp, jr, tp, dev,
+                            kA, (k_loA, KA))
+
     def test_pair_slices_within_window(self):
         for cfg in self._grid():
             sl = cfg.locked_pair_slices

@@ -69,6 +69,46 @@ def test_span_stream_matches_sequential():
     np.testing.assert_array_equal(out["locked_once"], ref["locked_once"])
 
 
+def test_span_stdin_sized_chunks_run_spans():
+    """Per-chunk feeding at the CLI's stdin granularity (~8k samples per
+    read, far below the chained-dispatch span) must still accumulate and
+    run spans: span mode BUFFERS sub-span input instead of draining it
+    through the sequential paths (the r4 advisor finding — small-chunk
+    feeds previously gave spans_run == 0 and the span machinery never
+    executed from the CLI). Output must match the sequential reference
+    sign-for-sign, with the tail drained at finish()."""
+    cfg = _cfg()
+    L = cfg.block_len
+    C, kb = 8, 8
+    span_n = C * kb * L
+    n = 2 * span_n + 3 * L + 917
+    x = _signal(cfg, n, seed=31)
+
+    d_ref = StreamDemodulator(cfg, backend="scan")
+    ref = np.concatenate([d_ref.process(x), d_ref.finish()])
+
+    d = StreamDemodulator(cfg, backend="scan", span_turbo=True,
+                          span_chunks=C, span_blocks=kb)
+    out = []
+    emitted_before_first_span = None
+    for pos in range(0, n, 8192):     # the CLI stdin read granularity
+        out.append(d.process(x[pos:pos + 8192]))
+        if emitted_before_first_span is None and d.spans_run:
+            emitted_before_first_span = sum(len(o) for o in out[:-1])
+    out.append(d.finish())
+    out = np.concatenate(out)
+
+    assert d.spans_run >= 2
+    assert d.span_fallbacks == 0
+    # Span mode buffers: nothing was emitted through a sequential drain
+    # before the first span ran.
+    assert emitted_before_first_span == 0
+    assert len(out) == len(ref)
+    np.testing.assert_array_equal(np.sign(out["re"]), np.sign(ref["re"]))
+    np.testing.assert_array_equal(np.sign(out["im"]), np.sign(ref["im"]))
+    np.testing.assert_array_equal(out["locked_once"], ref["locked_once"])
+
+
 def test_span_turbo_exit_carry_continues_stream():
     """The exit carry returned by demod_span_turbo (rotated into the
     emitted gauge) must continue the stream seamlessly: demodulating the
