@@ -289,7 +289,7 @@ def _bench_turbo(cfg, chunks=FLEET_BATCH, kb=128, max_passes=4, seed=3,
     return sps, passes, converged, _spread(rates)
 
 
-def _bench_stream_span(cfg, chunks=128, kb=16, nspans=3):
+def _bench_stream_span(cfg, chunks=128, kb=16, nspans=6):
     """Single-stream STREAMING throughput via the span-turbo path
     (demod/turbo.py span_submit/span_finish; VERDICT r2 item 5): one
     ongoing stream, locked, whose buffered spans are demodulated
@@ -363,10 +363,14 @@ def _bench_stream_span(cfg, chunks=128, kb=16, nspans=3):
 
     t0 = time.time()
     # Warm with TWO spans: compiles the fused program AND exercises the
-    # submit/finish pipeline overlap path the timed windows measure.
+    # submit/finish pipeline overlap path the timed windows measure. This
+    # time is DOMINATED by the erratic remote compile service (10 s-10 min
+    # for the same program, CLAUDE.md) — it is reported as
+    # stream_span_compile_warm_s, NOT a per-session warmup cost: a live -T
+    # session with a hot /tmp/jax_cache pays only stream_span_first_span_s.
     consumed, passes, ok = run_spans(2)
     warm_s = time.time() - t0
-    log(f"stream-span warmup: {warm_s:.1f}s, passes={passes}, "
+    log(f"stream-span compile+warm: {warm_s:.1f}s, passes={passes}, "
         f"verified_all={ok}")
     # First-span latency on a warm cache: what a live -T session pays for
     # its first span's symbols once the data is buffered — the CLI
@@ -632,7 +636,10 @@ def main():
             round(span[0] / REALTIME_SPS, 1) if span else None,
         "stream_span_passes": span[1] if span else None,
         "stream_span_spread_msps": span[3] if span else None,
-        "stream_span_warmup_s": span[4] if span else None,
+        # Compile + first-two-spans time. Dominated by the REMOTE COMPILE
+        # service (erratic, 10 s-10 min for the same program); with a hot
+        # persistent cache a session pays only stream_span_first_span_s.
+        "stream_span_compile_warm_s": span[4] if span else None,
         "stream_span_first_span_s": span[5] if span else None,
         "turbo_single_recording_msamples_per_s":
             round(turbo_sps / 1e6, 1) if turbo_sps else None,
