@@ -603,9 +603,25 @@ def gauge_fixpoint(cfg, run, put_packed, blocks, w_np, tails_np, max_passes,
     k = np.zeros(0, np.int64)
     k_prev = None
     lane_ok = None
+    # Provably-exact entry lanes (see _fused_gauge_fn's lock-transition
+    # note): lane 0's entry is exact by construction; exactness propagates
+    # one lane per pass through IDENTITY gauge boundaries only (k%4==0 —
+    # any real rotation perturbs float32 state at ulp level). A lane
+    # containing a lock transition is accepted only when its entry was
+    # provably exact, because the in-chunk lock-edge instant is sensitive
+    # to ulp-level entry drift that the decision fingerprint is stable
+    # under.
+    C_l = len(np.asarray(w_np.p_err))
+    exact_used = np.zeros(C_l, bool)
+    exact_used[0] = True
     if resume is not None:
         g_np, prev_fp, k_prev, passes = resume
         k = k_prev
+        # Resume comes from the fused 2-pass program: its pass-3 entries
+        # g_np were built from f2 exits, so lane 1 is exact iff its gauge
+        # boundary is even (f2[0] ran from the exact lane-0 entry).
+        if C_l > 1 and len(k_prev):
+            exact_used[1] = int(k_prev[0]) % 4 == 0
     for p in range(passes, max_passes):
         pf, outs, fpv = run(put_packed(pack_carry_np(g_np)), blocks)
         (fl, il, tail), fp_vecs = egress((pf, fpv))
@@ -620,20 +636,43 @@ def gauge_fixpoint(cfg, run, put_packed, blocks, w_np, tails_np, max_passes,
         # between same-maturity states — delta collapses to pass-to-pass
         # drift, and a pass-1 quadrant mistake shows up as k changing.
         k, delta, _ = _gauge_measure(f_np, w_np if p == 0 else g_np, cfg)
+        # Boundaries handing over an UNLOCKED exit are forced to the
+        # identity gauge (pre-lock lanes have no pinned gauge; the raw
+        # predecessor exit is the true trajectory — see _fused_gauge_fn),
+        # and lanes containing a lock transition this pass demand a
+        # provably-exact entry (exact_used above).
+        trans = np.logical_or(
+            np.asarray(g_np.locked) != np.asarray(f_np.locked),
+            np.asarray(g_np.locked_once) != np.asarray(f_np.locked_once))
+        if C_l > 1:
+            k = np.where(np.asarray(f_np.locked)[:-1] == 0, 0, k)
+        ok_trans = np.logical_or(~trans, exact_used)
         max_delta = float(np.max(np.abs(delta))) if len(delta) else 0.0
         fp = tuple(tuple(int(x) for x in t) for t in zip(*fp_vecs))
         g_new = _gauge_shift_np(init_np, f_np, w_np, k, tails_np, cfg)
         settled, resid = _decisions_settled(g_new, g_np)
-        lane_ok = _lane_ok_np(fp, prev_fp, k, k_prev, delta, g_new, g_np)
+        lane_ok = np.logical_and(
+            _lane_ok_np(fp, prev_fp, k, k_prev, delta, g_new, g_np),
+            ok_trans)
         max_resid = max(max_delta, resid)
         k_stable = k_prev is not None and not np.any((k - k_prev) % 4)
         if prev_fp is not None and fp == prev_fp and k_stable \
-                and max_delta < GAUGE_DELTA_TOL and settled:
+                and max_delta < GAUGE_DELTA_TOL and settled \
+                and bool(np.all(ok_trans)):
             converged = True
             break
         prev_fp = fp
         k_prev = k
         g_np = g_new
+        # Propagate entry exactness into the entries just built for the
+        # next pass: lane c's new entry is exact iff its predecessor's
+        # entry was exact this pass AND the rotation into lane c's gauge
+        # is even (exact).
+        nxt = np.zeros_like(exact_used)
+        nxt[0] = True
+        if C_l > 1:
+            nxt[1:] = exact_used[:-1] & (np.asarray(k) % 4 == 0)
+        exact_used = nxt
     K = np.concatenate([[0], np.cumsum(k)])
     if lane_ok is None:
         lane_ok = np.zeros(len(np.asarray(f_np.p_err)), bool)
@@ -935,10 +974,28 @@ def _fused_gauge_fn(cfg: DemodConfig, chunks: int, kb: int, kb_w: int,
 
         f1, fp1 = pass_fp(w, blocks)
         k1, _ = _gauge_measure_j(f1, w, cfg)
+        # Boundaries handing over an UNLOCKED exit are forced to the
+        # IDENTITY gauge (k := 0): a pre-lock lane has no pinned gauge (the
+        # quadrant only becomes meaningful once the PLL locks), and the
+        # raw predecessor exit IS the true trajectory. This extends the
+        # exactness chain (see the ok_trans note below) through the whole
+        # acquisition region one lane per pass, so the lane containing the
+        # lock edge eventually runs from a provably-exact entry and its
+        # in-chunk lock-edge instant is the sequential one — any nonzero
+        # rotation perturbs float32 state at ulp level, which is enough to
+        # move a lock edge by a couple of fires. Mid-stream locked spans
+        # have no unlocked exits and are unaffected; acquisition spans pay
+        # one extra pass per pre-lock lane.
+        if chunks > 1:
+            k1 = jnp.where(f1.locked[:-1] == 0, 0, k1)
         g2 = _gauge_shift_j(init, f1, w, k1, tails, cfg)
 
         f2, outs2, fp2, (lre, lim) = pass_fp_outs(g2, blocks)
         k2, delta2 = _gauge_measure_j(f2, g2, cfg)
+        if chunks > 1:
+            k2 = jnp.where(f2.locked[:-1] == 0, 0, k2)
+        trans = jnp.logical_or(g2.locked != f2.locked,
+                               g2.locked_once != f2.locked_once)
         g3 = _gauge_shift_j(init, f2, w, k2, tails, cfg)
 
         settled_l, ieq, resid = _settled_lanes_j(g3, g2)
@@ -955,9 +1012,35 @@ def _fused_gauge_fn(cfg: DemodConfig, chunks: int, kb: int, kb_w: int,
         # it.
         flagged = functools.reduce(jnp.logical_or, [
             wflag, f1.flags != 0, f2.flags != 0])
+        # A lane whose chunk contains a LOCK TRANSITION (locked /
+        # locked_once changed between its entry and its exit) is only
+        # decision-final if its entry is provably the TRUE sequential
+        # carry: the in-chunk lock-threshold crossing instant shifts by a
+        # few fires under ulp-level entry perturbation (the p_err EMA
+        # crosses 85 a step early/late), which decision fingerprints are
+        # stable under but the emitted locked_once telemetry is not.
+        # Exactness propagates from lane 0 (its entry IS exact) through
+        # IDENTITY gauge boundaries only (k % 4 == 0): odd quadrants
+        # substitute the warmup's t_prev (the unstored I component — a
+        # permanent approximation), and k%4==2 rotates p_phase by pi /
+        # flips t_prev, whose float32 rounding perturbs the within-lane
+        # trajectory at ulp level — enough to move a lock edge. After
+        # pass 2, provably-exact entries are lane 0 and
+        # lane 1-iff-k1[0]%4==0; transitions anywhere else reject the
+        # lane (bounded strict fallback covers the lock region
+        # sequentially — acquisition happens once per stream, so this
+        # costs at most one partial span).
+        if chunks > 1:
+            entry_exact = jnp.concatenate([
+                jnp.ones(1, jnp.bool_),
+                jnp.logical_and(k1 % 4 == 0,
+                                jnp.arange(chunks - 1) == 0)])
+        else:
+            entry_exact = jnp.ones(1, jnp.bool_)
+        ok_trans = jnp.logical_or(jnp.logical_not(trans), entry_exact)
         conv = functools.reduce(jnp.logical_and, [
             fp_eq, k_st, maxd < np.float32(GAUGE_DELTA_TOL), settled,
-            jnp.logical_not(jnp.any(flagged))])
+            jnp.logical_not(jnp.any(flagged)), jnp.all(ok_trans)])
         sti = jnp.stack([conv, settled, fp_eq, k_st]).astype(jnp.int32)
         # Per-lane diagnostics for the bounded strict fallback (the traced
         # mirror of _lane_ok_np): lane c also needs its entry boundary's
@@ -965,7 +1048,7 @@ def _fused_gauge_fn(cfg: DemodConfig, chunks: int, kb: int, kb_w: int,
         bnd = jnp.logical_and(jnp.abs(delta2) < np.float32(GAUGE_DELTA_TOL),
                               (k2 - k1) % 4 == 0)
         lane_ok = functools.reduce(jnp.logical_and, [
-            fp_eq_l, settled_l, jnp.logical_not(flagged),
+            fp_eq_l, settled_l, jnp.logical_not(flagged), ok_trans,
             jnp.concatenate([jnp.ones(1, jnp.bool_), bnd])])
         lane_ok = jnp.where(conv, jnp.bool_(True), lane_ok)
 

@@ -24,12 +24,24 @@ def synth_psk(num_symbols: int,
               snr_db: float = 30.0,
               dc_offset: complex = 0.0,
               seed: int = 0,
-              timing_offset: float = 0.0):
+              timing_offset: float = 0.0,
+              carrier_ramp_hz_s: float = 0.0,
+              carrier_profile=None):
     """Returns (iq complex64 at samplerate, symbols (I,Q) in {+-1}).
 
     The signal is synthesized on a fine integer grid (R x symbol rate, with
     R*symrate an integer multiple of samplerate when possible) and decimated,
     so fractional sample-per-symbol ratios like 230400/72000 = 3.2 are exact.
+
+    Carrier dynamics (the reference's actual operating regime — a LEO
+    satellite's Doppler ramp, /root/reference/pll.c:99-106 tracks it with
+    the loop's frequency integrator): `carrier_ramp_hz_s` adds a linear
+    frequency ramp, and `carrier_profile` (a per-sample instantaneous
+    frequency array in Hz, e.g. from `leo_doppler_hz`) adds an arbitrary
+    trajectory; both are additive with `carrier_hz`. The phase is the
+    cumulative integral of the instantaneous frequency, so any profile is
+    phase-continuous. When both are zero/None the original closed-form
+    constant-carrier phase is used, keeping existing fixtures bit-identical.
     """
     rng = np.random.default_rng(seed)
     bits = rng.integers(0, 2, size=(num_symbols, 2))
@@ -82,8 +94,25 @@ def synth_psk(num_symbols: int,
 
     # Carrier offset + phase.
     n = np.arange(len(x))
-    x = x * np.exp(1j * (2 * np.pi * carrier_hz / samplerate * n
-                         + carrier_phase))
+    if carrier_ramp_hz_s == 0.0 and carrier_profile is None:
+        # Constant carrier: keep the exact original closed form so legacy
+        # fixtures stay bit-identical (seeded tests pin these streams).
+        x = x * np.exp(1j * (2 * np.pi * carrier_hz / samplerate * n
+                             + carrier_phase))
+    else:
+        t = n / samplerate
+        f_inst = carrier_hz + carrier_ramp_hz_s * t
+        if carrier_profile is not None:
+            prof = np.asarray(carrier_profile, dtype=np.float64)
+            if len(prof) != len(x):
+                raise ValueError(
+                    f"carrier_profile length {len(prof)} != {len(x)} samples")
+            f_inst = f_inst + prof
+        # theta[n] = phase + 2*pi/fs * sum_{k<n} f[k]  (rectangle rule on the
+        # sample grid; reduces to the closed form for constant f).
+        theta = carrier_phase + (2 * np.pi / samplerate) * np.concatenate(
+            ([0.0], np.cumsum(f_inst[:-1])))
+        x = x * np.exp(1j * theta)
 
     # AWGN at the requested SNR (relative to mean signal power).
     p_sig = np.mean(np.abs(x) ** 2)
@@ -93,6 +122,40 @@ def synth_psk(num_symbols: int,
     x = x + dc_offset
 
     return x.astype(np.complex64), sym.astype(np.float32)
+
+
+def leo_doppler_hz(num_samples: int,
+                   samplerate: float,
+                   f_center_hz: float = 137.9e6,
+                   altitude_km: float = 820.0,
+                   cross_track_km: float = 0.0,
+                   t_ca_s: float = 0.0,
+                   time_scale: float = 1.0) -> np.ndarray:
+    """Per-sample Doppler shift (Hz) of a LEO pass — the carrier trajectory
+    the reference demodulator actually tracks (Meteor-M at ~820 km on
+    137.1/137.9 MHz, /root/reference/README.md:1-9).
+
+    Straight-line flyby model: the satellite moves at circular-orbit speed
+    v = sqrt(GM/(Re+h)) along a line whose closest approach to the receiver
+    is d0 = sqrt(altitude^2 + cross_track^2) at time `t_ca_s` (seconds into
+    the recording).  Radial velocity v_r(t) = v^2 (t-tca)/sqrt(d0^2 +
+    v^2 (t-tca)^2), Doppler f_d = -f_c v_r / c.  For an overhead Meteor-M
+    pass this gives the familiar S-curve: excursion ~±3.4 kHz with the
+    steepest slope ~31 Hz/s at closest approach.
+
+    `time_scale` > 1 compresses the pass (multiplies every rate by that
+    factor) so short CI fixtures can traverse a realistic frequency span —
+    the loop stress is the Hz/s slope, which scales linearly.
+    """
+    GM = 3.986004418e14          # m^3/s^2
+    RE = 6.371e6                 # m
+    C = 2.99792458e8             # m/s
+    h = altitude_km * 1e3
+    v = np.sqrt(GM / (RE + h))   # ~7.45 km/s at 820 km
+    d0 = np.hypot(h, cross_track_km * 1e3)
+    t = (np.arange(num_samples) / samplerate - t_ca_s) * time_scale
+    vr = v * v * t / np.sqrt(d0 * d0 + (v * t) ** 2)
+    return -(f_center_hz / C) * vr
 
 
 def encode_iq(iq: np.ndarray, bps: int = 16) -> bytes:

@@ -218,6 +218,73 @@ def test_oqpsk_230p4k_reference_crashes_we_decode(ref_binary, tmp_path):
     assert best / 2.0 > 0.999, best
 
 
+def test_golden_qpsk_doppler_ramp(ref_binary, tmp_path):
+    """Linear carrier ramp — the moving-satellite regime the reference's
+    2nd-order PLL exists for (pll.c:99-106 frequency integrator). 800 Hz/s
+    is a stress rate (a real 137 MHz LEO pass peaks ~31 Hz/s; the compressed
+    rate sweeps ~355 Hz across this 0.44 s fixture, genuinely exercising the
+    integrator against a moving target). Probed empirically: both
+    demodulators hold lock through 800 Hz/s and both drop out at the same
+    higher rates (~1.2 kHz/s emits a half-length stream on BOTH sides)."""
+    x, _ = synth_psk(32000, 230400, carrier_hz=200.0, carrier_ramp_hz_s=800.0,
+                     amplitude=6000.0, snr_db=20.0, seed=21)
+    wav = str(tmp_path / "g.wav")
+    write_wav(wav, x, 230400, 16)
+    ref = run_ref(ref_binary, [wav], str(tmp_path / "ref.s"))
+    ours = run_ours(DemodConfig(samplerate=230400), wav, 16,
+                    str(tmp_path / "ours.s"))
+    sign_agree, mad = score(ref, ours)
+    assert sign_agree > 0.999, sign_agree
+    assert mad < 0.5, mad
+    # Both sides kept lock through the ramp (not just the initial ring).
+    assert len(ours) > 40000, len(ours)
+
+
+def test_golden_oqpsk_doppler_ramp(ref_binary, tmp_path):
+    """OQPSK under a 400 Hz/s carrier ramp (at 240 ksps where the reference
+    is healthy — see the 230.4k crash pin below)."""
+    x, _ = synth_psk(36000, 240000, symrate=80000.0, oqpsk=True,
+                     carrier_hz=150.0, carrier_ramp_hz_s=400.0,
+                     amplitude=6000.0, snr_db=20.0, seed=22)
+    wav = str(tmp_path / "g.wav")
+    write_wav(wav, x, 240000, 16)
+    ref = run_ref(ref_binary, ["-m", "oqpsk", "-r", "80k", wav],
+                  str(tmp_path / "ref.s"))
+    ours = run_ours(DemodConfig(samplerate=240000, symrate=80000.0,
+                                oqpsk=True), wav, 16, str(tmp_path / "ours.s"))
+    sign_agree, mad = score(ref, ours)
+    assert sign_agree > 0.999, sign_agree
+    assert mad < 0.5, mad
+    assert len(ours) > 50000, len(ours)
+
+
+def test_golden_leo_pass_profile(ref_binary, tmp_path):
+    """Realistic LEO S-curve Doppler (sim.leo_doppler_hz: 820 km Meteor-M
+    overhead pass at 137.9 MHz), time-compressed 20x so the 0.46 s fixture
+    traverses the closest-approach knee: carrier sweeps +155 -> -155 Hz
+    through zero, peak slope ~620 Hz/s (real pass: ±3.4 kHz at ~31 Hz/s).
+    Crossing ZERO from above also exercises the sweep-catch on a signal the
+    upward-first acquisition (pll.c:126-128) must meet mid-motion."""
+    n_sym = 36000
+    # Two-step synth: first call sizes the sample grid for the profile.
+    x0, _ = synth_psk(n_sym, 230400, carrier_hz=0.0, amplitude=6000.0,
+                      snr_db=20.0, seed=23)
+    from meteor_demod_tpu.sim import leo_doppler_hz
+    prof = leo_doppler_hz(len(x0), 230400, t_ca_s=len(x0) / 230400 / 2,
+                          time_scale=20.0)
+    x, _ = synth_psk(n_sym, 230400, carrier_hz=0.0, amplitude=6000.0,
+                     snr_db=20.0, seed=23, carrier_profile=prof)
+    wav = str(tmp_path / "g.wav")
+    write_wav(wav, x, 230400, 16)
+    ref = run_ref(ref_binary, [wav], str(tmp_path / "ref.s"))
+    ours = run_ours(DemodConfig(samplerate=230400), wav, 16,
+                    str(tmp_path / "ours.s"))
+    sign_agree, mad = score(ref, ours)
+    assert sign_agree > 0.999, sign_agree
+    assert mad < 0.5, mad
+    assert len(ours) > 50000, len(ours)
+
+
 def test_golden_qpsk_float32(ref_binary, tmp_path):
     """32-bit float WAV samples (wavfile.c:66-68)."""
     x, _ = synth_psk(32000, 230400, carrier_hz=350.0, amplitude=5000.0,

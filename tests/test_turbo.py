@@ -527,3 +527,41 @@ def test_turbo_strict_bounded_fallback_oqpsk(monkeypatch):
                                   np.sign(seq["im"][skip:]))
     np.testing.assert_array_equal(res.symbols["locked_once"][skip:],
                                   seq["locked_once"][skip:])
+
+
+def test_turbo_gauge_doppler_ramp():
+    """Gauge turbo on a MOVING carrier — the reference's actual operating
+    regime (a LEO pass ramps the carrier; pll.c:99-106's frequency
+    integrator exists to track it). The gauge warmup lanes acquire on a
+    PAST carrier value (each chunk's warmup sees signal from one chunk
+    earlier), so the fixpoint must pull the per-chunk carrier estimates
+    forward. Measured on this geometry (8 chunks x 16 blocks, 0.14 s per
+    chunk): the realistic LEO peak rate (31 Hz/s, sim.leo_doppler_hz)
+    converges in the static 2 passes; stress rates grow the pass count
+    roughly +1 per ~200 Hz/s (100 -> 3, 300 -> 4, 500 -> 5) as the
+    integrator state propagates one chunk per pass. Decisions and lock
+    telemetry stay EXACTLY equal to the sequential demod in all cases."""
+    cfg = DemodConfig(samplerate=230400, block_len=2048)
+    chunks, kb = 8, 16
+    n = chunks * kb * cfg.block_len
+    for ramp, max_p, exp_p in ((31.0, 4, 2), (300.0, 6, 4)):
+        x, _ = synth_psk(int(n * cfg.symrate / cfg.samplerate) + 64,
+                         cfg.samplerate, carrier_hz=100.0,
+                         carrier_ramp_hz_s=ramp, amplitude=6000.0,
+                         snr_db=18.0, seed=31)
+        x = x[:n]
+        res = demod_array_turbo(cfg, x, chunks=chunks, max_passes=max_p)
+        assert res.converged, (ramp, res.max_residual)
+        assert res.passes <= exp_p, (ramp, res.passes)
+        assert not res.fell_back
+
+        d = StreamDemodulator(cfg)
+        seq = np.concatenate([d.process(x), d.finish()])
+        assert len(res.symbols) == len(seq)
+        skip = len(seq) // 8
+        np.testing.assert_array_equal(np.sign(res.symbols["re"][skip:]),
+                                      np.sign(seq["re"][skip:]))
+        np.testing.assert_array_equal(np.sign(res.symbols["im"][skip:]),
+                                      np.sign(seq["im"][skip:]))
+        np.testing.assert_array_equal(res.symbols["locked_once"][skip:],
+                                      seq["locked_once"][skip:])
