@@ -393,6 +393,213 @@ def _bench_stream_span(cfg, chunks=128, kb=16, nspans=6):
             round(first_span_s, 2))
 
 
+def _bench_acquisition_diverse(cfg, fleet_locked_sps=None,
+                               batch=FLEET_BATCH, max_disp=120, seed=33):
+    """Per-stream DIVERSE cold acquisition + the straggler-parking serving
+    rate (VERDICT r4: the old nominal bench broadcast ONE signal to all
+    128 lanes — one acquisition problem replicated 128x — and a single
+    never-locking stream pinned the whole fleet on the wide program).
+
+    16 signal groups span BOTH sweep directions (carriers uniform in
+    +-0.85 fmax — negative offsets are the worst case for the
+    upward-first acquisition sweep, /root/reference/pll.c:126-128) with
+    SNRs cycling 12/15/18/25 dB and distinct seeds; lane 0 carries PURE
+    NOISE (the dead antenna). The wide program runs until every signal
+    stream locks (an untimed replay recovers exact per-stream lock
+    samples); the parking policy (parallel/mesh.py) then parks the noise
+    lane (donor-filled on the device) and the fleet switches LOCKED — its
+    steady mixed-fleet rate is compared against the all-locked fleet rate
+    (the >=95% done-criterion) and against the wide rate the pre-r5
+    pinned policy would have served forever."""
+    span = CHAIN * cfg.block_len
+    fmax_hz = float(cfg.pll_fmax) * cfg.symrate / (2 * np.pi)
+    G = 16
+    fracs = np.linspace(-0.85, 0.85, G)
+    snrs = [12.0, 15.0, 18.0, 25.0]
+    sigs, meta = [], []
+    for g in range(G):
+        c = (round(fracs[g] * fmax_hz * span / cfg.samplerate)
+             * cfg.samplerate / span)            # seam-periodic per group
+        x, _ = synth_psk(int(span * cfg.symrate / cfg.samplerate) + 64,
+                         cfg.samplerate, symrate=cfg.symrate,
+                         oqpsk=cfg.oqpsk, carrier_hz=c, amplitude=6000.0,
+                         snr_db=snrs[g % len(snrs)], seed=seed + g)
+        sigs.append(iq_to_f32(x[:span]).reshape(CHAIN, cfg.block_len, 2))
+        meta.append({"carrier_hz": round(c, 1), "snr_db": snrs[g % len(snrs)]})
+    rng = np.random.default_rng(seed)
+    noise = (500.0 * (rng.standard_normal(span)
+                      + 1j * rng.standard_normal(span))).astype(np.complex64)
+    sigs.insert(0, iq_to_f32(noise).reshape(CHAIN, cfg.block_len, 2))
+    groups = jnp.asarray(np.stack(sigs, axis=1))      # (CHAIN, G+1, L, 2)
+    lane_map = np.zeros(batch, np.int32)
+    lane_map[1:] = 1 + (np.arange(batch - 1) % G)
+    blocks = jax.jit(
+        lambda g: jnp.take(g, jnp.asarray(lane_map), axis=1))(groups)
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    fn = _acq_chained(cfg, batch)
+    carry = batch_carry(cfg, batch)
+    c0, _ = fn(carry, blocks)                         # compile (untimed)
+    _sync(c0)
+
+    carry = batch_carry(cfg, batch)
+    t0 = time.perf_counter()
+    disp, locked_n = 0, 0
+    while disp < max_disp:
+        carry, _ = fn(carry, blocks)
+        disp += 1
+        locked_n = int(np.sum(egress(carry.locked)))
+        if locked_n >= batch - 1:                     # all but the noise lane
+            break
+    dwell_s = time.perf_counter() - t0
+
+    # Untimed replay for exact per-stream lock steps.
+    lock_step = np.full(batch, -1, np.int64)
+    c2 = batch_carry(cfg, batch)
+    base = 0
+    for _ in range(disp):
+        c2, lo = fn(c2, blocks)
+        lo = np.asarray(egress(lo)).transpose(1, 0, 2).reshape(batch, -1)
+        first = np.argmax(lo > 0, axis=1)
+        hit = (lo > 0).any(axis=1) & (lock_step < 0)
+        lock_step[hit] = base + first[hit]
+        base += lo.shape[1]
+    locked_mask = lock_step >= 0
+    lock_s = (lock_step[locked_mask] * cfg.ticks_per_step / cfg.interp
+              / cfg.samplerate)
+    out = {
+        "groups": meta,
+        "noise_streams": 1,
+        "streams_locked": int(locked_mask.sum()),
+        "all_signal_locked": locked_n >= batch - 1,
+        "noise_lane_locked": bool(locked_mask[0]),
+        "wide_dwell_s": round(dwell_s, 2),
+        "signal_dwelled_s": round(disp * span / cfg.samplerate, 2),
+        "lock_signal_s_p50": (round(float(np.median(lock_s)), 3)
+                              if lock_s.size else None),
+        "lock_signal_s_p90": (round(float(np.percentile(lock_s, 90)), 3)
+                              if lock_s.size else None),
+        "lock_signal_s_max": (round(float(lock_s.max()), 3)
+                              if lock_s.size else None),
+    }
+    if locked_n >= batch - 1:
+        # Straggler-parking serving state: the noise lane parks onto the
+        # host side-path and its device lane is donor-filled (the policy
+        # in parallel/mesh.py); the fleet dispatches the LOCKED program.
+        don_blocks = jax.jit(lambda b: b.at[:, 0].set(b[:, 1]))(blocks)
+        don_carry = jax.tree_util.tree_map(
+            lambda a: a.at[0].set(a[1]), carry)
+        rates = {}
+        for name, locked in (("parked_locked", on_tpu),
+                             ("pinned_wide", False)):
+            f = _chained_fn(cfg, batch, locked=locked)
+            c = don_carry
+            c, _ = f(c, don_blocks)                   # compile+warm
+            assert _sync(c) == 0
+            t0 = time.perf_counter()
+            c, _ = f(c, don_blocks)
+            assert _sync(c) == 0
+            dt1 = time.perf_counter() - t0
+            n_calls = max(3, min(60, int(2.0 / max(dt1, 1e-4))))
+            best = 0.0
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(n_calls):
+                    c, _ = f(c, don_blocks)
+                assert _sync(c) == 0
+                best = max(best, n_calls * span * batch
+                           / (time.perf_counter() - t0))
+            rates[name] = best
+            log(f"acq-diverse {name}: {best/1e6:.1f} Msamples/s")
+        out["mixed_parked_msamples_per_s"] = round(
+            rates["parked_locked"] / 1e6, 1)
+        out["pinned_wide_msamples_per_s"] = round(
+            rates["pinned_wide"] / 1e6, 1)
+        out["parked_vs_pinned_x"] = round(
+            rates["parked_locked"] / rates["pinned_wide"], 3)
+        if fleet_locked_sps:
+            out["parked_vs_all_locked_ratio"] = round(
+                rates["parked_locked"] / fleet_locked_sps, 3)
+    log(f"acquisition[diverse]: { {k: v for k, v in out.items() if k != 'groups'} }")
+    return out
+
+
+def _bench_acquisition_ramp(cfg, batch=FLEET_BATCH, ramp_hz_s=-500.0,
+                            n_disp=4, seed=44):
+    """Moving-target acquisition (VERDICT r4 item 1d): the sweep must
+    catch a carrier RAMPING at 16x the realistic LEO peak rate (31 Hz/s,
+    sim.leo_doppler_hz) — with ramp < 0 the upward sweep and the falling
+    carrier approach, cross, and diverge. NON-looped data (a ramp is not
+    seam-periodic): n_disp chained spans of fresh signal per lane, 4
+    carrier groups broadcast across the batch."""
+    span = CHAIN * cfg.block_len
+    total = n_disp * span
+    G = 4
+    carriers = [80.0, 300.0, 700.0, 1400.0]
+    sigs = []
+    for g in range(G):
+        x, _ = synth_psk(int(total * cfg.symrate / cfg.samplerate) + 64,
+                         cfg.samplerate, symrate=cfg.symrate,
+                         oqpsk=cfg.oqpsk, carrier_hz=carriers[g],
+                         carrier_ramp_hz_s=ramp_hz_s, amplitude=6000.0,
+                         snr_db=18.0, seed=seed + g)
+        sigs.append(iq_to_f32(x[:total]).reshape(n_disp, CHAIN,
+                                                 cfg.block_len, 2))
+    groups = jnp.asarray(np.stack(sigs, axis=2))  # (n_disp, CHAIN, G, L, 2)
+    lane_map = np.arange(batch, dtype=np.int32) % G
+    blocks = jax.jit(
+        lambda g: jnp.take(g, jnp.asarray(lane_map), axis=2))(groups)
+
+    fn = _acq_chained(cfg, batch)
+    carry = batch_carry(cfg, batch)
+    lock_step = np.full(batch, -1, np.int64)
+    base = 0
+    for d in range(n_disp):
+        carry, lo = fn(carry, blocks[d])
+        lo = np.asarray(egress(lo)).transpose(1, 0, 2).reshape(batch, -1)
+        first = np.argmax(lo > 0, axis=1)
+        hit = (lo > 0).any(axis=1) & (lock_step < 0)
+        lock_step[hit] = base + first[hit]
+        base += lo.shape[1]
+    locked_mask = lock_step >= 0
+    lock_s = (lock_step[locked_mask] * cfg.ticks_per_step / cfg.interp
+              / cfg.samplerate)
+    per_group_locked = [int(locked_mask[lane_map == g].sum())
+                        for g in range(G)]
+    out = {
+        "ramp_hz_s": ramp_hz_s,
+        "carriers_hz": carriers,
+        "signal_s": round(total / cfg.samplerate, 2),
+        "streams_locked": int(locked_mask.sum()),
+        "streams_total": batch,
+        "per_group_locked": per_group_locked,
+        "lock_signal_s_p50": (round(float(np.median(lock_s)), 3)
+                              if lock_s.size else None),
+        "lock_signal_s_max": (round(float(lock_s.max()), 3)
+                              if lock_s.size else None),
+    }
+    log(f"acquisition[ramp]: {out}")
+    return out
+
+
+def _acq_chained(cfg, batch):
+    """Chained CHAIN-block wide demod returning locked_once outputs (the
+    acquisition benches' shared program shape)."""
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
+        from meteor_demod_tpu.kernels.block_demod import \
+            make_pallas_batch_demod
+        demod = make_pallas_batch_demod(cfg, batch)
+    else:
+        demod = jax.vmap(make_block_demod(cfg))
+
+    def chained_lo(carry, blocks):
+        carry, outs = jax.lax.scan(demod, carry, blocks)
+        return carry, outs.locked_once
+
+    return jax.jit(chained_lo)
+
+
 def _bench_acquisition(cfg, batch=FLEET_BATCH, max_disp=40,
                        carrier_hz=400.0, tag="nominal"):
     """Cold start -> all-locked -> first locked dispatch (pll.c:109-130
@@ -592,14 +799,20 @@ def main():
         cfg, mesh=make_chunk_mesh(jax.devices()[:1])))
     span = maybe("stream-span", lambda: _bench_stream_span(cfg))
     fir = maybe("timeshard-fir", lambda: _bench_fir(cfg))
-    # Cold-start acquisition (BASELINE north star's "measured at 1 chip"
-    # serving story silently assumed steady state before r4): nominal
-    # carrier and an adversarial one at ~85% of the default fmax sweep
-    # range (pll.c:126-128).
-    acq = maybe("acquisition", lambda: _bench_acquisition(cfg))
+    # Cold-start acquisition. r5 (VERDICT r4): per-stream DIVERSE
+    # problems (+- carriers spanning both sweep directions, mixed SNRs,
+    # one pure-noise dead antenna) with the straggler-parking serving
+    # rate, a moving-carrier (ramp) acquisition, and the broadcast
+    # fmax-edge worst case kept from r4.
+    acq = maybe("acquisition-diverse", lambda: _bench_acquisition_diverse(
+        cfg, fleet_locked_sps=fleet_sps))
+    acq_ramp = maybe("acquisition-ramp",
+                     lambda: _bench_acquisition_ramp(cfg))
     fmax_hz = float(cfg.pll_fmax) * cfg.symrate / (2 * np.pi)
     acq_edge = maybe("acquisition-edge", lambda: _bench_acquisition(
         cfg, carrier_hz=0.85 * fmax_hz, tag="fmax-edge", max_disp=60))
+    acq_neg_edge = maybe("acquisition-neg-edge", lambda: _bench_acquisition(
+        cfg, carrier_hz=-0.85 * fmax_hz, tag="neg-fmax-edge", max_disp=160))
     # BASELINE configs[3] pll-bw variants: the hi-fi geometry at 0.5x/2x
     # the default loop bandwidth (golden parity for -b is pinned on CPU by
     # tests/test_golden_reference.py::test_golden_freq_delta_and_pll_bw).
@@ -665,8 +878,10 @@ def main():
             round(fir["sharded"][0] / 1e6, 1) if fir else None,
         "plain_fir_msamples_per_s":
             round(fir["plain"][0] / 1e6, 1) if fir else None,
-        "fleet_acquisition": acq,
+        "fleet_acquisition_diverse": acq,
+        "fleet_acquisition_ramp": acq_ramp,
         "fleet_acquisition_fmax_edge": acq_edge,
+        "fleet_acquisition_neg_fmax_edge": acq_neg_edge,
         "hifi_pllbw_fleet_msamples_per_s": pllbw or None,
         "device": str(dev.platform),
         "block_len": cfg.block_len,

@@ -113,6 +113,20 @@ def make_fleet_demod(cfg: DemodConfig, mesh: Mesh,
     return jax.jit(sharded)
 
 
+class _ParkedStream:
+    """Host-side state of one parked stream (see FleetDemodulator:
+    straggler parking). `carry` holds unbatched numpy carry leaves —
+    always the exact sequential state through the last processed block."""
+
+    def __init__(self, carry_leaves: dict):
+        self.carry = carry_leaves
+        self.out_rows = []
+        self.locked = bool(int(carry_leaves["locked"]))
+        self.locked_streak = 0
+        self.blocks_fed = 0
+        self.blocks_done = 0
+
+
 class FleetDemodulator:
     """Demodulate a fleet of independent IQ streams across a device mesh.
 
@@ -124,7 +138,9 @@ class FleetDemodulator:
     def __init__(self, cfg: DemodConfig, n_streams: int,
                  mesh: Mesh | None = None, axis_name: str = "streams",
                  backend: str = "auto", recover_flagged: bool = True,
-                 telemetry_every: int = 1):
+                 telemetry_every: int = 1, park: bool = True,
+                 park_after: int = 6, unpark_after: int = 2,
+                 park_max: int | None = None, flap_park: int = 6):
         cfg.validate()
         self.cfg = cfg
         self.axis_name = axis_name
@@ -137,6 +153,39 @@ class FleetDemodulator:
             raise ValueError("telemetry_every must be >= 1")
         self.n_streams = n_streams
         self._backend = backend
+        # Straggler parking (VERDICT r4 item 2): the wide<->locked program
+        # switch considers NON-PARKED streams only, so one dead antenna /
+        # never-locking input no longer pins the whole fleet on the wide
+        # program (a permanent ~30% throughput loss in r4; the reference
+        # has no such coupling — each process is one stream,
+        # main.c:284-329). A stream unlocked for `park_after` consecutive
+        # telemetry ticks while at least one other stream IS locked — or
+        # one that FLAPS its lock bit >= `flap_park` transitions between
+        # resets (the switch-thrash debounce) — is parked OFF the device
+        # hot path onto an exact host-side program (the same scan step on
+        # the CPU backend; the numpy oracle if no CPU backend exists).
+        # Its device lane is fed a donor stream's data (discarded), its
+        # deferred symbols drain via parked_output(), and once the host
+        # demod reports locked for `unpark_after` ticks the exact host
+        # carry is spliced back into the lane — bit-continuous resume.
+        self.park_enabled = bool(park)
+        self.park_after = int(park_after)
+        self.unpark_after = int(unpark_after)
+        self.park_max = (max(1, n_streams // 16) if park_max is None
+                         else int(park_max))
+        self.flap_park = int(flap_park)
+        self._parked: dict[int, _ParkedStream] = {}
+        self._retired_rows: dict[int, list] = {}
+        self._unlock_streak = np.zeros(n_streams, np.int64)
+        self._flap_count = np.zeros(n_streams, np.int64)
+        self._last_locked_vec = None
+        self._active_locked = None     # locked count among non-parked lanes
+        self._wide_latch = False       # demote-to-wide until next tick
+        self._queue = None             # host worker feed (lazy)
+        self._worker = None
+        self._plock = None
+        self._host_fn = None
+        self._cpu_dev = None
         # Telemetry amortization: the fleet-global psum (the step's only
         # collective) runs every telemetry_every-th block — the reference
         # polls its getters at the UI refresh interval (main.c:231-237),
@@ -182,32 +231,294 @@ class FleetDemodulator:
                 f"expected {(self.n_streams, self.cfg.block_len, 2)},"
                 f" got {blocks.shape}")
         blocks = np.ascontiguousarray(blocks, dtype=np.float32)
+        if self._parked:
+            blocks = self._feed_parked(blocks)
         prev_carry = self.carry
         x = shard_blocks(blocks, self.mesh, self.axis_name)
         tel_tick = (self._block_idx % self.telemetry_every) == 0
         self._block_idx += 1
         # LOCKED-mode program switching (kernels/block_demod.py): once
-        # every stream is carrier-locked, blocks dispatch through the
-        # narrow-window/offset-gate kernel — decision-identical while
-        # inside the locked envelope; excursions flag into the per-stream
-        # oracle recovery below. Decided on refresh-tick telemetry.
+        # every NON-PARKED stream is carrier-locked, blocks dispatch
+        # through the narrow-window/offset-gate kernel — decision-identical
+        # while inside the locked envelope; excursions flag into the
+        # per-stream oracle recovery below. Decided on refresh-tick
+        # telemetry, with an immediate demotion latch: a nonzero per-block
+        # stream_flags readback (already read every block) forces the wide
+        # program until the next tick's telemetry clears it, instead of
+        # burning up to telemetry_every-1 blocks of per-stream oracle
+        # recovery on a sustained excursion.
         locked = (self.telemetry is not None
-                  and int(self.telemetry["locked_streams"]) == self.n_streams
-                  and int(self.telemetry["flags"]) == 0)
+                  and self._active_locked is not None
+                  and self._active_locked
+                  == self.n_streams - len(self._parked)
+                  and int(self.telemetry["flags"]) == 0
+                  and not self._wide_latch)
         fn = self._get_fn(locked, tel_tick)
         self.carry, outs, telemetry = fn(self.carry, x)
         if tel_tick:
-            outs, self.telemetry, self.stream_flags = egress(
-                (outs, telemetry, self.carry.flags))
+            outs, self.telemetry, self.stream_flags, locked_vec = egress(
+                (outs, telemetry, self.carry.flags, self.carry.locked))
+            self.stream_flags = np.array(self.stream_flags)
+            locked_vec = np.array(locked_vec)
         else:
             outs, self.stream_flags = egress((outs, self.carry.flags))
+            self.stream_flags = np.array(self.stream_flags)
+            locked_vec = None
+        if self._parked:
+            outs = self._mask_parked(outs)
         if self.recover_flagged and np.any(self.stream_flags):
             outs = self._recover(prev_carry, blocks, outs,
-                                 update_telemetry=tel_tick)
+                                 update_telemetry=tel_tick,
+                                 locked_vec=locked_vec)
+        if np.any(self.stream_flags):
+            self._wide_latch = True
+        if tel_tick:
+            self._on_tick(np.asarray(locked_vec), outs)
         return outs
 
+    # -- straggler parking ---------------------------------------------
+
+    def _on_tick(self, locked_vec: np.ndarray, outs) -> None:
+        """Refresh-tick bookkeeping: correct fleet telemetry for parked
+        lanes, update lock streak / flap counters, park qualifying
+        stragglers, unpark recovered ones, clear the demotion latch."""
+        parked = set(self._parked)
+        active = np.array([i not in parked for i in range(self.n_streams)])
+        if parked:
+            # locked_streams from the per-lane readback restricted to
+            # active lanes (the psum counts parked lanes' donor
+            # duplicates) plus the host-side lock states of parked
+            # streams.
+            host_locked = sum(int(p.locked) for p in self._parked.values())
+            self._active_locked = int(locked_vec[active].sum())
+            self.telemetry = dict(self.telemetry)
+            self.telemetry["locked_streams"] = np.int32(
+                self._active_locked + host_locked)
+            self.telemetry["flags"] = np.int32(self.stream_flags.sum())
+            # symbols: parked rows were masked; their deferred symbols
+            # drain via parked_output() and are not in this count.
+            self.telemetry["symbols"] = np.int32(
+                np.asarray(outs.valid).sum())
+        else:
+            # No parked lanes: the psum/recovery-derived telemetry is
+            # authoritative (bit-identical to the pre-parking behavior).
+            self._active_locked = int(self.telemetry["locked_streams"])
+        # Lock-state streaks and flap transitions (active lanes only).
+        if self._last_locked_vec is not None:
+            self._flap_count[active] += (
+                locked_vec[active] != self._last_locked_vec[active])
+        self._last_locked_vec = locked_vec.copy()
+        # The dwell streak counts ticks a stream stays unlocked WHILE at
+        # least one peer is locked — cold-start acquisition (everyone
+        # sweeping) is grace time, or streams that simply lock later than
+        # the fleet's fastest would get parked mid-acquisition.
+        if bool(locked_vec[active].any()):
+            self._unlock_streak[active & (locked_vec == 0)] += 1
+        self._unlock_streak[active & (locked_vec != 0)] = 0
+        self._wide_latch = False
+        if not self.park_enabled:
+            return
+        self._maybe_unpark()
+        self._maybe_park(locked_vec, active)
+
+    def _maybe_park(self, locked_vec: np.ndarray, active: np.ndarray
+                    ) -> None:
+        """Park streams that qualify: unlocked for park_after ticks, or
+        flapping, while at least one other active stream IS locked (never
+        during fleet-wide cold acquisition — everyone is acquiring)."""
+        if int(locked_vec[active].sum()) == 0:
+            return
+        cand = [i for i in range(self.n_streams)
+                if active[i]
+                and (self._unlock_streak[i] >= self.park_after
+                     or self._flap_count[i] >= self.flap_park)]
+        room = self.park_max - len(self._parked)
+        n_active = int(active.sum())
+        cand = cand[:max(0, min(room, n_active - 1))]
+        if not cand:
+            return
+        cur = {k: np.array(v)
+               for k, v in egress(self.carry)._asdict().items()}
+        for i in cand:
+            self._park_stream(i, {k: v[i].copy() for k, v in cur.items()})
+
+    def _park_stream(self, i: int, carry_leaves: dict) -> None:
+        self._ensure_worker()
+        self._parked[i] = _ParkedStream(carry_leaves)
+        self._unlock_streak[i] = 0
+        self._flap_count[i] = 0
+
+    def _maybe_unpark(self) -> None:
+        """Splice back parked streams whose host demod is locked and has
+        caught up with every fed block — the host carry is then the exact
+        sequential state through the last processed block, so resuming the
+        device lane from it is bit-continuous."""
+        if not self._parked:
+            return
+        ready = []
+        with self._plock:
+            for i, p in self._parked.items():
+                if p.locked:
+                    p.locked_streak += 1
+                else:
+                    p.locked_streak = 0
+                if (p.locked_streak >= self.unpark_after
+                        and p.blocks_done == p.blocks_fed):
+                    ready.append(i)
+        if not ready:
+            return
+        cur = {k: np.array(v)
+               for k, v in egress(self.carry)._asdict().items()}
+        for i in ready:
+            p = self._parked.pop(i)
+            for k, v in p.carry.items():
+                cur[k][i] = v
+            self._unlock_streak[i] = 0
+            self._flap_count[i] = 0
+            if self._last_locked_vec is not None:
+                self._last_locked_vec[i] = 1   # spliced back locked
+            self._retired_rows.setdefault(i, []).extend(p.out_rows)
+        sharding = NamedSharding(self.mesh, P(self.axis_name))
+        self.carry = DemodCarry(
+            **{k: jax.device_put(v, sharding) for k, v in cur.items()})
+
+    def _feed_parked(self, blocks: np.ndarray) -> np.ndarray:
+        """Queue parked streams' real blocks to the host worker and fill
+        their device lanes with a donor stream's data (computed then
+        discarded — static shapes keep the fleet program unchanged)."""
+        donor = next(i for i in range(self.n_streams)
+                     if i not in self._parked)
+        blocks = blocks.copy()
+        for i, p in self._parked.items():
+            with self._plock:
+                p.blocks_fed += 1
+            self._queue.put((p, blocks[i].copy()))
+            blocks[i] = blocks[donor]
+        return blocks
+
+    def _mask_parked(self, outs):
+        """Invalidate parked lanes' donor-duplicate outputs and flags."""
+        outs = outs.__class__(*(np.array(v) for v in outs))
+        for i, p in self._parked.items():
+            outs.sym_re[i] = 0.0
+            outs.sym_im[i] = 0.0
+            outs.valid[i] = 0
+            outs.locked_once[i] = p.carry["locked_once"]
+            self.stream_flags[i] = 0
+        return outs
+
+    def parked_streams(self) -> np.ndarray:
+        """Indices of streams currently parked on the host side-path."""
+        return np.array(sorted(self._parked), dtype=np.int64)
+
+    def parked_output(self, i: int) -> dict:
+        """Drain stream i's deferred host-demodulated output: a dict of
+        concatenated sym_re/sym_im/valid/locked_once arrays (one entry per
+        processed block slot, valid-gated like BlockOutput rows). Empty
+        arrays if nothing new. Works while parked and after unparking."""
+        rows = []
+        if self._plock is not None:
+            with self._plock:
+                if i in self._parked:
+                    rows = self._parked[i].out_rows
+                    self._parked[i].out_rows = []
+        rows = self._retired_rows.pop(i, []) + rows
+        if not rows:
+            z = np.zeros(0, np.float32)
+            return dict(sym_re=z, sym_im=z,
+                        valid=np.zeros(0, np.int32),
+                        locked_once=np.zeros(0, np.int32))
+        return {k: np.concatenate([r[k] for r in rows])
+                for k in ("sym_re", "sym_im", "valid", "locked_once")}
+
+    def _ensure_worker(self) -> None:
+        if self._worker is not None:
+            return
+        import queue
+        import threading
+        self._plock = threading.Lock()
+        self._queue = queue.Queue()
+        try:
+            self._cpu_dev = jax.devices("cpu")[0]
+        except RuntimeError:
+            self._cpu_dev = None    # oracle fallback (exact, host numpy)
+        if self._cpu_dev is not None:
+            from ..demod.backend import jit_batch_demod
+            self._host_fn = jit_batch_demod(self.cfg, 1, "scan")
+        self._worker = threading.Thread(
+            target=self._park_worker, daemon=True)
+        self._worker.start()
+
+    def _park_worker(self) -> None:
+        """Host worker: exact single-stream demod of parked streams'
+        blocks, OFF the device hot path. Uses the scan step pinned to the
+        CPU backend when one exists (never touches the fleet's device
+        client — the tunneled TPU backend is single-client), else the
+        numpy scalar oracle (the executable spec; slower but exact)."""
+        import contextlib
+        while True:
+            item = self._queue.get()
+            if item is None:
+                return
+            p, block = item
+            try:
+                if self._host_fn is not None:
+                    ctx = jax.default_device(self._cpu_dev)
+                else:
+                    ctx = contextlib.nullcontext()
+                with ctx:
+                    row, leaves = self._host_step(p.carry, block)
+            except Exception:               # record and keep draining
+                import traceback
+                traceback.print_exc()
+                row, leaves = None, None
+            with self._plock:
+                if leaves is not None:
+                    p.carry = leaves
+                    p.out_rows.append(row)
+                    p.locked = bool(int(leaves["locked"]))
+                p.blocks_done += 1
+            self._queue.task_done()
+
+    def _host_step(self, leaves: dict, block: np.ndarray):
+        """One exact block step from unbatched numpy carry leaves."""
+        if self._host_fn is not None:
+            carry = DemodCarry(**{k: np.asarray(v)[None]
+                                  for k, v in leaves.items()})
+            carry, outs = self._host_fn(carry, block[None])
+            leaves = {k: np.asarray(v)[0]
+                      for k, v in carry._asdict().items()}
+            row = dict(
+                sym_re=np.asarray(outs.sym_re, np.float32)[0],
+                sym_im=np.asarray(outs.sym_im, np.float32)[0],
+                valid=np.asarray(outs.valid, np.int32)[0],
+                locked_once=np.asarray(outs.locked_once, np.int32)[0])
+            return row, leaves
+        # Oracle fallback: the scalar spec, one block at a time (exactly
+        # the _recover path's conversion round-trip).
+        from ..demod import scalar
+        from ..demod.pipeline import (numpy_carry_to_scalar_state,
+                                      scalar_state_to_numpy_carry)
+        from ..dsp.fir import f32_to_iq
+        st = numpy_carry_to_scalar_state(self.cfg, leaves)
+        sym, st = scalar.demod_stream_np(self.cfg, f32_to_iq(block), st)
+        new = dict(leaves)
+        for k, v in scalar_state_to_numpy_carry(self.cfg, st).items():
+            new[k] = np.asarray(v)
+        n = len(sym)
+        S = self.cfg.steps_per_block + (1 if self.cfg.oqpsk else 0)
+        row = dict(sym_re=np.zeros(S, np.float32),
+                   sym_im=np.zeros(S, np.float32),
+                   valid=np.zeros(S, np.int32),
+                   locked_once=np.full(S, int(st["locked_once"]), np.int32))
+        row["sym_re"][:n] = sym["re"]
+        row["sym_im"][:n] = sym["im"]
+        row["valid"][:n] = 1
+        row["locked_once"][:n] = sym["locked_once"]
+        return row, new
+
     def _recover(self, prev_carry: DemodCarry, blocks: np.ndarray, outs,
-                 update_telemetry: bool = True):
+                 update_telemetry: bool = True, locked_vec=None):
         """Re-demodulate every flagged stream's block with the exact scalar
         oracle (from the pre-block carry), splice the corrected symbols into
         `outs` (left-justified in the step slots — chronological order, which
@@ -244,6 +555,11 @@ class FleetDemodulator:
             outs.locked_once[i, :n] = sym["locked_once"]
             outs.locked_once[i, n:] = st["locked_once"]
         self.recovered_streams += len(flagged)
+        if locked_vec is not None:
+            # Patch the tick's per-lane lock readback with the corrected
+            # states so _on_tick's streak/park bookkeeping sees them.
+            for i in flagged:
+                locked_vec[i] = cur["locked"][i]
 
         sharding = NamedSharding(self.mesh, P(self.axis_name))
         self.carry = DemodCarry(

