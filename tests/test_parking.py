@@ -274,3 +274,53 @@ def test_wide_latch_demotes_between_ticks(cfg):
               and int(fleet.telemetry["flags"]) == 0
               and not fleet._wide_latch)
     assert not locked                      # latch forces the wide program
+
+
+def test_unlock_demotes_then_relock_repromotes(cfg):
+    """Signal loss on a locked fleet (VERDICT r4 item 8's unlock->relock
+    axis, policy half): the stream's lock detector unlocks (p_err EMA past
+    105, pll.c:121), the next tick's telemetry drops _active_locked and the
+    fleet demotes to the wide program; when the signal returns within the
+    parking dwell the stream relocks and the fleet re-promotes — no
+    parking, no output corruption (outputs stay bit-identical to a
+    parking-disabled fleet throughout)."""
+    n_streams, victim = 8, 4
+    lock_ph, dead_ph, back_ph = 10, 6, 10
+    n_blocks = lock_ph + dead_ph + back_ph
+    data = _mixed_fleet_data(cfg, n_streams, n_blocks, straggler=-1)
+    # A 5x-amplitude noise burst on the victim: the only signal-loss shape
+    # that actually unlocks the reference's detector — AWGN at the
+    # AGC-adapted power saturates the tanh error EMA at ~99, just BELOW
+    # the 105 unlock threshold (pll.c:121), so quiet fades never unlock
+    # (probed: matched noise / CW / DC all plateau ~25-100); an amplitude
+    # step beats the slow AGC gain pole (agc.c:7, 1e-4) and spikes the
+    # EMA past 105 within ~2 blocks.
+    rng = np.random.default_rng(7)
+    burst = (30000.0 * (rng.standard_normal(dead_ph * cfg.block_len)
+                        + 1j * rng.standard_normal(dead_ph * cfg.block_len))
+             ).astype(np.complex64)
+    data[victim, lock_ph * cfg.block_len:(lock_ph + dead_ph) * cfg.block_len] \
+        = burst
+
+    base = FleetDemodulator(cfg, n_streams, park=False)
+    fleet = FleetDemodulator(cfg, n_streams, park_after=dead_ph + back_ph)
+    demoted = repromoted = False
+    locked_seen = False
+    for b in range(n_blocks):
+        blk = data[:, b * cfg.block_len:(b + 1) * cfg.block_len]
+        ref = base.process_blocks(blk)
+        got = fleet.process_blocks(blk)
+        for name in ("sym_re", "sym_im", "valid", "locked_once"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, name)), np.asarray(getattr(ref, name)),
+                err_msg=f"block {b} {name}")
+        full = fleet._active_locked == n_streams
+        locked_seen = locked_seen or full
+        if locked_seen and not full:
+            demoted = True
+        if demoted and full:
+            repromoted = True
+    assert locked_seen, "fleet never fully locked"
+    assert demoted, "victim's unlock never demoted the fleet"
+    assert repromoted, "victim never relocked / fleet never re-promoted"
+    assert len(fleet.parked_streams()) == 0
