@@ -786,6 +786,18 @@ def main():
     hifi = maybe("hifi-fleet", lambda: _bench(
         DemodConfig(samplerate=SAMPLERATE, rrc_order=64, interp=10,
                     block_len=BLOCK_LEN), FLEET_BATCH, 2.0))
+    # tau0-banded serving groups (VERDICT r4 item 3 / config.tau0_band):
+    # streams sorted by first-fire offset at switch time share a narrow
+    # tau0 band per 128-lane dispatch, shrinking the window's tau0 fold
+    # (hi-fi: 33 of W=72 rows -> band+1 of W=48) — the select is the
+    # dominant hi-fi cost and scales with W. The bench fixture broadcasts
+    # one signal (band spread 0), exactly the sorted-group shape.
+    hifi_band = maybe("hifi-banded", lambda: _bench(
+        DemodConfig(samplerate=SAMPLERATE, rrc_order=64, interp=10,
+                    block_len=BLOCK_LEN, tau0_band=8), FLEET_BATCH, 2.0))
+    qpsk_band = maybe("qpsk-banded", lambda: _bench(
+        DemodConfig(samplerate=SAMPLERATE, block_len=BLOCK_LEN,
+                    tau0_band=8), FLEET_BATCH, 2.0))
     # OQPSK single recording through the fused gauge fixpoint (the OQPSK
     # gauge couples the PLL quadrant with the half-symbol timing slot —
     # demod/turbo.py _gauge_measure/_gauge_shift_np).
@@ -868,6 +880,11 @@ def main():
         "turbo_mesh1_msamples_per_s":
             round(turbo_m[0] / 1e6, 1) if turbo_m else None,
         "turbo_mesh1_spread_msps": turbo_m[3] if turbo_m else None,
+        "hifi_banded_tau0_msamples_per_s":
+            round(hifi_band[0] / 1e6, 1) if hifi_band else None,
+        "hifi_banded_spread_msps": hifi_band[1] if hifi_band else None,
+        "qpsk_banded_tau0_msamples_per_s":
+            round(qpsk_band[0] / 1e6, 1) if qpsk_band else None,
         "oqpsk_fleet_msamples_per_s":
             round(oqpsk[0] / 1e6, 2) if oqpsk else None,
         "oqpsk_fleet_spread_msps": oqpsk[1] if oqpsk else None,

@@ -65,6 +65,25 @@ class DemodConfig:
     #     drift — so the serving tier uses 0.25.
     locked_jitter_rad: float = 1.0
     locked_drift_frac: float = 1.0
+    #   tau0_band: width (ticks) of the per-dispatch first-fire band the
+    #     locked kernel window must cover, or None for the full
+    #     ticks_per_fire fold. The stream-independent window pays a
+    #     ceil(ticks_per_fire)+1-row "tau0 fold" for the worst-case
+    #     per-stream first-fire offset spread (33 of W=72 rows at the
+    #     hi-fi geometry — docs/PERF.md r4 attribution: the select is the
+    #     dominant hi-fi cost and scales with W). When a serving host
+    #     GROUPS streams by tau0 at wide->locked switch time (sorting is
+    #     host-side and free at the switch; valid whenever the fleet
+    #     spans several 128-lane dispatches), each dispatch's streams
+    #     share a narrow tau0 band and the kernel anchors its window at
+    #     the dispatch's own minimum predicted first-fire tick (computed
+    #     from the carry at dispatch time — the base is a runtime scalar
+    #     input). A stream that drifts out of its band fires outside
+    #     [0, W) and trips FLAG_WINDOW_MISS -> exact oracle fallback +
+    #     host re-sort, so this stays a pure perf knob with the same
+    #     correctness net as the other envelope knobs. QPSK-geometry
+    #     kernels only (validate()).
+    tau0_band: int | None = None
 
     # ---- loop parameterization (demod.c:7-15, pll.c:24-44, timing.c:18-27)
 
@@ -303,8 +322,10 @@ class DemodConfig:
         out-of-envelope fire lands outside [0, W) and trips
         FLAG_WINDOW_MISS -> exact oracle fallback, same as the symmetric
         geometry."""
+        tau0_term = (self.tau0_band if self.tau0_band is not None
+                     else int(math.ceil(self.ticks_per_fire)))
         w = (2 * self.window_delta_locked
-             + int(math.ceil(self.ticks_per_fire)) + 1 + self._pair_extra)
+             + tau0_term + 1 + self._pair_extra)
         return (w + 7) // 8 * 8
 
     @property
@@ -461,3 +482,13 @@ class DemodConfig:
             raise ValueError("interp and rrc_order must be >= 1")
         if self.block_len < 4 * self.taps:
             raise ValueError("block_len too small for the FIR order")
+        if self.tau0_band is not None:
+            if self.oqpsk:
+                raise ValueError(
+                    "tau0_band grouping is QPSK-geometry only (the OQPSK "
+                    "paired-select slices assume the full tau0 fold)")
+            if not (0 <= self.tau0_band
+                    <= int(math.ceil(self.ticks_per_fire))):
+                raise ValueError(
+                    f"tau0_band {self.tau0_band} outside "
+                    f"[0, ceil(ticks_per_fire)]")

@@ -1077,14 +1077,39 @@ def _make_dma_demod(cfg: DemodConfig, batch: int, interpret: bool, G: int,
     table_np = np.broadcast_to(
         np.asarray(tanh_table, dtype=np.float32)[:, None], (32, B)).copy()
 
+    banded = locked and cfg.tau0_band is not None
+    og0 = og[:, 0].astype(np.int32)
+    tpf_ceil = int(np.ceil(cfg.ticks_per_fire))
+
     def demod(carry: DemodCarry, x: jnp.ndarray):
         xt = x.transpose(1, 0, 2)                        # (L, B, 2)
         tail_t = carry.fir_tail.transpose(1, 0, 2)       # (taps-1, B, 2)
         Ft, new_tail_t = polyphase_fir_block_tmajor(xt, tail_t, banks)
         f_in, i_in = _pack_carry(carry._replace(
             tick=jnp.zeros_like(carry.tick)), 1, B)
-        res = call(jnp.asarray(gstart), jnp.asarray(offw), Ft, f_in, i_in,
-                   jnp.asarray(table_np))
+        if banded:
+            # tau0-banded window base (config.tau0_band): anchor at this
+            # DISPATCH's minimum predicted first-fire tick, computed from
+            # the carry — gstart/offw are runtime scalar-prefetch inputs,
+            # so the band floor costs nothing and the compiled program is
+            # shared by every tau0 group. tau0 = ceil((2pi - t_phase) /
+            # t_freq) (the scan gate's closed form, QPSK threshold); the
+            # -1 slack absorbs the float ceil boundary. A lane outside
+            # [t_lo, t_lo + tau0_band] fires outside [0, W) and flags
+            # into the exact oracle fallback.
+            diff = np.float32(2.0 * np.pi) - carry.t_phase
+            tau0 = jnp.ceil(diff / carry.t_freq)
+            t_lo = jnp.clip(jnp.min(tau0).astype(jnp.int32) - 1,
+                            0, tpf_ceil)
+            gs = jnp.clip(jnp.asarray(og0) - delta + t_lo,
+                          0, T - span).astype(jnp.int32)
+            ow = jnp.clip(jnp.asarray(offsets_pad.astype(np.int32))
+                          - delta + t_lo - jnp.repeat(gs, G),
+                          0, span - W).astype(jnp.int32)
+            res = call(gs, ow, Ft, f_in, i_in, jnp.asarray(table_np))
+        else:
+            res = call(jnp.asarray(gstart), jnp.asarray(offw), Ft, f_in,
+                       i_in, jnp.asarray(table_np))
         f_out, i_out = res[-2:]
         carry1 = _unpack_carry(f_out, i_out,
                                new_tail_t.transpose(1, 0, 2))

@@ -384,3 +384,85 @@ def test_pallas_spec_allfire_flags_nonfire_in_envelope_region():
     lock = make_pallas_batch_demod(cfg, B, interpret=True, locked=True)
     cl, _ = lock(jax.tree_util.tree_map(jnp.asarray, carry), blk)
     assert int((np.asarray(cl.flags) != 0).sum()) == B
+
+
+def test_pallas_tau0_banded_window():
+    """tau0-banded locked window (config.tau0_band, VERDICT r4 item 3):
+    when a dispatch's streams share a narrow first-fire band — the
+    tau0-sorted serving-group policy — the locked kernel runs with the
+    tau0 fold shrunk from ceil(ticks_per_fire)+1 rows to band+1, anchoring
+    the window base at the dispatch's own minimum predicted tau0 (a
+    runtime scalar input, so one compiled program serves every group).
+    In-band: decisions/ints bit-equal to the full-W locked kernel, floats
+    within ULP, zero flags. Out-of-band lanes trip FLAG_WINDOW_MISS (the
+    usual exact-fallback net) instead of producing wrong output."""
+    cfg = DemodConfig(samplerate=230400, block_len=1024)
+    B = 4
+    nwarm, ntest = 15, 2
+    n = (nwarm + ntest) * cfg.block_len
+    # Broadcast fixture: identical carry per lane == a perfectly sorted
+    # tau0 group (band spread 0), the shape the serving host constructs.
+    x0 = synth_psk(int(n / cfg.osf) + 64, cfg.samplerate, carrier_hz=90.0,
+                   amplitude=6000.0, snr_db=22.0, seed=50)[0][:n]
+    xf = iq_to_f32(np.stack([x0] * B))
+
+    scan_fn = jax.jit(jax.vmap(make_block_demod(cfg)))
+    carry = batch_carry(cfg, B)
+    for k in range(nwarm):
+        carry, _ = scan_fn(carry, xf[:, k * cfg.block_len:
+                                     (k + 1) * cfg.block_len])
+    carry = jax.tree_util.tree_map(np.asarray, carry)
+    assert np.all(carry.locked == 1)
+
+    import dataclasses
+    cfgb = dataclasses.replace(cfg.serving(), tau0_band=4)
+    assert cfgb.window_locked_asym < cfg.serving().window_locked_asym
+    full = make_pallas_batch_demod(cfg.serving(), B, interpret=True,
+                                   windows="dma", locked=True)
+    band = make_pallas_batch_demod(cfgb, B, interpret=True,
+                                   windows="dma", locked=True)
+    cf = cb = jax.tree_util.tree_map(jnp.asarray, carry)
+    for k in range(nwarm, nwarm + ntest):
+        blk = jnp.asarray(xf[:, k * cfg.block_len:(k + 1) * cfg.block_len])
+        cf, of = full(cf, blk)
+        cb, ob = band(cb, blk)
+        assert int(np.asarray(cb.flags).sum()) == 0
+        np.testing.assert_array_equal(np.asarray(of.valid),
+                                      np.asarray(ob.valid))
+        np.testing.assert_array_equal(np.asarray(of.locked_once),
+                                      np.asarray(ob.locked_once))
+        m = np.asarray(of.valid).astype(bool)
+        np.testing.assert_allclose(np.asarray(ob.sym_re)[m],
+                                   np.asarray(of.sym_re)[m],
+                                   rtol=5e-4, atol=0.05)
+        for name in ("locked", "locked_once", "slot", "tick"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(cf, name)), np.asarray(getattr(cb, name)),
+                err_msg=name)
+
+    # Band-violating lane: shift one lane's timing phase by ~half a
+    # symbol (the largest tau0 excursion a sorted group can see before
+    # re-sorting). The safety contract is FLAG-OR-EXACT: the lane either
+    # trips FLAG_WINDOW_MISS (out the window) or — when the window's
+    # delta margins still cover the excursion, as at this geometry —
+    # stays decision-exact vs the full-W locked kernel. Silent wrongness
+    # is the only failure mode being excluded.
+    bad = dict(carry._asdict())
+    tp = bad["t_phase"].copy()
+    tp[2] = np.float32(np.mod(tp[2] + np.pi, 2 * np.pi))
+    bad["t_phase"] = tp
+    from meteor_demod_tpu.demod.state import DemodCarry
+    cbad = jax.tree_util.tree_map(jnp.asarray, DemodCarry(**bad))
+    blk = jnp.asarray(xf[:, nwarm * cfg.block_len:
+                         (nwarm + 1) * cfg.block_len])
+    c2, o2 = band(cbad, blk)
+    c2f, o2f = full(cbad, blk)
+    flags = np.asarray(c2.flags)
+    ok_lanes = flags == 0
+    np.testing.assert_array_equal(np.asarray(o2.valid)[ok_lanes],
+                                  np.asarray(o2f.valid)[ok_lanes])
+    np.testing.assert_array_equal(np.asarray(o2.locked_once)[ok_lanes],
+                                  np.asarray(o2f.locked_once)[ok_lanes])
+    # And the full-W run itself must be flag-free here (the excursion is
+    # inside the FULL tau0 fold by construction).
+    assert int(np.asarray(c2f.flags).sum()) == 0
