@@ -155,7 +155,11 @@ def run(mode, oqpsk):
                       "flagged": rows}), flush=True)
 
 
-RAMPS_HZ_S = [31, 250, 500, 800, 1000, 2000, 4000, 8000]
+# TPU mode trims the grid: fixtures cross the ~MB/s host link per ramp
+# (the CPU run owns the boundary; the chip run confirms flag behavior at
+# the production block length).
+RAMPS_HZ_S = [31, 500, 2000] if TPU else [31, 250, 500, 800, 1000,
+                                          2000, 4000, 8000]
 N_RAMP_BLOCKS = 16
 
 
@@ -261,7 +265,8 @@ def main():
     if "doppler" in sys.argv[1:]:
         run_doppler("qpsk", False)
         run_doppler("oqpsk", True)
-        run_doppler("qpsk", False, pll_bw=2.0)
+        if not TPU:
+            run_doppler("qpsk", False, pll_bw=2.0)
         return
     run("qpsk", False)
     run("oqpsk", True)
