@@ -285,6 +285,48 @@ def test_golden_leo_pass_profile(ref_binary, tmp_path):
     assert len(ours) > 50000, len(ours)
 
 
+def test_golden_negative_carrier_sweep_wrap(ref_binary, tmp_path):
+    """NEGATIVE carrier offset — the acquisition sweep's worst case: it
+    walks upward first (pll.c:126-128), must hit +fmax, flip direction
+    (pll.c:128's updown) and come back down. At the default +-3.4 kHz
+    band that takes ~12 s of signal, so the fixture shrinks the band with
+    -d 500 (freq_max 500 Hz): -350 Hz is then reached after ~1.7 s and
+    both demodulators lock late via the SAME wrap trajectory. The long
+    cold acquisition accumulates cross-implementation float drift, so the
+    two sides may lock in different Costas quadrants (observed: ours one
+    quadrant off) — a genuine ambiguity, not a defect — and parity is
+    asserted modulo the 4-fold rotation: symbol agreement 1.0 at the best
+    quadrant."""
+    x, _ = synth_psk(130000, 230400, carrier_hz=-350.0, amplitude=6000.0,
+                     snr_db=20.0, seed=61)
+    wav = str(tmp_path / "g.wav")
+    write_wav(wav, x, 230400, 16)
+    ref = run_ref(ref_binary, ["-d", "500", wav], str(tmp_path / "ref.s"))
+    ours = run_ours(DemodConfig(samplerate=230400,
+                                freq_max=500 * 2 * np.pi / 72000.0),
+                    wav, 16, str(tmp_path / "ours.s"))
+    n = min(len(ref), len(ours)) // 2 * 2
+    # Locked only after the wrap: most of the file is pre-lock, the
+    # emitted tail is the locked portion.
+    assert n > 40000, (len(ref), len(ours))
+    za = ref[:n].astype(np.float32).reshape(-1, 2)
+    zb = ours[:n].astype(np.float32).reshape(-1, 2)
+    za = za[:, 0] + 1j * za[:, 1]
+    zb = zb[:, 0] + 1j * zb[:, 1]
+    s = int(len(za) * 0.2)
+    best_sa, best_mad = 0.0, np.inf
+    for k in range(4):
+        zr = zb * (1j) ** k
+        sa = float(np.mean(
+            (np.sign(zr.real[s:]) == np.sign(za.real[s:]))
+            & (np.sign(zr.imag[s:]) == np.sign(za.imag[s:]))))
+        if sa > best_sa:
+            best_sa = sa
+            best_mad = float(np.mean(np.abs(zr.real[s:] - za.real[s:])))
+    assert best_sa > 0.999, best_sa
+    assert best_mad < 0.5, best_mad
+
+
 def test_golden_qpsk_float32(ref_binary, tmp_path):
     """32-bit float WAV samples (wavfile.c:66-68)."""
     x, _ = synth_psk(32000, 230400, carrier_hz=350.0, amplitude=5000.0,
