@@ -72,12 +72,14 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def _fixture(cfg, ppm, nwarm):
+def _fixture(cfg, ppm, nwarm, ramp_hz_s=0.0):
     """B streams sampled by a clock running ppm FAST: the nominal signal
     is synthesized on an 8x grid and linearly resampled at stride
     8*(1+ppm*1e-6) — t_freq must then track -ppm relative to stay in
     sync (a synth at a ppm-shifted symbol rate instead needs an exact
-    rational fine grid with a ~10^4 denominator and takes minutes)."""
+    rational fine grid with a ~10^4 denominator and takes minutes).
+    ramp_hz_s adds a carrier ramp on top (the joint Doppler x ppm
+    fixture)."""
     n = (nwarm + N_BLOCKS) * cfg.block_len
     over = 8
     scale = 1.0 + ppm * 1e-6
@@ -88,6 +90,7 @@ def _fixture(cfg, ppm, nwarm):
         xf, _ = synth_psk(nsym, cfg.samplerate * over,
                           symrate=cfg.symrate, oqpsk=cfg.oqpsk,
                           carrier_hz=60.0 + 25.0 * b,
+                          carrier_ramp_hz_s=ramp_hz_s,
                           amplitude=6000.0, snr_db=22.0, seed=300 + b)
         xf = xf[:nfine]
         t = np.arange(n, dtype=np.float64) * (over * scale)
@@ -160,6 +163,57 @@ def run(mode, oqpsk):
 # the production block length).
 RAMPS_HZ_S = [31, 500, 2000] if TPU else [31, 250, 500, 800, 1000,
                                           2000, 4000, 8000]
+
+
+def run_joint():
+    """Joint Doppler-rate x sampler-ppm sweep of the serving tier's flag
+    boundary (VERDICT r4 item 1b). The two impairments stress DIFFERENT
+    subsystems — ppm rails the timing loop (whose drift the locked window
+    budgets), the ramp loads the carrier loop (which the window does not
+    constrain) — so the expected joint boundary is separable: flags
+    depend on ppm exactly as in the static sweep, at every trackable
+    ramp. This RECORDS that, rather than assuming it."""
+    from meteor_demod_tpu.demod.pipeline import egress as _eg
+    cfg0 = DemodConfig(samplerate=230400, block_len=BLOCK_LEN)
+    cfg_srv = cfg0.serving()
+    nwarm = 60
+    wide_fn = jax.jit(jax.vmap(make_block_demod(cfg0)))
+    locked_fn = jax.jit(make_pallas_batch_demod(
+        cfg_srv, B, interpret=not TPU, locked=True))
+    rows = {}
+    for ppm in (0, 150, 244):
+        for ramp in (31.0, 250.0):
+            xf = _fixture(cfg0, ppm, nwarm, ramp_hz_s=ramp)
+            nu = xf.shape[0]
+            xd = jnp.asarray(xf)
+
+            def blk_at(k):
+                sl = xd[:, k * BLOCK_LEN:(k + 1) * BLOCK_LEN]
+                return (jnp.broadcast_to(
+                    sl[None], (B // nu, nu, BLOCK_LEN, 2))
+                    .reshape(B, BLOCK_LEN, 2))
+
+            carry = batch_carry(cfg0, B)
+            for k in range(nwarm):
+                carry, _ = wide_fn(carry, blk_at(k))
+            carry = jax.tree_util.tree_map(np.asarray, _eg(carry))
+            if int(carry.locked.sum()) < B:
+                rows[f"{ppm}ppm/{ramp:g}Hzs"] = None
+                log(f"[joint {ppm}ppm {ramp:g}Hz/s] not locked after warm")
+                continue
+            c = jax.tree_util.tree_map(jnp.asarray, carry)
+            flagged = 0
+            for k in range(nwarm, nwarm + N_BLOCKS):
+                c, _ = locked_fn(c, blk_at(k))
+                f = np.asarray(_eg(c.flags))
+                if np.any(f):
+                    flagged += 1
+                    c = c._replace(flags=jnp.zeros_like(c.flags))
+            rows[f"{ppm}ppm/{ramp:g}Hzs"] = flagged
+            log(f"[joint {ppm}ppm {ramp:g}Hz/s] serving flags "
+                f"{flagged}/{N_BLOCKS}")
+    print(json.dumps({"mode": "joint-qpsk-serving", "n_blocks": N_BLOCKS,
+                      "flags": rows}), flush=True)
 N_RAMP_BLOCKS = 16
 
 
@@ -262,6 +316,9 @@ def run_doppler(mode, oqpsk, pll_bw=1.0):
 
 
 def main():
+    if "joint" in sys.argv[1:]:
+        run_joint()
+        return
     if "doppler" in sys.argv[1:]:
         run_doppler("qpsk", False)
         run_doppler("oqpsk", True)
