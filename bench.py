@@ -467,12 +467,15 @@ def _bench_acquisition_diverse(cfg, fleet_locked_sps=None,
     locked_mask = lock_step >= 0
     lock_s = (lock_step[locked_mask] * cfg.ticks_per_step / cfg.interp
               / cfg.samplerate)
+    group_locked = {g: int(locked_mask[lane_map == 1 + g].sum())
+                    for g in range(G)}
     out = {
         "groups": meta,
         "noise_streams": 1,
         "streams_locked": int(locked_mask.sum()),
         "all_signal_locked": locked_n >= batch - 1,
         "noise_lane_locked": bool(locked_mask[0]),
+        "per_group_locked": group_locked,
         "wide_dwell_s": round(dwell_s, 2),
         "signal_dwelled_s": round(disp * span / cfg.samplerate, 2),
         "lock_signal_s_p50": (round(float(np.median(lock_s)), 3)
@@ -482,13 +485,23 @@ def _bench_acquisition_diverse(cfg, fleet_locked_sps=None,
         "lock_signal_s_max": (round(float(lock_s.max()), 3)
                               if lock_s.size else None),
     }
-    if locked_n >= batch - 1:
-        # Straggler-parking serving state: the noise lane parks onto the
-        # host side-path and its device lane is donor-filled (the policy
-        # in parallel/mesh.py); the fleet dispatches the LOCKED program.
-        don_blocks = jax.jit(lambda b: b.at[:, 0].set(b[:, 1]))(blocks)
+    cur_locked = np.asarray(egress(carry.locked))
+    unlocked = np.nonzero(cur_locked == 0)[0]
+    out["never_locked_streams"] = int(len(unlocked))
+    if 0 < len(unlocked) <= max(16, batch // 8):
+        # Straggler-parking serving state (parallel/mesh.py): every
+        # never-locking lane parks onto the host side-path and its device
+        # lane is donor-filled — the r4 bench's one-noise-lane assumption
+        # met reality here: low-SNR extreme-negative-carrier groups can
+        # orbit the sweep without locking (EMA dwell too short at 12 dB),
+        # and the policy parks THEM too. The fleet then dispatches the
+        # LOCKED program for the locked majority.
+        donor = int(np.nonzero(cur_locked != 0)[0][0])
+        perm = np.arange(batch)
+        perm[unlocked] = donor
+        don_blocks = jax.jit(lambda b: b[:, jnp.asarray(perm)])(blocks)
         don_carry = jax.tree_util.tree_map(
-            lambda a: a.at[0].set(a[1]), carry)
+            lambda a: a[jnp.asarray(perm)], carry)
         rates = {}
         for name, locked in (("parked_locked", on_tpu),
                              ("pinned_wide", False)):
@@ -795,6 +808,9 @@ def main():
     hifi_band = maybe("hifi-banded", lambda: _bench(
         DemodConfig(samplerate=SAMPLERATE, rrc_order=64, interp=10,
                     block_len=BLOCK_LEN, tau0_band=8), FLEET_BATCH, 2.0))
+    hifi_band4 = maybe("hifi-banded4", lambda: _bench(
+        DemodConfig(samplerate=SAMPLERATE, rrc_order=64, interp=10,
+                    block_len=BLOCK_LEN, tau0_band=4), FLEET_BATCH, 2.0))
     qpsk_band = maybe("qpsk-banded", lambda: _bench(
         DemodConfig(samplerate=SAMPLERATE, block_len=BLOCK_LEN,
                     tau0_band=8), FLEET_BATCH, 2.0))
@@ -883,6 +899,8 @@ def main():
         "hifi_banded_tau0_msamples_per_s":
             round(hifi_band[0] / 1e6, 1) if hifi_band else None,
         "hifi_banded_spread_msps": hifi_band[1] if hifi_band else None,
+        "hifi_banded4_tau0_msamples_per_s":
+            round(hifi_band4[0] / 1e6, 1) if hifi_band4 else None,
         "qpsk_banded_tau0_msamples_per_s":
             round(qpsk_band[0] / 1e6, 1) if qpsk_band else None,
         "oqpsk_fleet_msamples_per_s":
