@@ -327,6 +327,46 @@ def test_golden_negative_carrier_sweep_wrap(ref_binary, tmp_path):
     assert best_mad < 0.5, best_mad
 
 
+def test_acquisition_dead_zone_near_zero_negative(ref_binary, tmp_path):
+    """BOTH implementations share an acquisition DEAD ZONE at small
+    NEGATIVE carrier offsets (found by the r5 diverse acquisition bench:
+    a -195 Hz / 25 dB stream never locked in 68 s while -583 Hz and every
+    positive offset locked fine). The upward-first sweep (pll.c:126-128)
+    must wrap +fmax and come back, but near-zero negative carriers bias
+    the loop's b_p*e term against the sweep so p_freq stalls in a limit
+    cycle below +fmax and the wrap never completes. Verified here on 20 s
+    of clean signal: the C binary emits only its false-lock ring
+    (~1k symbols of 1.44M transmitted) and our demodulator's locked_once
+    stays 0 — faithful parity on the failure, not just on success. (The
+    r5 fleet is not PINNED by such a stream: the parking policy moves it
+    off the hot path, bench fleet_acquisition_diverse.) If upstream ever
+    fixes the sweep, the ref assertion flips and this zone should be
+    re-characterized."""
+    fs = 230400
+    x, _ = synth_psk(int(20 * 72000), fs, carrier_hz=-195.3,
+                     amplitude=6000.0, snr_db=25.0, seed=40)
+    wav = str(tmp_path / "dz.wav")
+    write_wav(wav, x, fs, 16)
+    ref = run_ref(ref_binary, [wav], str(tmp_path / "ref.s"))
+    assert len(ref) <= 4 * 1024, (
+        "reference now locks in the near-zero negative dead zone — "
+        "re-characterize and fix our acquisition to match")
+
+    import jax
+    from meteor_demod_tpu.demod.backend import jit_batch_demod
+    from meteor_demod_tpu.demod.state import batch_carry
+    from meteor_demod_tpu.dsp.fir import iq_to_f32
+    cfg = DemodConfig(samplerate=fs, block_len=8192)
+    fn = jit_batch_demod(cfg, 1, "scan")
+    carry = batch_carry(cfg, 1)
+    n_blocks = len(x) // cfg.block_len
+    for b in range(n_blocks):
+        blk = iq_to_f32(x[b * cfg.block_len:(b + 1) * cfg.block_len])
+        carry, _ = fn(carry, blk[None])
+    assert int(np.asarray(carry.locked_once)[0]) == 0, (
+        "we lock where the reference does not — behavior diverged")
+
+
 def test_golden_qpsk_float32(ref_binary, tmp_path):
     """32-bit float WAV samples (wavfile.c:66-68)."""
     x, _ = synth_psk(32000, 230400, carrier_hz=350.0, amplitude=5000.0,
