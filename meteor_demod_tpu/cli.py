@@ -31,7 +31,7 @@ SHORTOPTS = "Bb:d:f:hm:o:O:qR:r:s:S:T:v"
 LONGOPTS = [
     "batch", "pll-bw=", "freq-delta=", "fir-order=", "help", "mode=",
     "output=", "oversamp=", "quiet", "refresh-rate=", "symrate=", "stdout",
-    "samplerate=", "bps=", "version", "turbo=",
+    "samplerate=", "bps=", "version", "turbo=", "checkpoint=",
 ]
 
 USAGE = """Usage: {pname} [options] file_in
@@ -70,6 +70,16 @@ TPU extensions (not in the reference):
                            background (~6 s, hidden behind the buffering),
                            so each span's output latency is data-dependent
                            only
+       --checkpoint <file> Resume the demodulator state from <file> if it
+                           exists and save the state there at EOF: split
+                           captures (e.g. rtl_sdr segments of one pass)
+                           demodulate as ONE continuous stream — the
+                           concatenated .s outputs are decision-identical
+                           to a single-file run (exact carry resume; int8
+                           levels within cross-program loop noise, the -T
+                           contract). Split at 32 KiB multiples: the
+                           ingest drops partial trailing chunks
+                           (reference parity). Not combinable with -T
 """
 
 
@@ -109,6 +119,7 @@ class Options:
         self.output_fname = None
         self.input_path = None
         self.turbo_chunks: int | None = None     # None = off, 0 = auto
+        self.checkpoint_path: str | None = None
 
 
 def parse_args(argv: list[str]) -> Options | int:
@@ -153,6 +164,8 @@ def parse_args(argv: list[str]) -> Options | int:
             opts.bps = _atoi(val)
         elif flag in ("-T", "--turbo"):
             opts.turbo_chunks = _atoi(val)
+        elif flag == "--checkpoint":
+            opts.checkpoint_path = val
         elif flag in ("-v", "--version"):
             sys.stderr.write(f"meteor_demod_tpu v{__version__}\n")
             return 0
@@ -307,6 +320,11 @@ def main(argv: list[str] | None = None) -> int:
         sys.stderr.write(f"Invalid configuration: {e}\n")
         return 1
 
+    if opts.checkpoint_path is not None and opts.turbo_chunks is not None:
+        sys.stderr.write("--checkpoint cannot be combined with -T/--turbo "
+                         "(the turbo path is whole-file)\n")
+        return 1
+
     if opts.turbo_chunks is not None and not is_stdin:
         return _run_turbo(opts, cfg, samples_file, soft_file, bps)
 
@@ -319,6 +337,20 @@ def main(argv: list[str] | None = None) -> int:
     span_chunks = (opts.turbo_chunks or 32) if span_turbo else 32
     demod = StreamDemodulator(cfg, span_turbo=span_turbo,
                               span_chunks=max(2, span_chunks))
+    if opts.checkpoint_path is not None and os.path.exists(
+            opts.checkpoint_path):
+        from .io.checkpoint import load_checkpoint
+        resumed = load_checkpoint(opts.checkpoint_path)
+        if resumed.cfg != cfg:
+            sys.stderr.write(
+                f"checkpoint {opts.checkpoint_path} was written with a "
+                f"different configuration; refusing to resume\n")
+            return 1
+        demod = resumed
+        if not opts.quiet:
+            print(f"Resumed from {opts.checkpoint_path} "
+                  f"({demod.symbols_out} symbols so far)",
+                  file=sys.stderr if opts.stdout_mode else sys.stdout)
     if span_turbo:
         # Overlap the span program compile (+ chip claim) with the live
         # input's buffering period, so the first span's latency is
@@ -368,6 +400,13 @@ def main(argv: list[str] | None = None) -> int:
             runner.stop.set()
             worker.join()
             demod.join_prewarm()
+
+    if opts.checkpoint_path is not None:
+        from .io.checkpoint import save_checkpoint
+        save_checkpoint(opts.checkpoint_path, demod)
+        if not opts.quiet:
+            print(f"Checkpoint saved to {opts.checkpoint_path}",
+                  file=sys.stderr if opts.stdout_mode else sys.stdout)
 
     if not opts.stdout_mode:
         soft_file.close()

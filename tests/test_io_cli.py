@@ -331,3 +331,83 @@ def test_cli_degenerate_inputs_exit_clean(tmp_path):
         input=b"", capture_output=True, timeout=300, env=env, cwd=cwd)
     assert proc.returncode == 0, proc.stderr.decode()[-400:]
     assert proc.stdout == b""
+
+
+def test_cli_checkpoint_split_capture_bitwise(tmp_path):
+    """--checkpoint: split captures demodulate as ONE continuous stream.
+
+    A recording cut into two raw segments run as two CLI invocations
+    sharing a checkpoint file; the concatenated .s outputs must be
+    DECISION-identical to the single-file run: same symbol count, same
+    signs, int8 levels within cross-program loop noise (the segment
+    lengths group blocks into different chained-dispatch shapes, the same
+    reason -T levels may drift — decisions are the bit-exact contract).
+    The cut sits at a 32 KiB chunk
+    multiple: the ingest drops partial trailing chunks (reference parity,
+    wavfile.c:8,55), so that is the boundary at which a split loses no
+    samples — the same rule the reference user already lives by when
+    concatenating rtl_sdr segments."""
+    x, _ = synth_psk(40000, 230400, carrier_hz=250.0, amplitude=6000.0,
+                     snr_db=20.0, seed=7)
+    env = dict(os.environ, METEOR_DEMOD_PLATFORM="cpu")
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    raw_all = str(tmp_path / "all.raw")
+    with open(raw_all, "wb") as f:
+        f.write(encode_iq(x, 16))
+    cut = 6 * 8192                  # a 32 KiB chunk multiple (16-bit)
+    seg1, seg2 = str(tmp_path / "a.raw"), str(tmp_path / "b.raw")
+    with open(seg1, "wb") as f:
+        f.write(encode_iq(x[:cut], 16))
+    with open(seg2, "wb") as f:
+        f.write(encode_iq(x[cut:], 16))
+
+    def run(inp, out, extra):
+        proc = subprocess.run(
+            [sys.executable, "-m", "meteor_demod_tpu", "-B", "-q",
+             "-s", "230400", "-o", out] + extra + [inp],
+            capture_output=True, timeout=300, env=env, cwd=cwd)
+        assert proc.returncode == 0, proc.stderr.decode()[-400:]
+        return np.fromfile(out, dtype=np.int8)
+
+    ref = run(raw_all, str(tmp_path / "all.s"), [])
+    ck = str(tmp_path / "state.ckpt.npz")
+    a = run(seg1, str(tmp_path / "a.s"), ["--checkpoint", ck])
+    assert os.path.exists(ck)
+    b = run(seg2, str(tmp_path / "b.s"), ["--checkpoint", ck])
+    got = np.concatenate([a, b])
+    assert len(got) == len(ref), (len(got), len(ref))
+    np.testing.assert_array_equal(np.sign(got), np.sign(ref))
+    assert float(np.abs(got.astype(np.int32)
+                        - ref.astype(np.int32)).mean()) < 0.5
+
+
+def test_cli_checkpoint_rejects_config_mismatch(tmp_path):
+    x, _ = synth_psk(8000, 230400, carrier_hz=250.0, amplitude=6000.0,
+                     snr_db=20.0, seed=8)
+    env = dict(os.environ, METEOR_DEMOD_PLATFORM="cpu")
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    raw = str(tmp_path / "x.raw")
+    with open(raw, "wb") as f:
+        f.write(encode_iq(x, 16))
+    ck = str(tmp_path / "s.npz")
+    proc = subprocess.run(
+        [sys.executable, "-m", "meteor_demod_tpu", "-B", "-q",
+         "-s", "230400", "-o", str(tmp_path / "x.s"),
+         "--checkpoint", ck, raw],
+        capture_output=True, timeout=300, env=env, cwd=cwd)
+    assert proc.returncode == 0, proc.stderr.decode()[-300:]
+    # Different fir order -> refuse to resume.
+    proc = subprocess.run(
+        [sys.executable, "-m", "meteor_demod_tpu", "-B", "-q",
+         "-s", "230400", "-f", "64", "-o", str(tmp_path / "y.s"),
+         "--checkpoint", ck, raw],
+        capture_output=True, timeout=300, env=env, cwd=cwd)
+    assert proc.returncode == 1
+    assert b"different configuration" in proc.stderr
+    # --checkpoint + -T is refused.
+    proc = subprocess.run(
+        [sys.executable, "-m", "meteor_demod_tpu", "-B", "-q",
+         "-s", "230400", "-T", "4", "-o", str(tmp_path / "z.s"),
+         "--checkpoint", str(tmp_path / "t.npz"), raw],
+        capture_output=True, timeout=300, env=env, cwd=cwd)
+    assert proc.returncode == 1
