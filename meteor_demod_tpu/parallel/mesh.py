@@ -186,6 +186,11 @@ class FleetDemodulator:
         self._plock = None
         self._host_fn = None
         self._cpu_dev = None
+        # tau0-banded locked serving (set by a ServingFleet after sorting
+        # this group's streams into a narrow first-fire band; see
+        # parallel/serving.py and config.tau0_band).
+        self.banded_cfg: DemodConfig | None = None
+        self.use_banded = False
         # Telemetry amortization: the fleet-global psum (the step's only
         # collective) runs every telemetry_every-th block — the reference
         # polls its getters at the UI refresh interval (main.c:231-237),
@@ -211,11 +216,20 @@ class FleetDemodulator:
         self.recovered_streams = 0
 
     def _get_fn(self, locked: bool, telemetry: bool) -> Callable:
-        key = (locked, telemetry)
+        banded = locked and self.use_banded and self.banded_cfg is not None
+        key = (locked, telemetry, banded)
         if key not in self._fns:
             # Steady-state locked dispatch uses the serving-tier envelope
-            # (config.serving(): tighter windows, +3-10% measured).
-            cfg = self.cfg.serving() if locked else self.cfg
+            # (config.serving(): tighter windows, +3-10% measured). A
+            # ServingFleet that has tau0-sorted this group's streams into
+            # a narrow first-fire band flips use_banded and the locked
+            # program shrinks its window fold (config.tau0_band) — an
+            # out-of-band drift flags into the usual exact oracle
+            # recovery, so banding stays a pure perf knob.
+            if banded:
+                cfg = self.banded_cfg.serving()
+            else:
+                cfg = self.cfg.serving() if locked else self.cfg
             self._fns[key] = make_fleet_demod(
                 cfg, self.mesh, self.axis_name, self._backend,
                 locked=locked, telemetry=telemetry)

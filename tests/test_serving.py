@@ -1,0 +1,115 @@
+"""ServingFleet: tau0-sorted multi-group serving (parallel/serving.py).
+
+The r5 banded-window kernel measurement (docs/PERF.md) needs a host policy
+to be usable: sort streams by predicted first-fire tick at the locked
+switch so every dispatch group spans a narrow tau0 band. These tests pin
+the POLICY on the CPU mesh: sorting happens at the switch, group bands are
+achieved and enable the banded program selection, stream identity survives
+the renumbering, and outputs are bit-identical to unsorted same-width
+groups (on CPU the scan step is lane-permutation invariant, so the policy
+must be output-neutral; the kernel-level banded window itself is covered
+by tests/test_pallas_kernel.py::test_pallas_tau0_banded_window)."""
+
+import numpy as np
+import pytest
+
+from meteor_demod_tpu.config import DemodConfig
+from meteor_demod_tpu.parallel.mesh import FleetDemodulator
+from meteor_demod_tpu.parallel.serving import ServingFleet, predict_tau0
+from meteor_demod_tpu.sim import synth_psk
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return DemodConfig(samplerate=230400, block_len=2048)
+
+
+def _clustered_fleet(cfg, n_streams, n_blocks):
+    """Streams whose symbol-timing offsets form two tight clusters, so a
+    tau0 sort separates them into narrow-band groups."""
+    xs = []
+    for i in range(n_streams):
+        x, _ = synth_psk(
+            int(n_blocks * cfg.block_len * cfg.symrate / cfg.samplerate)
+            + 64, cfg.samplerate, carrier_hz=70.0 + 9.0 * i,
+            amplitude=6000.0, snr_db=22.0, seed=500 + i,
+            timing_offset=0.05 * (i % 2 == 0) + 0.55 * (i % 2 == 1)
+            + 0.004 * (i // 2))
+        xs.append(x[:n_blocks * cfg.block_len])
+    return np.stack(xs)
+
+
+def test_serving_sorts_bands_and_preserves_streams(cfg):
+    n_streams, group, n_blocks = 16, 8, 14
+    data = _clustered_fleet(cfg, n_streams, n_blocks)
+
+    fleet = ServingFleet(cfg, n_streams, group_size=group, band=8)
+    # Unsorted same-width reference groups (initial assignment).
+    refs = [FleetDemodulator(cfg, group) for _ in range(2)]
+
+    outs, ref_outs = [], []
+    for b in range(n_blocks):
+        blk = data[:, b * cfg.block_len:(b + 1) * cfg.block_len]
+        outs.append(fleet.process_blocks(blk))
+        r = [refs[g].process_blocks(blk[g * group:(g + 1) * group])
+             for g in range(2)]
+        ref_outs.append(r)
+
+    assert fleet.sorted_once, "fleet never reached the locked switch"
+    # Groups achieved their bands and selected the banded program.
+    assert fleet.banded_groups() == [0, 1]
+    # The renumbering actually separated the timing clusters.
+    assign = fleet.assignment()
+    for g in range(2):
+        members = [s for s in range(n_streams) if assign[s][0] == g]
+        carries = fleet.groups[g]
+        from meteor_demod_tpu.demod.pipeline import egress
+        c = egress(carries.carry)
+        tau0 = predict_tau0(cfg, np.asarray(c.t_phase),
+                            np.asarray(c.t_freq))
+        assert int(tau0.max() - tau0.min()) <= 7, (g, tau0)
+        # Clusters are parity classes of the stream index.
+        assert len({s % 2 for s in members}) == 1, members
+
+    # Output identity: every stream's rows bit-equal to the unsorted
+    # reference groups (lane permutation within the same program width
+    # cannot change elementwise results).
+    for b in range(n_blocks):
+        got = outs[b]
+        for name in ("sym_re", "sym_im", "valid", "locked_once"):
+            ref_cat = np.concatenate(
+                [np.asarray(getattr(ref_outs[b][g], name))
+                 for g in range(2)])
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, name)), ref_cat,
+                err_msg=f"block {b} {name}")
+
+
+def test_serving_oqpsk_runs_without_banding(cfg):
+    ocfg = DemodConfig(samplerate=240000, symrate=80000.0, oqpsk=True,
+                       block_len=2048)
+    n_streams, group, n_blocks = 16, 8, 4
+    xs = []
+    for i in range(n_streams):
+        x, _ = synth_psk(
+            int(n_blocks * ocfg.block_len * ocfg.symrate / ocfg.samplerate)
+            + 64, ocfg.samplerate, symrate=ocfg.symrate, oqpsk=True,
+            carrier_hz=60.0 + 10.0 * i, amplitude=6000.0, snr_db=22.0,
+            seed=600 + i)
+        xs.append(x[:n_blocks * ocfg.block_len])
+    data = np.stack(xs)
+    fleet = ServingFleet(ocfg, n_streams, group_size=group)
+    for b in range(n_blocks):
+        out = fleet.process_blocks(
+            data[:, b * ocfg.block_len:(b + 1) * ocfg.block_len])
+    assert not fleet.sorted_once
+    assert fleet.banded_groups() == []
+    assert np.asarray(out.valid).shape[0] == n_streams
+
+
+def test_serving_rejects_bad_shapes(cfg):
+    with pytest.raises(ValueError):
+        ServingFleet(cfg, 12, group_size=8)
+    fleet = ServingFleet(cfg, 16, group_size=8)
+    with pytest.raises(ValueError):
+        fleet.process_blocks(np.zeros((8, cfg.block_len), np.complex64))
