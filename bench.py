@@ -488,7 +488,9 @@ def _bench_acquisition_diverse(cfg, fleet_locked_sps=None,
     cur_locked = np.asarray(egress(carry.locked))
     unlocked = np.nonzero(cur_locked == 0)[0]
     out["never_locked_streams"] = int(len(unlocked))
-    if 0 < len(unlocked) <= max(16, batch // 8):
+    # Rates only on TPU: off-chip both legs compile the same scan program
+    # (no locked geometry) and the ratio would record a meaningless ~1.0.
+    if on_tpu and 0 < len(unlocked) <= max(16, batch // 8):
         # Straggler-parking serving state (parallel/mesh.py): every
         # never-locking lane parks onto the host side-path and its device
         # lane is donor-filled — the r4 bench's one-noise-lane assumption

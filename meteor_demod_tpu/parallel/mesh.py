@@ -178,6 +178,9 @@ class FleetDemodulator:
         self._retired_rows: dict[int, list] = {}
         self._unlock_streak = np.zeros(n_streams, np.int64)
         self._flap_count = np.zeros(n_streams, np.int64)
+        self._tick_idx = 0
+        self._lonce_vec = None
+        self._agc_vec = None
         self._last_locked_vec = None
         self._active_locked = None     # locked count among non-parked lanes
         self._wide_latch = False       # demote-to-wide until next tick
@@ -270,10 +273,14 @@ class FleetDemodulator:
         fn = self._get_fn(locked, tel_tick)
         self.carry, outs, telemetry = fn(self.carry, x)
         if tel_tick:
-            outs, self.telemetry, self.stream_flags, locked_vec = egress(
-                (outs, telemetry, self.carry.flags, self.carry.locked))
+            (outs, self.telemetry, self.stream_flags, locked_vec,
+             lonce_vec, agc_vec) = egress(
+                (outs, telemetry, self.carry.flags, self.carry.locked,
+                 self.carry.locked_once, self.carry.agc_gain))
             self.stream_flags = np.array(self.stream_flags)
             locked_vec = np.array(locked_vec)
+            self._lonce_vec = np.array(lonce_vec)
+            self._agc_vec = np.array(agc_vec)
         else:
             outs, self.stream_flags = egress((outs, self.carry.flags))
             self.stream_flags = np.array(self.stream_flags)
@@ -308,6 +315,19 @@ class FleetDemodulator:
             self.telemetry = dict(self.telemetry)
             self.telemetry["locked_streams"] = np.int32(
                 self._active_locked + host_locked)
+            # locked_once likewise: parked lanes mirror the donor on the
+            # device; count their HOST state instead.
+            host_lonce = sum(int(p.carry["locked_once"])
+                             for p in self._parked.values())
+            self.telemetry["locked_once_streams"] = np.int32(
+                int(self._lonce_vec[active].sum()) + host_lonce)
+            # mean_agc_gain over ACTIVE device lanes plus parked HOST
+            # carries (the device pmean averages donor duplicates in).
+            host_agc = [float(p.carry["agc_gain"])
+                        for p in self._parked.values()]
+            self.telemetry["mean_agc_gain"] = np.float32(
+                (float(self._agc_vec[active].sum()) + sum(host_agc))
+                / self.n_streams)
             self.telemetry["flags"] = np.int32(self.stream_flags.sum())
             # symbols: parked rows were masked; their deferred symbols
             # drain via parked_output() and are not in this count.
@@ -318,6 +338,13 @@ class FleetDemodulator:
             # authoritative (bit-identical to the pre-parking behavior).
             self._active_locked = int(self.telemetry["locked_streams"])
         # Lock-state streaks and flap transitions (active lanes only).
+        # The flap counter resets every 50 ticks: without decay,
+        # legitimate fade/relock episodes hours apart would accumulate to
+        # flap_park and park a healthy stream (r5 review finding); the
+        # debounce only needs to catch thrash WITHIN a window.
+        self._tick_idx += 1
+        if self._tick_idx % 50 == 0:
+            self._flap_count[:] = 0
         if self._last_locked_vec is not None:
             self._flap_count[active] += (
                 locked_vec[active] != self._last_locked_vec[active])
@@ -353,8 +380,19 @@ class FleetDemodulator:
             return
         cur = {k: np.array(v)
                for k, v in egress(self.carry)._asdict().items()}
+        donor = next(i for i in range(self.n_streams)
+                     if active[i] and i not in cand)
         for i in cand:
             self._park_stream(i, {k: v[i].copy() for k, v in cur.items()})
+            # The parked DEVICE lane mirrors the donor exactly (carry AND
+            # input, _feed_parked): a free-running stale carry on donor
+            # data would wander out of any tau0 band and poison a banded
+            # group's min-anchor (parallel/serving.py).
+            for k in cur:
+                cur[k][i] = cur[k][donor]
+        sharding = NamedSharding(self.mesh, P(self.axis_name))
+        self.carry = DemodCarry(
+            **{k: jax.device_put(v, sharding) for k, v in cur.items()})
 
     def _park_stream(self, i: int, carry_leaves: dict) -> None:
         self._ensure_worker()
@@ -389,6 +427,12 @@ class FleetDemodulator:
                 cur[k][i] = v
             self._unlock_streak[i] = 0
             self._flap_count[i] = 0
+            # The unparked stream is locked (the unpark condition): keep
+            # the active-locked count consistent so the locked-program
+            # selection does not demote for the rest of the telemetry
+            # interval.
+            if self._active_locked is not None:
+                self._active_locked += 1
             if self._last_locked_vec is not None:
                 self._last_locked_vec[i] = 1   # spliced back locked
             self._retired_rows.setdefault(i, []).extend(p.out_rows)

@@ -89,6 +89,10 @@ class ServingFleet:
         self._lane_of = np.tile(np.arange(group_size), self.n_groups)
         self.sorted_once = False
         self._resort_wanted = False
+        # Deferred host-path symbols of parked streams, keyed by STREAM
+        # (drained out of the lane-keyed group stores before any
+        # renumbering so a re-sort cannot orphan them).
+        self._deferred: dict[int, list] = {}
 
     # -- routing --------------------------------------------------------
 
@@ -144,11 +148,40 @@ class ServingFleet:
                 f.use_banded = False
                 self._resort_wanted = True
 
+    def parked_output(self, stream: int) -> dict:
+        """Drain the deferred host-demodulated symbols of `stream` (see
+        FleetDemodulator.parked_output) in caller stream identity —
+        robust across re-sorts (rows are pulled out of the lane-keyed
+        group stores before any renumbering)."""
+        g, lane = int(self._group_of[stream]), int(self._lane_of[stream])
+        rows = self._deferred.pop(stream, [])
+        got = self.groups[g].parked_output(lane)
+        if len(got["valid"]):
+            rows.append(got)
+        if not rows:
+            return got
+        return {k: np.concatenate([r[k] for r in rows])
+                for k in ("sym_re", "sym_im", "valid", "locked_once")}
+
+    def _drain_parked_rows(self) -> None:
+        """Move every pending parked/retired row into the stream-keyed
+        deferred store (called before renumbering)."""
+        for g, f in enumerate(self.groups):
+            lanes = set(f._parked) | set(f._retired_rows)
+            for lane in lanes:
+                rows = f.parked_output(lane)
+                if not len(rows["valid"]):
+                    continue
+                mask = (self._group_of == g) & (self._lane_of == lane)
+                stream = int(np.nonzero(mask)[0][0])
+                self._deferred.setdefault(stream, []).append(rows)
+
     def _sort_groups(self) -> None:
         """Renumber live streams across groups by predicted tau0; enable
         the banded program for groups whose achieved spread fits the
         band. Host-side; runs at the locked switch (and on re-sort
         requests), not per block."""
+        self._drain_parked_rows()
         carries = [egress(f.carry)._asdict() for f in self.groups]
         leaves = {k: np.concatenate(
             [np.asarray(carries[g][k])[:] for g in range(self.n_groups)])
@@ -176,16 +209,41 @@ class ServingFleet:
         for s, ns in new_slot.items():
             self._group_of[s] = ns // self.group_size
             self._lane_of[s] = ns % self.group_size
-        # Rewrite carries group-wise from the permuted global pool.
+        # Rewrite carries group-wise from the permuted global pool (the
+        # permutation applied once per leaf, then sliced per group).
+        permuted = {k: v[perm] for k, v in leaves.items()}
+        tau0_new = tau0_slot[perm]
+        parked_new = np.zeros(self.n_streams, bool)
+        for ps in parked_slots:
+            parked_new[ps] = True          # parked slots keep their place
         sharding = NamedSharding(self.mesh, P(self.groups[0].axis_name))
         for g, f in enumerate(self.groups):
             sl = slice(g * self.group_size, (g + 1) * self.group_size)
+            # Re-mirror parked lanes onto the group's donor (the first
+            # live lane — the same rule mesh._feed_parked uses for their
+            # input): after the renumbering the donor's slot holds a
+            # different stream, and a parked carry left evolving from the
+            # OLD mirror point on NEW donor data can drift out of band and
+            # poison the banded kernel's runtime min-anchor.
+            live_idx = np.nonzero(~parked_new[sl])[0]
+            parked_idx = np.nonzero(parked_new[sl])[0]
+            group_leaves = {k: np.ascontiguousarray(v[sl])
+                            for k, v in permuted.items()}
+            if len(parked_idx) and len(live_idx):
+                for k in group_leaves:
+                    group_leaves[k][parked_idx] = group_leaves[k][
+                        live_idx[0]]
             f.carry = DemodCarry(**{
-                k: jax.device_put(np.ascontiguousarray(v[perm][sl]),
-                                  sharding)
-                for k, v in leaves.items()})
-            spread = tau0_slot[perm][sl]
-            spread = int(spread.max() - spread.min())
+                k: jax.device_put(v, sharding)
+                for k, v in group_leaves.items()})
+            # Band check over LIVE slots only: a parked lane's device
+            # carry mirrors its donor (in-band by construction,
+            # mesh._maybe_park), but exclude it anyway so a straggler can
+            # never veto its group's banding.
+            live_g = ~parked_new[sl]
+            spread_v = tau0_new[sl][live_g]
+            spread = (int(spread_v.max() - spread_v.min())
+                      if spread_v.size else 0)
             f.use_banded = spread <= max(0, self.band - 1)
             # Lane-keyed policy counters now describe different streams;
             # everyone live is locked at sort time, so reset them.

@@ -100,7 +100,7 @@ def test_straggler_parks_and_fleet_switches(cfg):
     # variant was built and selected (on CPU it compiles the same scan
     # step, so the selection itself is what we assert).
     assert fleet._active_locked == n_streams - 1
-    assert (True, True) in fleet._fns or (True, False) in fleet._fns
+    assert any(k[0] for k in fleet._fns)   # a locked-program variant built
     # park=False never engaged the locked program.
     assert not any(k[0] for k in base._fns)
 

@@ -107,6 +107,108 @@ def test_serving_oqpsk_runs_without_banding(cfg):
     assert np.asarray(out.valid).shape[0] == n_streams
 
 
+def test_serving_parked_straggler(cfg):
+    """A never-locking stream inside a ServingFleet group (r5 review
+    findings): it parks onto the host side-path, its group still sorts and
+    bands (the straggler's donor-mirrored lane cannot veto the band), live
+    streams stay bit-identical to unsorted park-free reference groups, and
+    the straggler's host symbols drain through ServingFleet.parked_output
+    in CALLER stream identity — including rows accumulated before a
+    re-sort renumbered the live streams."""
+    n_streams, group, n_blocks, straggler = 16, 8, 20, 5
+    data = _clustered_fleet(cfg, n_streams, n_blocks)
+    rng = np.random.default_rng(99)
+    n = n_blocks * cfg.block_len
+    data[straggler] = (500.0 * (rng.standard_normal(n)
+                                + 1j * rng.standard_normal(n))
+                       ).astype(np.complex64)
+
+    # park_after=8: long enough that the slowest real locker (stream 14,
+    # ~8 blocks to lock) is never parked — only the noise stream is.
+    fleet = ServingFleet(cfg, n_streams, group_size=group, band=8,
+                         park_after=8)
+    refs = [FleetDemodulator(cfg, group, park=False) for _ in range(2)]
+    outs, ref_outs = [], []
+    resorted = False
+    for b in range(n_blocks):
+        blk = data[:, b * cfg.block_len:(b + 1) * cfg.block_len]
+        outs.append(fleet.process_blocks(blk))
+        ref_outs.append(
+            [refs[g].process_blocks(blk[g * group:(g + 1) * group])
+             for g in range(2)])
+        # After the first sort, force one re-sort so the deferred-row
+        # drain across renumbering is actually exercised.
+        if fleet.sorted_once and not resorted:
+            fleet._resort_wanted = True
+            resorted = True
+
+    g0, lane0 = fleet.assignment()[straggler]
+    assert lane0 in fleet.groups[g0]._parked, "straggler never parked"
+    assert fleet.sorted_once and resorted
+    # The parked lane must not veto ITS group's banding (its donor-mirror
+    # tau0 is excluded from the spread). The other group may legitimately
+    # miss the band: the pinned parked slot leaves 15 live streams for two
+    # 8-wide timing clusters, so one group mixes clusters.
+    assert g0 in fleet.banded_groups()
+
+    # Live streams bit-identical to unsorted park-free reference groups.
+    others = [s for s in range(n_streams) if s != straggler]
+    for b in range(n_blocks):
+        got = outs[b]
+        for name in ("sym_re", "sym_im", "valid", "locked_once"):
+            ref_cat = np.concatenate(
+                [np.asarray(getattr(ref_outs[b][g], name))
+                 for g in range(2)])
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, name))[others], ref_cat[others],
+                err_msg=f"block {b} {name}")
+        # Parked lane's device output is masked invalid.
+        if b == n_blocks - 1:
+            assert np.asarray(got.valid)[straggler].sum() == 0
+
+    # Host-path drain in caller identity across the re-sort: the exact
+    # B=1 continuation from the carry at parking time.
+    import time
+    for _ in range(600):
+        f = fleet.groups[g0]
+        with f._plock:
+            done = all(p.blocks_done == p.blocks_fed
+                       for p in f._parked.values())
+        if done:
+            break
+        time.sleep(0.05)
+    drained = fleet.parked_output(straggler)
+    n_parked_blocks = fleet.groups[g0]._parked[lane0].blocks_fed
+    first = n_blocks - n_parked_blocks
+    from meteor_demod_tpu.demod.backend import jit_batch_demod
+    from meteor_demod_tpu.demod.pipeline import egress
+    from meteor_demod_tpu.demod.state import DemodCarry
+    from meteor_demod_tpu.dsp.fir import iq_to_f32
+    # Parking precedes the first sort (the sort waits for all-locked
+    # among non-parked), so the carry at park time comes from the INITIAL
+    # assignment: straggler 5 was group 0, lane 5.
+    chk = FleetDemodulator(cfg, group, park=False)
+    for b in range(first):
+        chk.process_blocks(
+            data[:group, b * cfg.block_len:(b + 1) * cfg.block_len])
+    leaves = {k: np.asarray(v)[straggler]
+              for k, v in egress(chk.carry)._asdict().items()}
+    carry = DemodCarry(**{k: np.asarray(v)[None] for k, v in leaves.items()})
+    fn = jit_batch_demod(cfg, 1, "scan")
+    ref_rows = {k: [] for k in ("sym_re", "sym_im", "valid", "locked_once")}
+    for b in range(first, n_blocks):
+        blk = iq_to_f32(data[straggler,
+                             b * cfg.block_len:(b + 1) * cfg.block_len])
+        carry, o = fn(carry, blk[None])
+        for k in ref_rows:
+            ref_rows[k].append(np.asarray(getattr(o, k))[0])
+    for k in ref_rows:
+        np.testing.assert_array_equal(
+            drained[k], np.concatenate(ref_rows[k]), err_msg=k)
+    # Drained means drained: a second pull returns nothing.
+    assert len(fleet.parked_output(straggler)["valid"]) == 0
+
+
 def test_serving_rejects_bad_shapes(cfg):
     with pytest.raises(ValueError):
         ServingFleet(cfg, 12, group_size=8)
