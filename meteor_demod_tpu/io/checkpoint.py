@@ -47,170 +47,25 @@ def save_checkpoint(path: str, demod: StreamDemodulator) -> None:
              **carry)
 
 
-def _pack_rows(rows: list, arrays: dict, prefix: str) -> int:
-    """Pack a list of symbol-row dicts (sym_re/sym_im/valid/locked_once
-    arrays) into flat npz arrays under `prefix`. Row boundaries are not
-    semantic (consumers concatenate, parked_output), so rows are stored
-    concatenated."""
-    keys = ("sym_re", "sym_im", "valid", "locked_once")
-    for k in keys:
-        arrays[f"{prefix}{k}"] = (
-            np.concatenate([np.asarray(r[k]) for r in rows]) if rows
-            else np.zeros(0, np.float32 if k.startswith("sym") else np.int32))
-    return len(rows)
-
-
-def _unpack_rows(z, prefix: str) -> list:
-    keys = ("sym_re", "sym_im", "valid", "locked_once")
-    if f"{prefix}valid" not in z.files or not len(z[f"{prefix}valid"]):
-        return []
-    return [{k: np.asarray(z[f"{prefix}{k}"]) for k in keys}]
-
-
-def _wait_parked_drained(fleet, timeout_s: float = 60.0) -> None:
-    """Block until the host park worker has processed every fed block —
-    the parked carries are then exact through the last block."""
-    import time
-    if not fleet._parked:
-        return
-    deadline = time.monotonic() + timeout_s
-    while True:
-        with fleet._plock:
-            if all(p.blocks_done == p.blocks_fed
-                   for p in fleet._parked.values()):
-                return
-        if time.monotonic() > deadline:
-            raise TimeoutError("park worker did not drain within timeout")
-        time.sleep(0.02)
-
-
-def _fleet_state(fleet) -> tuple[dict, dict]:
-    """(json-able meta, npz arrays) capturing a FleetDemodulator exactly.
-    Non-mutating: pending parked rows are copied, not drained."""
-    from ..demod.pipeline import egress
-    _wait_parked_drained(fleet)
-    arrays = {f"carry_{k}": np.asarray(v)
-              for k, v in egress(fleet.carry)._asdict().items()}
-    arrays["unlock_streak"] = fleet._unlock_streak
-    arrays["flap_count"] = fleet._flap_count
-    if fleet._last_locked_vec is not None:
-        arrays["last_locked_vec"] = np.asarray(fleet._last_locked_vec)
-    if fleet._lonce_vec is not None:
-        arrays["lonce_vec"] = np.asarray(fleet._lonce_vec)
-    if getattr(fleet, "_agc_vec", None) is not None:
-        arrays["agc_vec"] = np.asarray(fleet._agc_vec)
-    if fleet.stream_flags is not None:
-        arrays["stream_flags"] = np.asarray(fleet.stream_flags)
-    tel = None
-    if fleet.telemetry is not None:
-        tel = {k: float(v) for k, v in fleet.telemetry.items()}
-    parked_meta = {}
-    if fleet._parked:
-        with fleet._plock:
-            for i, p in fleet._parked.items():
-                pm = dict(locked=bool(p.locked),
-                          locked_streak=int(p.locked_streak),
-                          blocks_fed=int(p.blocks_fed),
-                          blocks_done=int(p.blocks_done))
-                for k, v in p.carry.items():
-                    arrays[f"parked_{i}_carry_{k}"] = np.asarray(v)
-                _pack_rows(list(p.out_rows), arrays, f"parked_{i}_rows_")
-                parked_meta[str(i)] = pm
-    retired = []
-    for i, rows in fleet._retired_rows.items():
-        _pack_rows(list(rows), arrays, f"retired_{i}_rows_")
-        retired.append(int(i))
-    meta = dict(
-        cfg=dataclasses.asdict(fleet.cfg),
-        n_streams=fleet.n_streams,
-        axis_name=fleet.axis_name,
-        backend=fleet._backend,
-        recover_flagged=fleet.recover_flagged,
-        telemetry_every=fleet.telemetry_every,
-        park=fleet.park_enabled, park_after=fleet.park_after,
-        unpark_after=fleet.unpark_after, park_max=fleet.park_max,
-        flap_park=fleet.flap_park,
-        tick_idx=fleet._tick_idx, block_idx=fleet._block_idx,
-        active_locked=(None if fleet._active_locked is None
-                       else int(fleet._active_locked)),
-        wide_latch=bool(fleet._wide_latch),
-        use_banded=bool(fleet.use_banded),
-        banded_cfg=(dataclasses.asdict(fleet.banded_cfg)
-                    if fleet.banded_cfg is not None else None),
-        recovered_streams=int(fleet.recovered_streams),
-        telemetry=tel, parked=parked_meta, retired=retired)
-    return meta, arrays
-
-
-def _restore_fleet(meta: dict, z, arrays_prefix: str = "", mesh=None):
-    """Build a FleetDemodulator exactly as captured by _fleet_state."""
-    import jax
-    from jax.sharding import NamedSharding, PartitionSpec as jP
-    from ..parallel.mesh import FleetDemodulator, _ParkedStream
-    from ..demod.state import DemodCarry
-    cfg = DemodConfig(**meta["cfg"])
-    fleet = FleetDemodulator(
-        cfg, meta["n_streams"], mesh=mesh, axis_name=meta["axis_name"],
-        backend=meta["backend"], recover_flagged=meta["recover_flagged"],
-        telemetry_every=meta["telemetry_every"], park=meta["park"],
-        park_after=meta["park_after"], unpark_after=meta["unpark_after"],
-        park_max=meta["park_max"], flap_park=meta["flap_park"])
-    p = arrays_prefix
-    sharding = NamedSharding(fleet.mesh, jP(fleet.axis_name))
-    fleet.carry = DemodCarry(**{
-        k[len(p) + len("carry_"):]: jax.device_put(np.asarray(z[k]),
-                                                   sharding)
-        for k in z.files
-        if k.startswith(f"{p}carry_")})
-    fleet._unlock_streak = np.asarray(z[f"{p}unlock_streak"]).copy()
-    fleet._flap_count = np.asarray(z[f"{p}flap_count"]).copy()
-    if f"{p}last_locked_vec" in z.files:
-        fleet._last_locked_vec = np.asarray(z[f"{p}last_locked_vec"]).copy()
-    if f"{p}lonce_vec" in z.files:
-        fleet._lonce_vec = np.asarray(z[f"{p}lonce_vec"]).copy()
-    if f"{p}agc_vec" in z.files:
-        fleet._agc_vec = np.asarray(z[f"{p}agc_vec"]).copy()
-    if f"{p}stream_flags" in z.files:
-        fleet.stream_flags = np.asarray(z[f"{p}stream_flags"]).copy()
-    if meta["telemetry"] is not None:
-        fleet.telemetry = {
-            k: (np.float32(v) if k == "mean_agc_gain" else np.int32(v))
-            for k, v in meta["telemetry"].items()}
-    fleet._tick_idx = int(meta["tick_idx"])
-    fleet._block_idx = int(meta["block_idx"])
-    fleet._active_locked = meta["active_locked"]
-    fleet._wide_latch = bool(meta["wide_latch"])
-    fleet.use_banded = bool(meta["use_banded"])
-    if meta["banded_cfg"] is not None:
-        fleet.banded_cfg = DemodConfig(**meta["banded_cfg"])
-    fleet.recovered_streams = int(meta["recovered_streams"])
-    for i_s, pm in meta["parked"].items():
-        i = int(i_s)
-        leaves = {k[len(f"{p}parked_{i}_carry_"):]: np.asarray(z[k]).copy()
-                  for k in z.files
-                  if k.startswith(f"{p}parked_{i}_carry_")}
-        fleet._ensure_worker()
-        ps = _ParkedStream(leaves)
-        ps.locked = bool(pm["locked"])
-        ps.locked_streak = int(pm["locked_streak"])
-        ps.blocks_fed = int(pm["blocks_fed"])
-        ps.blocks_done = int(pm["blocks_done"])
-        ps.out_rows = _unpack_rows(z, f"{p}parked_{i}_rows_")
-        fleet._parked[i] = ps
-    for i in meta["retired"]:
-        rows = _unpack_rows(z, f"{p}retired_{i}_rows_")
-        if rows:
-            fleet._retired_rows[int(i)] = rows
-    return fleet
+def _fleet_ctor_kw(meta: dict) -> dict:
+    """Constructor kwargs for a FleetDemodulator matching a state_dict
+    capture (restore_state re-applies the policy params afterwards)."""
+    return dict(axis_name=meta["axis_name"], backend=meta["backend"],
+                recover_flagged=meta["recover_flagged"],
+                telemetry_every=meta["telemetry_every"],
+                park=meta["park"], park_after=meta["park_after"],
+                unpark_after=meta["unpark_after"],
+                park_max=meta["park_max"], flap_park=meta["flap_park"])
 
 
 def save_fleet_checkpoint(path: str, fleet) -> None:
     """Serialize a FleetDemodulator (device carry + all host-side policy
-    and parking state) to `path` (.npz). The park worker is drained first
-    so parked host carries are exact through the last fed block; pending
-    deferred symbol rows are saved, not dropped. Resuming from the file
-    is bit-identical to continuing the original fleet (tested)."""
-    meta, arrays = _fleet_state(fleet)
+    and parking state, via FleetDemodulator.state_dict — the mirror lives
+    next to the state it serializes) to `path` (.npz). The park worker is
+    drained first so parked host carries are exact through the last fed
+    block; pending deferred symbol rows are saved, not dropped. Resuming
+    from the file is bit-identical to continuing the original (tested)."""
+    meta, arrays = fleet.state_dict()
     meta = dict(version=_FORMAT_VERSION, kind="fleet", fleet=meta)
     np.savez(path,
              meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
@@ -220,38 +75,42 @@ def save_fleet_checkpoint(path: str, fleet) -> None:
 def load_fleet_checkpoint(path: str, mesh=None):
     """Reconstruct a FleetDemodulator exactly as saved. `mesh` must have
     the same size as at save time (default: a fresh all-device mesh)."""
+    from ..parallel.mesh import FleetDemodulator
     with np.load(path) as z:
         meta = json.loads(bytes(z["meta"].tobytes()).decode())
         if meta["version"] != _FORMAT_VERSION or meta.get("kind") != "fleet":
             raise ValueError("not a fleet checkpoint")
-        return _restore_fleet(meta["fleet"], z, mesh=mesh)
+        fm = meta["fleet"]
+        fleet = FleetDemodulator(DemodConfig(**fm["cfg"]),
+                                 fm["n_streams"], mesh=mesh,
+                                 **_fleet_ctor_kw(fm))
+        fleet.restore_state(fm, z)
+        return fleet
 
 
 def save_serving_checkpoint(path: str, serving) -> None:
     """Serialize a ServingFleet: every group's fleet state plus the
-    stream->(group,lane) assignment, banding flags, and stream-keyed
-    deferred rows."""
+    stream->(group,lane) assignment, per-group banding (inside each
+    group's state_dict), and the stream-keyed deferred rows."""
+    from ..parallel.serialize import pack_rows
     arrays = {}
     groups_meta = []
     for g, f in enumerate(serving.groups):
-        gm, ga = _fleet_state(f)
-        gm["use_banded"] = bool(f.use_banded)   # per-group banding flag
+        gm, ga = f.state_dict()
         groups_meta.append(gm)
         for k, v in ga.items():
             arrays[f"g{g}_{k}"] = v
     arrays["group_of"] = serving._group_of
     arrays["lane_of"] = serving._lane_of
-    deferred = {}
     for s, rows in serving._deferred.items():
-        _pack_rows(list(rows), arrays, f"deferred_{s}_rows_")
-        deferred[str(s)] = True
+        pack_rows(list(rows), arrays, f"deferred_{s}_rows_")
     meta = dict(version=_FORMAT_VERSION, kind="serving",
                 cfg=dataclasses.asdict(serving.cfg),
                 n_streams=serving.n_streams,
                 group_size=serving.group_size, band=serving.band,
                 sorted_once=bool(serving.sorted_once),
                 resort_wanted=bool(serving._resort_wanted),
-                deferred=sorted(int(s) for s in deferred),
+                deferred=sorted(int(s) for s in serving._deferred),
                 groups=groups_meta)
     np.savez(path,
              meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
@@ -259,29 +118,31 @@ def save_serving_checkpoint(path: str, serving) -> None:
 
 
 def load_serving_checkpoint(path: str, mesh=None):
-    """Reconstruct a ServingFleet exactly as saved."""
+    """Reconstruct a ServingFleet exactly as saved. Group state is
+    restored INTO the constructor-built FleetDemodulators (one
+    construction and one carry upload per group, not two)."""
     from ..parallel.serving import ServingFleet
+    from ..parallel.serialize import unpack_rows
     with np.load(path) as z:
         meta = json.loads(bytes(z["meta"].tobytes()).decode())
         if (meta["version"] != _FORMAT_VERSION
                 or meta.get("kind") != "serving"):
             raise ValueError("not a serving checkpoint")
         cfg = DemodConfig(**meta["cfg"])
+        fleet_kw = (_fleet_ctor_kw(meta["groups"][0])
+                    if meta["groups"] else {})
+        fleet_kw.pop("axis_name", None)
         serving = ServingFleet(cfg, meta["n_streams"],
                                group_size=meta["group_size"],
-                               band=meta["band"], mesh=mesh)
+                               band=meta["band"], mesh=mesh, **fleet_kw)
         for g, gm in enumerate(meta["groups"]):
-            f = _restore_fleet(gm, z, arrays_prefix=f"g{g}_",
-                               mesh=serving.mesh)
-            f.banded_cfg = serving.groups[g].banded_cfg
-            f.use_banded = bool(gm["use_banded"])
-            serving.groups[g] = f
+            serving.groups[g].restore_state(gm, z, prefix=f"g{g}_")
         serving._group_of = np.asarray(z["group_of"]).copy()
         serving._lane_of = np.asarray(z["lane_of"]).copy()
         serving.sorted_once = bool(meta["sorted_once"])
         serving._resort_wanted = bool(meta["resort_wanted"])
         for s in meta["deferred"]:
-            rows = _unpack_rows(z, f"deferred_{s}_rows_")
+            rows = unpack_rows(z, f"deferred_{s}_rows_")
             if rows:
                 serving._deferred[int(s)] = rows
     return serving
@@ -295,6 +156,10 @@ def load_checkpoint(path: str) -> StreamDemodulator:
         meta = json.loads(bytes(z["meta"].tobytes()).decode())
         if meta["version"] != _FORMAT_VERSION:
             raise ValueError(f"unsupported checkpoint version {meta['version']}")
+        if "kind" in meta:
+            raise ValueError(
+                f"{meta['kind']} checkpoint; use load_{meta['kind']}"
+                "_checkpoint, not the single-stream loader")
         cfg = DemodConfig(**meta["cfg"])
         d = StreamDemodulator(cfg)
         leaves = {k[len("carry_"):]: jnp.asarray(z[k])

@@ -489,6 +489,148 @@ class FleetDemodulator:
         return {k: np.concatenate([r[k] for r in rows])
                 for k in ("sym_re", "sym_im", "valid", "locked_once")}
 
+    # -- checkpoint state (io/checkpoint.py wraps these in .npz files) --
+    #
+    # The serialization mirror lives HERE, next to the state it mirrors:
+    # a new fleet state field is added to __init__ and to state_dict/
+    # restore_state in the same edit, instead of silently dropping out of
+    # a hand-copied list in another module (r5 review finding — exactly
+    # how _agc_vec briefly drifted out of the mirror).
+
+    def wait_parked_drained(self, timeout_s: float = 60.0) -> None:
+        """Block until the host park worker has processed every fed
+        block — parked carries are then exact through the last block."""
+        import time
+        if not self._parked:
+            return
+        deadline = time.monotonic() + timeout_s
+        while True:
+            with self._plock:
+                if all(p.blocks_done == p.blocks_fed
+                       for p in self._parked.values()):
+                    return
+            if time.monotonic() > deadline:
+                raise TimeoutError("park worker did not drain in time")
+            time.sleep(0.02)
+
+    def state_dict(self) -> tuple[dict, dict]:
+        """(json-able meta, numpy arrays) capturing this fleet exactly.
+        Non-mutating: pending parked rows are copied, not drained; the
+        park worker is waited on so host carries are block-exact."""
+        import dataclasses
+        from .serialize import pack_rows
+        self.wait_parked_drained()
+        arrays = {f"carry_{k}": np.asarray(v)
+                  for k, v in egress(self.carry)._asdict().items()}
+        arrays["unlock_streak"] = self._unlock_streak
+        arrays["flap_count"] = self._flap_count
+        for name, v in (("last_locked_vec", self._last_locked_vec),
+                        ("lonce_vec", self._lonce_vec),
+                        ("agc_vec", self._agc_vec),
+                        ("stream_flags", self.stream_flags)):
+            if v is not None:
+                arrays[name] = np.asarray(v)
+        parked_meta = {}
+        if self._parked:
+            with self._plock:
+                for i, p in self._parked.items():
+                    parked_meta[str(i)] = dict(
+                        locked=bool(p.locked),
+                        locked_streak=int(p.locked_streak),
+                        blocks_fed=int(p.blocks_fed),
+                        blocks_done=int(p.blocks_done))
+                    for k, v in p.carry.items():
+                        arrays[f"parked_{i}_carry_{k}"] = np.asarray(v)
+                    pack_rows(list(p.out_rows), arrays,
+                              f"parked_{i}_rows_")
+        for i, rows in self._retired_rows.items():
+            pack_rows(list(rows), arrays, f"retired_{i}_rows_")
+        meta = dict(
+            cfg=dataclasses.asdict(self.cfg),
+            n_streams=self.n_streams,
+            axis_name=self.axis_name,
+            backend=self._backend,
+            recover_flagged=self.recover_flagged,
+            telemetry_every=self.telemetry_every,
+            park=self.park_enabled, park_after=self.park_after,
+            unpark_after=self.unpark_after, park_max=self.park_max,
+            flap_park=self.flap_park,
+            tick_idx=self._tick_idx, block_idx=self._block_idx,
+            active_locked=(None if self._active_locked is None
+                           else int(self._active_locked)),
+            wide_latch=bool(self._wide_latch),
+            use_banded=bool(self.use_banded),
+            banded_cfg=(dataclasses.asdict(self.banded_cfg)
+                        if self.banded_cfg is not None else None),
+            recovered_streams=int(self.recovered_streams),
+            telemetry=(None if self.telemetry is None else
+                       {k: float(v) for k, v in self.telemetry.items()}),
+            parked=parked_meta,
+            retired=sorted(int(i) for i in self._retired_rows))
+        return meta, arrays
+
+    def restore_state(self, meta: dict, z, prefix: str = "") -> None:
+        """Overwrite this fleet's state from a state_dict capture (`z` is
+        any mapping of the arrays with key list `z.files`, e.g. an open
+        npz). The fleet must have been constructed with the same cfg,
+        n_streams, and mesh size; policy parameters are re-applied from
+        meta so a default-constructed fleet becomes exact."""
+        from .serialize import unpack_rows
+        p = prefix
+        self._backend = meta["backend"]
+        self.recover_flagged = meta["recover_flagged"]
+        self.telemetry_every = meta["telemetry_every"]
+        self.park_enabled = meta["park"]
+        self.park_after = meta["park_after"]
+        self.unpark_after = meta["unpark_after"]
+        self.park_max = meta["park_max"]
+        self.flap_park = meta["flap_park"]
+        sharding = NamedSharding(self.mesh, P(self.axis_name))
+        self.carry = DemodCarry(**{
+            k[len(p) + len("carry_"):]:
+                jax.device_put(np.asarray(z[k]), sharding)
+            for k in z.files
+            if k.startswith(f"{p}carry_")})
+        self._unlock_streak = np.asarray(z[f"{p}unlock_streak"]).copy()
+        self._flap_count = np.asarray(z[f"{p}flap_count"]).copy()
+        for name, attr in (("last_locked_vec", "_last_locked_vec"),
+                           ("lonce_vec", "_lonce_vec"),
+                           ("agc_vec", "_agc_vec"),
+                           ("stream_flags", "stream_flags")):
+            if f"{p}{name}" in z.files:
+                setattr(self, attr, np.asarray(z[f"{p}{name}"]).copy())
+        if meta["telemetry"] is not None:
+            self.telemetry = {
+                k: (np.float32(v) if k == "mean_agc_gain"
+                    else np.int32(v))
+                for k, v in meta["telemetry"].items()}
+        self._tick_idx = int(meta["tick_idx"])
+        self._block_idx = int(meta["block_idx"])
+        self._active_locked = meta["active_locked"]
+        self._wide_latch = bool(meta["wide_latch"])
+        self.use_banded = bool(meta["use_banded"])
+        if meta["banded_cfg"] is not None:
+            self.banded_cfg = DemodConfig(**meta["banded_cfg"])
+        self.recovered_streams = int(meta["recovered_streams"])
+        for i_s, pm in meta["parked"].items():
+            i = int(i_s)
+            leaves = {
+                k[len(f"{p}parked_{i}_carry_"):]: np.asarray(z[k]).copy()
+                for k in z.files
+                if k.startswith(f"{p}parked_{i}_carry_")}
+            self._ensure_worker()
+            ps = _ParkedStream(leaves)
+            ps.locked = bool(pm["locked"])
+            ps.locked_streak = int(pm["locked_streak"])
+            ps.blocks_fed = int(pm["blocks_fed"])
+            ps.blocks_done = int(pm["blocks_done"])
+            ps.out_rows = unpack_rows(z, f"{p}parked_{i}_rows_")
+            self._parked[i] = ps
+        for i in meta["retired"]:
+            rows = unpack_rows(z, f"{p}retired_{i}_rows_")
+            if rows:
+                self._retired_rows[int(i)] = rows
+
     def _ensure_worker(self) -> None:
         if self._worker is not None:
             return

@@ -89,14 +89,8 @@ def test_fleet_checkpoint_resume_bitwise(cfg, tmp_path):
 
     # The straggler's host-path drain: rows saved pre-checkpoint plus the
     # resumed continuation equal the uninterrupted fleet's full drain.
-    import time
-    for f in (ref, resumed):
-        for _ in range(600):
-            with f._plock:
-                if all(p.blocks_done == p.blocks_fed
-                       for p in f._parked.values()):
-                    break
-            time.sleep(0.02)
+    ref.wait_parked_drained()
+    resumed.wait_parked_drained()
     want = ref.parked_output(straggler)
     got = resumed.parked_output(straggler)
     for k in ("sym_re", "sym_im", "valid", "locked_once"):
@@ -151,3 +145,8 @@ def test_fleet_checkpoint_rejects_wrong_kind(cfg, tmp_path):
     save_fleet_checkpoint(p, fleet)
     with pytest.raises(ValueError):
         load_serving_checkpoint(p)
+    # The single-stream loader rejects kind-tagged files with a clear
+    # error instead of a confusing KeyError deep in reconstruction.
+    from meteor_demod_tpu.io.checkpoint import load_checkpoint
+    with pytest.raises(ValueError, match="fleet checkpoint"):
+        load_checkpoint(p)
