@@ -148,6 +148,36 @@ def load_serving_checkpoint(path: str, mesh=None):
     return serving
 
 
+def save_multihost_checkpoint(path: str, fleet) -> None:
+    """Serialize THIS PROCESS's view of a MultiHostFleet (its local carry
+    rows + replicated counters). In a multi-host job every process calls
+    this with its own path (e.g. suffixed with jax.process_index())."""
+    meta, arrays = fleet.state_dict()
+    meta = dict(version=_FORMAT_VERSION, kind="multihost", fleet=meta)
+    np.savez(path,
+             meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+             **arrays)
+
+
+def load_multihost_checkpoint(path: str):
+    """Reconstruct this process's MultiHostFleet from its own file; must
+    run collectively in a job with the save-time topology."""
+    from ..parallel.multihost import MultiHostFleet
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["meta"].tobytes()).decode())
+        if (meta["version"] != _FORMAT_VERSION
+                or meta.get("kind") != "multihost"):
+            raise ValueError("not a multihost checkpoint")
+        fm = meta["fleet"]
+        fleet = MultiHostFleet(DemodConfig(**fm["cfg"]),
+                               fm["streams_per_device"],
+                               axis_name=fm["axis_name"],
+                               recover_flagged=fm["recover_flagged"],
+                               telemetry_every=fm["telemetry_every"])
+        fleet.restore_state(fm, z)
+        return fleet
+
+
 def load_checkpoint(path: str) -> StreamDemodulator:
     """Reconstruct a StreamDemodulator exactly as saved."""
     import jax.numpy as jnp

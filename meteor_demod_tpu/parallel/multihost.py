@@ -107,6 +107,7 @@ class MultiHostFleet:
         # processes always dispatch the same program.
         self.telemetry_every = telemetry_every
         self._block_idx = 0
+        self._backend = backend
         self._fn = make_fleet_demod(cfg, self.mesh, axis_name, backend)
         self._fn_notel = (make_fleet_demod(cfg, self.mesh, axis_name,
                                            backend, telemetry=False)
@@ -245,6 +246,68 @@ class MultiHostFleet:
         self.telemetry = {k: np.asarray(v) for k, v in egress(tel).items()}
         self.telemetry["flags"] = np.int32(0)
         return outs_local
+
+    # -- checkpoint state (io/checkpoint.py wraps these in .npz files) --
+
+    def state_dict(self) -> tuple[dict, dict]:
+        """(json-able meta, numpy arrays) capturing THIS PROCESS's view:
+        its local carry rows plus the replicated host-side counters. In a
+        multi-host job every process saves its own file (same block
+        index by SPMD construction); restore runs collectively with the
+        same process count."""
+        import dataclasses
+        arrays = {f"carry_{k}": np.asarray(self._local_rows(v))
+                  for k, v in self.carry._asdict().items()}
+        if self.local_stream_flags is not None:
+            arrays["local_stream_flags"] = np.asarray(
+                self.local_stream_flags)
+        meta = dict(
+            cfg=dataclasses.asdict(self.cfg),
+            streams_per_device=self.spd,
+            axis_name=self.axis_name,
+            backend=self._backend,
+            telemetry_every=self.telemetry_every,
+            recover_flagged=self.recover_flagged,
+            block_idx=self._block_idx,
+            recovered_streams=int(self.recovered_streams),
+            n_local=self.n_local, n_streams=self.n_streams,
+            telemetry=(None if self.telemetry is None else
+                       {k: float(v) for k, v in self.telemetry.items()}))
+        return meta, arrays
+
+    def restore_state(self, meta: dict, z, prefix: str = "") -> None:
+        """Overwrite this process's state from a state_dict capture. The
+        job must have the same process count and local device count as at
+        save time (checked via n_local/n_streams)."""
+        p = prefix
+        if (meta["n_local"] != self.n_local
+                or meta["n_streams"] != self.n_streams):
+            raise ValueError(
+                f"checkpoint topology (n_local {meta['n_local']}, "
+                f"n_streams {meta['n_streams']}) does not match this job "
+                f"({self.n_local}, {self.n_streams})")
+        self.telemetry_every = meta["telemetry_every"]
+        if self.telemetry_every > 1 and self._fn_notel is None:
+            self._fn_notel = make_fleet_demod(
+                self.cfg, self.mesh, self.axis_name, self._backend,
+                telemetry=False)
+        self.recover_flagged = meta["recover_flagged"]
+        self.carry = DemodCarry(**{
+            k[len(p) + len("carry_"):]:
+                jax.make_array_from_process_local_data(
+                    self._sharding, np.ascontiguousarray(z[k]))
+            for k in z.files
+            if k.startswith(f"{p}carry_")})
+        self._block_idx = int(meta["block_idx"])
+        self.recovered_streams = int(meta["recovered_streams"])
+        if f"{p}local_stream_flags" in z.files:
+            self.local_stream_flags = np.asarray(
+                z[f"{p}local_stream_flags"]).copy()
+        if meta["telemetry"] is not None:
+            self.telemetry = {
+                k: (np.float32(v) if k == "mean_agc_gain"
+                    else np.int32(v))
+                for k, v in meta["telemetry"].items()}
 
     def flagged_local_streams(self) -> np.ndarray:
         """Local stream rows that tripped a safety flag in the last block

@@ -136,6 +136,41 @@ def test_serving_checkpoint_resume_bitwise(cfg, tmp_path):
         _assert_outs_equal(got, want, f"block {cut + b}")
 
 
+def test_multihost_checkpoint_resume_bitwise(cfg, tmp_path):
+    """MultiHostFleet per-process checkpoint: save mid-run (single
+    process over the 8-device mesh — the 2-process bit-identity of the
+    underlying step is pinned by tests/test_multihost.py), resume, and
+    subsequent local rows are bit-identical to the uninterrupted run."""
+    from meteor_demod_tpu.io.checkpoint import (
+        load_multihost_checkpoint, save_multihost_checkpoint)
+    from meteor_demod_tpu.parallel.multihost import MultiHostFleet
+    spd, n_blocks, cut = 1, 10, 6
+    import jax
+    n_streams = spd * len(jax.devices())
+    data = _mixed_data(cfg, n_streams, n_blocks, seed0=40)
+
+    def run(fleet, lo, hi):
+        return [fleet.process_local_blocks(
+            data[:, b * cfg.block_len:(b + 1) * cfg.block_len])
+            for b in range(lo, hi)]
+
+    ref = MultiHostFleet(cfg, spd, telemetry_every=2)
+    ref_outs = run(ref, 0, n_blocks)
+
+    fleet = MultiHostFleet(cfg, spd, telemetry_every=2)
+    run(fleet, 0, cut)
+    ckpt = str(tmp_path / "mh.npz")
+    save_multihost_checkpoint(ckpt, fleet)
+    resumed = load_multihost_checkpoint(ckpt)
+    assert resumed._block_idx == cut
+    assert resumed.telemetry_every == 2
+    res_outs = run(resumed, cut, n_blocks)
+    for b, (got, want) in enumerate(zip(res_outs, ref_outs[cut:])):
+        _assert_outs_equal(got, want, f"block {cut + b}")
+    assert int(resumed.telemetry["locked_streams"]) == int(
+        ref.telemetry["locked_streams"])
+
+
 def test_fleet_checkpoint_rejects_wrong_kind(cfg, tmp_path):
     n_streams = 8
     data = _mixed_data(cfg, n_streams, 2)
