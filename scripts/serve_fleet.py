@@ -1,0 +1,297 @@
+"""Production serving host: many LRPT streams on one chip, restartable.
+
+The reference serves one stream per process (/root/reference/main.c:284-329);
+the TPU fleet replaces N such processes with one ServingFleet (tau0-sorted
+banded dispatch groups, straggler parking) — see parallel/serving.py and
+docs/PERF.md for the measured rates. This script is the operational glue a
+deployment needs around it:
+
+- N inputs (2-channel WAV files and/or synthesized passes) demodulated
+  concurrently, one lock-gated .s writer per stream (the reference's ring
+  semantics, io/writer.py);
+- parked stragglers' host-path symbols drained back into each stream's
+  writer in order (device rows are masked while parked, so per-stream
+  symbol order is preserved);
+- periodic + signal-triggered checkpointing (save_serving_checkpoint) and
+  --resume, which seeks every input to the checkpoint's block index —
+  demodulation continues bit-identically (tests/test_fleet_checkpoint.py
+  pins the resume contract). Writer ring state rides in a side
+  <checkpoint>.writers.npz and the .s files are truncated back to the
+  checkpointed byte counts on resume, so the restarted host's byte
+  stream is EXACTLY the uninterrupted one (validated below).
+
+Smoke run (CPU):
+    METEOR_DEMOD_PLATFORM=cpu python scripts/serve_fleet.py \
+        --synth 16 --dead 1 --seconds 2 --group-size 8 \
+        --out-dir /tmp/fleet_out --checkpoint /tmp/fleet.ckpt.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import signal
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from meteor_demod_tpu.config import DemodConfig                 # noqa: E402
+from meteor_demod_tpu.io.checkpoint import (                    # noqa: E402
+    load_serving_checkpoint, save_serving_checkpoint)
+from meteor_demod_tpu.io.wav import decode_iq, wav_parse        # noqa: E402
+from meteor_demod_tpu.io.writer import SymbolWriter             # noqa: E402
+from meteor_demod_tpu.demod.pipeline import quantize_symbols    # noqa: E402
+from meteor_demod_tpu.parallel.serving import ServingFleet      # noqa: E402
+from meteor_demod_tpu.sim import synth_psk                      # noqa: E402
+
+_HEADER_SIZE = 44
+
+
+class _FileSource:
+    """Block-aligned reads from a 2-channel WAV; zeros after EOF."""
+
+    def __init__(self, path: str, block_len: int, samplerate: int):
+        self.f = open(path, "rb")
+        info = wav_parse(self.f)
+        if info is None:
+            raise SystemExit(f"{path}: not a 2-channel WAV")
+        if info.samplerate != samplerate:
+            raise SystemExit(
+                f"{path}: samplerate {info.samplerate} != {samplerate}")
+        self.bps = info.bps
+        self.block_bytes = block_len * 2 * (info.bps // 8)
+        self.block_len = block_len
+        self.done = False
+
+    def seek_blocks(self, n: int) -> None:
+        self.f.seek(_HEADER_SIZE + n * self.block_bytes)
+
+    def next_block(self) -> np.ndarray:
+        if self.done:
+            return np.zeros(self.block_len, np.complex64)
+        raw = self.f.read(self.block_bytes)
+        if len(raw) < self.block_bytes:
+            self.done = True
+            return np.zeros(self.block_len, np.complex64)
+        return decode_iq(raw, self.bps)
+
+
+class _SynthSource:
+    """A deterministic synthesized pass (or pure-noise dead antenna)."""
+
+    def __init__(self, idx: int, cfg: DemodConfig, n_blocks: int,
+                 dead: bool):
+        n = n_blocks * cfg.block_len
+        if dead:
+            rng = np.random.default_rng(1000 + idx)
+            x = (500.0 * (rng.standard_normal(n)
+                          + 1j * rng.standard_normal(n))
+                 ).astype(np.complex64)
+        else:
+            x, _ = synth_psk(
+                int(n * cfg.symrate / cfg.samplerate) + 64,
+                cfg.samplerate, symrate=cfg.symrate, oqpsk=cfg.oqpsk,
+                carrier_hz=-2000.0 + 317.0 * idx, amplitude=6000.0,
+                snr_db=(12.0, 15.0, 18.0, 25.0)[idx % 4], seed=idx,
+                carrier_ramp_hz_s=(-30.0, 0.0, 30.0)[idx % 3])
+            x = x[:n]
+        self.x = x
+        self.block_len = cfg.block_len
+        self.pos = 0
+        self.done = False
+
+    def seek_blocks(self, n: int) -> None:
+        self.pos = n * self.block_len
+
+    def next_block(self) -> np.ndarray:
+        if self.pos + self.block_len > len(self.x):
+            self.done = True
+            return np.zeros(self.block_len, np.complex64)
+        b = self.x[self.pos:self.pos + self.block_len]
+        self.pos += self.block_len
+        return b
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--inputs", nargs="*", default=[],
+                    help="2-channel WAV files, one per stream")
+    ap.add_argument("--synth", type=int, default=0,
+                    help="additionally synthesize this many streams")
+    ap.add_argument("--dead", type=int, default=0,
+                    help="of the synthesized streams, make this many "
+                         "pure-noise dead antennas (exercises parking)")
+    ap.add_argument("--seconds", type=float, default=10.0,
+                    help="length of the synthesized streams")
+    ap.add_argument("-s", "--samplerate", type=int, default=230400)
+    ap.add_argument("--block-len", type=int, default=8192)
+    ap.add_argument("--group-size", type=int, default=128)
+    ap.add_argument("--band", type=int, default=8)
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--checkpoint", default=None,
+                    help=".npz path; saved periodically and on SIGINT/"
+                         "SIGTERM")
+    ap.add_argument("--checkpoint-every", type=int, default=256,
+                    help="blocks between periodic checkpoint saves")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from --checkpoint (inputs are seeked to "
+                         "the checkpoint's block index; .s files appended)")
+    ap.add_argument("--status-every", type=int, default=64)
+    ap.add_argument("--max-blocks", type=int, default=0,
+                    help="stop after this many blocks (0 = run to EOF); "
+                         "for deterministic kill/resume validation")
+    args = ap.parse_args()
+
+    cfg = DemodConfig(samplerate=args.samplerate, block_len=args.block_len)
+    n_blocks_synth = max(
+        1, int(args.seconds * cfg.samplerate / cfg.block_len))
+    sources = [_FileSource(p, cfg.block_len, cfg.samplerate)
+               for p in args.inputs]
+    n_files = len(sources)
+    for i in range(args.synth):
+        sources.append(_SynthSource(n_files + i, cfg, n_blocks_synth,
+                                    dead=i < args.dead))
+    n_streams = len(sources)
+    if n_streams == 0 or n_streams % args.group_size != 0:
+        raise SystemExit(
+            f"{n_streams} streams; need a nonzero multiple of "
+            f"--group-size {args.group_size}")
+
+    start_block = 0
+    if args.resume:
+        if not (args.checkpoint and os.path.exists(args.checkpoint)):
+            raise SystemExit("--resume needs an existing --checkpoint")
+        fleet = load_serving_checkpoint(args.checkpoint)
+        if fleet.n_streams != n_streams:
+            raise SystemExit(
+                f"checkpoint has {fleet.n_streams} streams, inputs give "
+                f"{n_streams}")
+        start_block = fleet.groups[0]._block_idx
+        for s in sources:
+            s.seek_blocks(start_block)
+        print(f"resumed at block {start_block}", flush=True)
+    else:
+        fleet = ServingFleet(cfg, n_streams, group_size=args.group_size,
+                             band=args.band)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    mode = "ab" if args.resume else "wb"
+    files = [open(os.path.join(args.out_dir, f"stream{i:03d}.s"), mode)
+             for i in range(n_streams)]
+    writers = [SymbolWriter(f) for f in files]
+    if args.resume:
+        wpath = args.checkpoint + ".writers.npz"
+        if os.path.exists(wpath):
+            with np.load(wpath) as z:
+                for i, w in enumerate(writers):
+                    w._ring[:] = z["rings"][i]
+                    w._fill = int(z["fills"][i])
+                    w.bytes_out = int(z["bytes_out"][i])
+            # The .s files may hold bytes written AFTER the checkpoint
+            # (blocks between the last save and the kill): truncate back
+            # to the recorded counts so the resume appends exactly once.
+            for i, f in enumerate(files):
+                f.truncate(writers[i].bytes_out)
+                f.seek(writers[i].bytes_out)
+
+    stop = {"now": False}
+
+    def _sig(_signo, _frame):
+        stop["now"] = True
+
+    signal.signal(signal.SIGINT, _sig)
+    signal.signal(signal.SIGTERM, _sig)
+
+    def _drain_stream(i: int) -> None:
+        """Write stream i's deferred host-path (parked) symbols."""
+        rows = fleet.parked_output(i)
+        v = rows["valid"].astype(bool)
+        if not v.any():
+            return
+        sym = np.zeros(int(v.sum()),
+                       dtype=[("re", np.float32), ("im", np.float32),
+                              ("locked_once", np.int32)])
+        sym["re"] = rows["sym_re"][v]
+        sym["im"] = rows["sym_im"][v]
+        sym["locked_once"] = rows["locked_once"][v]
+        writers[i].feed(quantize_symbols(sym), sym["locked_once"])
+
+    def _save() -> None:
+        if not args.checkpoint:
+            return
+        for i in range(n_streams):
+            _drain_stream(i)          # deferred rows go to disk, not .npz
+        for f in files:
+            f.flush()
+        # Writer ring state rides in a side file so a resumed host
+        # continues the byte stream EXACTLY (flushing partial rings
+        # mid-run would break the reference's ring cadence and emit
+        # pre-lock bytes; the reference flushes only at EOF).
+        tmp = args.checkpoint + ".tmp.npz"   # savez appends .npz otherwise
+        save_serving_checkpoint(tmp, fleet)
+        os.replace(tmp, args.checkpoint)
+        wtmp = args.checkpoint + ".writers.tmp.npz"
+        np.savez(wtmp,
+                 rings=np.stack([w._ring for w in writers]),
+                 fills=np.array([w._fill for w in writers]),
+                 bytes_out=np.array([w.bytes_out for w in writers]))
+        os.replace(wtmp, args.checkpoint + ".writers.npz")
+        print(f"checkpoint saved at block {fleet.groups[0]._block_idx}",
+              flush=True)
+
+    t0 = time.time()
+    blocks = 0
+    try:
+        while not stop["now"]:
+            if args.max_blocks and blocks >= args.max_blocks:
+                break
+            if all(s.done for s in sources):
+                break
+            batch = np.stack([s.next_block() for s in sources])
+            outs = fleet.process_blocks(batch)
+            for i in range(n_streams):
+                _drain_stream(i)
+                v = np.asarray(outs.valid)[i].astype(bool)
+                if v.any():
+                    sym = np.zeros(int(v.sum()),
+                                   dtype=[("re", np.float32),
+                                          ("im", np.float32),
+                                          ("locked_once", np.int32)])
+                    sym["re"] = np.asarray(outs.sym_re)[i][v]
+                    sym["im"] = np.asarray(outs.sym_im)[i][v]
+                    sym["locked_once"] = np.asarray(outs.locked_once)[i][v]
+                    writers[i].feed(quantize_symbols(sym),
+                                    sym["locked_once"])
+            blocks += 1
+            if args.checkpoint and blocks % args.checkpoint_every == 0:
+                _save()
+            if blocks % args.status_every == 0:
+                tel = {g: f.telemetry for g, f in enumerate(fleet.groups)}
+                locked = sum(int(t["locked_streams"]) for t in tel.values()
+                             if t is not None)
+                parked = sum(len(f._parked) for f in fleet.groups)
+                rate = (blocks * cfg.block_len * n_streams
+                        / max(time.time() - t0, 1e-9) / 1e6)
+                print(f"block {start_block + blocks}: locked {locked}/"
+                      f"{n_streams}, parked {parked}, banded groups "
+                      f"{fleet.banded_groups()}, {rate:.1f} Msamp/s",
+                      flush=True)
+    finally:
+        _save()
+        for i in range(n_streams):
+            _drain_stream(i)
+        for w in writers:
+            w.flush_partial()
+        for f in files:
+            f.close()
+        total = sum(w.bytes_out for w in writers)
+        print(f"{start_block + blocks} blocks served, {total} soft bytes "
+              f"across {n_streams} streams", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
