@@ -488,6 +488,30 @@ def _bench_acquisition_diverse(cfg, fleet_locked_sps=None,
     cur_locked = np.asarray(egress(carry.locked))
     unlocked = np.nonzero(cur_locked == 0)[0]
     out["never_locked_streams"] = int(len(unlocked))
+    if len(unlocked) > 1:
+        # Sweep-rescue leg (parallel/mesh.py sweep_rescue_s; the
+        # reference-shared acquisition dead zone): kick every
+        # never-locked lane onto the downward escape pass (p_freq=+fmax,
+        # updown=-1) and measure how many lock within the transit budget.
+        # Expectation: everything but the pure-noise lane.
+        from meteor_demod_tpu.demod.state import DemodCarry
+        kick = {k: np.array(v) for k, v in egress(carry)._asdict().items()}
+        kick["p_freq"][unlocked] = np.float32(cfg.pll_fmax)
+        kick["updown"][unlocked] = np.float32(-1.0)
+        c3 = DemodCarry(**{k: jnp.asarray(v) for k, v in kick.items()})
+        extra = 0
+        while extra < 30:                 # <= ~17 s signal: transit ~7 s
+            c3, _ = fn(c3, blocks)
+            extra += 1
+            if int(np.sum(egress(c3.locked))) >= batch - 1:
+                break
+        after = np.asarray(egress(c3.locked))
+        out["rescue_kick"] = {
+            "kicked_streams": int(len(unlocked)),
+            "rescued_streams": int((after[unlocked] != 0).sum()),
+            "extra_signal_s": round(extra * span / cfg.samplerate, 2),
+            "never_locked_after_rescue": int((after == 0).sum()),
+        }
     # Rates only on TPU: off-chip both legs compile the same scan program
     # (no locked geometry) and the ratio would record a meaningless ~1.0.
     if on_tpu and 0 < len(unlocked) <= max(16, batch // 8):

@@ -32,6 +32,7 @@ LONGOPTS = [
     "batch", "pll-bw=", "freq-delta=", "fir-order=", "help", "mode=",
     "output=", "oversamp=", "quiet", "refresh-rate=", "symrate=", "stdout",
     "samplerate=", "bps=", "version", "turbo=", "checkpoint=",
+    "sweep-rescue=",
 ]
 
 USAGE = """Usage: {pname} [options] file_in
@@ -80,6 +81,15 @@ TPU extensions (not in the reference):
                            contract). Split at 32 KiB multiples: the
                            ingest drops partial trailing chunks
                            (reference parity). Not combinable with -T
+       --sweep-rescue <s>  Escape the acquisition sweep's dead zone: after
+                           <s> seconds of unlocked signal, restart the
+                           sweep from +fmax downward (a full downward
+                           pass captures every in-range carrier; the
+                           reference's upward-first sweep measurably
+                           stalls near small negative offsets and never
+                           locks — pll.c:109-130). 0 (default) disables
+                           the kick for exact reference acquisition
+                           behavior
 """
 
 
@@ -120,6 +130,7 @@ class Options:
         self.input_path = None
         self.turbo_chunks: int | None = None     # None = off, 0 = auto
         self.checkpoint_path: str | None = None
+        self.sweep_rescue_s = 0.0                # 0 = off (ref parity)
 
 
 def parse_args(argv: list[str]) -> Options | int:
@@ -166,6 +177,8 @@ def parse_args(argv: list[str]) -> Options | int:
             opts.turbo_chunks = _atoi(val)
         elif flag == "--checkpoint":
             opts.checkpoint_path = val
+        elif flag == "--sweep-rescue":
+            opts.sweep_rescue_s = human_to_float(val)
         elif flag in ("-v", "--version"):
             sys.stderr.write(f"meteor_demod_tpu v{__version__}\n")
             return 0
@@ -336,7 +349,8 @@ def main(argv: list[str] | None = None) -> int:
     span_turbo = opts.turbo_chunks is not None
     span_chunks = (opts.turbo_chunks or 32) if span_turbo else 32
     demod = StreamDemodulator(cfg, span_turbo=span_turbo,
-                              span_chunks=max(2, span_chunks))
+                              span_chunks=max(2, span_chunks),
+                              sweep_rescue_s=opts.sweep_rescue_s)
     if opts.checkpoint_path is not None and os.path.exists(
             opts.checkpoint_path):
         from .io.checkpoint import load_checkpoint

@@ -136,7 +136,7 @@ class StreamDemodulator:
 
     def __init__(self, cfg: DemodConfig, backend: str = "auto",
                  span_turbo: bool = False, span_chunks: int = 32,
-                 span_blocks: int = 16):
+                 span_blocks: int = 16, sweep_rescue_s: float = 0.0):
         cfg.validate()
         self.cfg = cfg
         from .backend import jit_single_demod
@@ -185,6 +185,25 @@ class StreamDemodulator:
         self._telemetry = dict(
             p_freq=0.0, t_freq=float(cfg.timing_freq), locked=False,
             locked_once=False, agc_gain=1.0)
+        # Sweep rescue (opt-in; 0 = off = exact reference acquisition):
+        # the reference's upward-first sweep has a measured dead zone for
+        # small-negative carrier offsets (a stable false equilibrium near
+        # 0 Hz that -195 Hz @ 25 dB never escapes — the C binary shares
+        # the stall; pll.c:109-130, docs/PERF.md). After sweep_rescue_s
+        # seconds of unlocked signal the carry is kicked host-side onto
+        # the downward escape pass (p_freq=+fmax, updown=-1), which
+        # captures every in-range carrier (~4 s transit). Same mechanism
+        # as FleetDemodulator.sweep_rescue_s; CLI: --sweep-rescue.
+        self.sweep_rescue_s = float(sweep_rescue_s)
+        self._rescue_pending_samples = 0
+        # Post-kick cooldown: a full downward pass takes 2*fmax/SWEEP_STEP
+        # symbols; re-kicking before the pass completes would reset the
+        # sweep forever. The counter goes negative after a kick so the
+        # next one waits transit + budget.
+        from ..constants import SWEEP_STEP
+        self._rescue_transit_samples = int(
+            2.0 * float(cfg.pll_fmax) / SWEEP_STEP
+            * cfg.samplerate / cfg.symrate)
 
     def _set_telemetry(self, p_freq, t_freq, locked, locked_once,
                        agc_gain) -> None:
@@ -283,11 +302,36 @@ class StreamDemodulator:
                 chunks.append(self._finish_span(span_pend))
         else:
             self._drain_blocks(chunks)
+        if self.sweep_rescue_s > 0:
+            self._maybe_sweep_kick(len(samples))
         if chunks:
             out = np.concatenate(chunks)
             self.symbols_out += len(out)
             return out
         return np.zeros(0, dtype=_SYM_DTYPE)
+
+    def _maybe_sweep_kick(self, n_samples: int) -> None:
+        """Count unlocked signal; kick the carry onto the downward escape
+        sweep when the budget is exceeded (see __init__)."""
+        if self._telemetry["locked"]:
+            self._rescue_pending_samples = 0
+            return
+        self._rescue_pending_samples += n_samples
+        if (self._rescue_pending_samples
+                < self.sweep_rescue_s * self.cfg.samplerate):
+            return
+        self.sync()
+        leaves = {k: np.asarray(v)
+                  for k, v in egress(self._carry)._asdict().items()}
+        if int(leaves["locked"]):        # locked since the last refresh
+            self._rescue_pending_samples = 0
+            return
+        leaves["p_freq"] = np.float32(self.cfg.pll_fmax)
+        leaves["updown"] = np.float32(-1.0)
+        from .state import DemodCarry
+        self._carry = DemodCarry(**leaves)
+        self._publish_telemetry()
+        self._rescue_pending_samples = -self._rescue_transit_samples
 
     def _drain_blocks(self, chunks: list) -> None:
         """Drain _pending through the chained / single-block device paths

@@ -55,7 +55,8 @@ def _fleet_ctor_kw(meta: dict) -> dict:
                 telemetry_every=meta["telemetry_every"],
                 park=meta["park"], park_after=meta["park_after"],
                 unpark_after=meta["unpark_after"],
-                park_max=meta["park_max"], flap_park=meta["flap_park"])
+                park_max=meta["park_max"], flap_park=meta["flap_park"],
+                sweep_rescue_s=meta.get("sweep_rescue_s", 0.0))
 
 
 def save_fleet_checkpoint(path: str, fleet) -> None:

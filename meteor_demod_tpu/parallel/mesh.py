@@ -125,6 +125,11 @@ class _ParkedStream:
         self.locked_streak = 0
         self.blocks_fed = 0
         self.blocks_done = 0
+        # Sweep rescue (FleetDemodulator.sweep_rescue_s): the tick thread
+        # requests a kick; the worker — the sole carry mutator — applies
+        # it before the next step.
+        self.kick_wanted = False
+        self.last_kick_fed = 0
 
 
 class FleetDemodulator:
@@ -140,7 +145,8 @@ class FleetDemodulator:
                  backend: str = "auto", recover_flagged: bool = True,
                  telemetry_every: int = 1, park: bool = True,
                  park_after: int = 6, unpark_after: int = 2,
-                 park_max: int | None = None, flap_park: int = 6):
+                 park_max: int | None = None, flap_park: int = 6,
+                 sweep_rescue_s: float = 0.0):
         cfg.validate()
         self.cfg = cfg
         self.axis_name = axis_name
@@ -174,6 +180,36 @@ class FleetDemodulator:
         self.park_max = (max(1, n_streams // 16) if park_max is None
                          else int(park_max))
         self.flap_park = int(flap_park)
+        # Sweep rescue (opt-in; 0 = off = exact reference acquisition).
+        # The reference's upward-first sweep has a measured DEAD ZONE:
+        # small-negative carrier offsets trap the loop in a stable false
+        # equilibrium near 0 Hz (mean Costas feedback cancels the sweep
+        # step; -195 Hz @ 25 dB never locks in 68 s, and the C binary
+        # shares the stall — pll.c:109-130, docs/PERF.md "acquisition
+        # dead zone"). A DOWNWARD pass from the +fmax rail captures every
+        # carrier in range (measured: lock ~4 s after the kick at the
+        # sweep's 825 Hz/s transit). So: a stream unlocked for
+        # sweep_rescue_s seconds of signal gets its carry KICKED on the
+        # host side — p_freq=+fmax, updown=-1 — restarting acquisition on
+        # the escape trajectory. Pure orchestration: no decision-structure
+        # change, the kernel/scan/oracle programs are untouched, and the
+        # kick is the same host-side carry splice parking uses. Applies to
+        # device lanes at telemetry ticks and to parked host carries via
+        # the park worker.
+        self.sweep_rescue_s = float(sweep_rescue_s)
+        self._rescue_blocks = (
+            0 if sweep_rescue_s <= 0 else
+            max(1, int(round(sweep_rescue_s * cfg.samplerate
+                             / cfg.block_len))))
+        # Post-kick cooldown: a full downward pass takes 2*fmax/SWEEP_STEP
+        # symbols; re-kicking before it completes would reset the sweep
+        # forever. Counters go negative after a kick so the next one
+        # waits transit + budget.
+        from ..constants import SWEEP_STEP
+        self._rescue_transit_blocks = int(
+            2.0 * float(cfg.pll_fmax) / SWEEP_STEP
+            * cfg.samplerate / cfg.symrate / cfg.block_len) + 1
+        self._rescue_streak = np.zeros(n_streams, np.int64)
         self._parked: dict[int, _ParkedStream] = {}
         self._retired_rows: dict[int, list] = {}
         self._unlock_streak = np.zeros(n_streams, np.int64)
@@ -357,10 +393,43 @@ class FleetDemodulator:
             self._unlock_streak[active & (locked_vec == 0)] += 1
         self._unlock_streak[active & (locked_vec != 0)] = 0
         self._wide_latch = False
+        if self._rescue_blocks:
+            self._rescue_streak[active & (locked_vec == 0)] += 1
+            self._rescue_streak[active & (locked_vec != 0)] = 0
+            self._maybe_rescue(active)
         if not self.park_enabled:
             return
         self._maybe_unpark()
         self._maybe_park(locked_vec, active)
+
+    def _maybe_rescue(self, active: np.ndarray) -> None:
+        """Kick long-unlocked streams onto the downward escape sweep (see
+        the sweep_rescue_s note in __init__): active device lanes get a
+        host-side carry splice here; parked streams get a kick request the
+        park worker applies to the host carry."""
+        kick_ticks = -(-self._rescue_blocks // self.telemetry_every)
+        lanes = np.nonzero(active
+                           & (self._rescue_streak >= kick_ticks))[0]
+        if len(lanes):
+            cur = {k: np.array(v)
+                   for k, v in egress(self.carry)._asdict().items()}
+            cur["p_freq"][lanes] = np.float32(self.cfg.pll_fmax)
+            cur["updown"][lanes] = np.float32(-1.0)
+            sharding = NamedSharding(self.mesh, P(self.axis_name))
+            self.carry = DemodCarry(
+                **{k: jax.device_put(v, sharding) for k, v in cur.items()})
+            self._rescue_streak[lanes] = -(self._rescue_transit_blocks
+                                           // self.telemetry_every)
+        if not self._parked:
+            return
+        with self._plock:
+            for p in self._parked.values():
+                if (not p.locked and not p.kick_wanted
+                        and p.blocks_fed - p.last_kick_fed
+                        >= self._rescue_blocks):
+                    p.kick_wanted = True
+                    p.last_kick_fed = (p.blocks_fed
+                                       + self._rescue_transit_blocks)
 
     def _maybe_park(self, locked_vec: np.ndarray, active: np.ndarray
                     ) -> None:
@@ -524,6 +593,7 @@ class FleetDemodulator:
                   for k, v in egress(self.carry)._asdict().items()}
         arrays["unlock_streak"] = self._unlock_streak
         arrays["flap_count"] = self._flap_count
+        arrays["rescue_streak"] = self._rescue_streak
         for name, v in (("last_locked_vec", self._last_locked_vec),
                         ("lonce_vec", self._lonce_vec),
                         ("agc_vec", self._agc_vec),
@@ -538,7 +608,9 @@ class FleetDemodulator:
                         locked=bool(p.locked),
                         locked_streak=int(p.locked_streak),
                         blocks_fed=int(p.blocks_fed),
-                        blocks_done=int(p.blocks_done))
+                        blocks_done=int(p.blocks_done),
+                        kick_wanted=bool(p.kick_wanted),
+                        last_kick_fed=int(p.last_kick_fed))
                     for k, v in p.carry.items():
                         arrays[f"parked_{i}_carry_{k}"] = np.asarray(v)
                     pack_rows(list(p.out_rows), arrays,
@@ -555,6 +627,7 @@ class FleetDemodulator:
             park=self.park_enabled, park_after=self.park_after,
             unpark_after=self.unpark_after, park_max=self.park_max,
             flap_park=self.flap_park,
+            sweep_rescue_s=self.sweep_rescue_s,
             tick_idx=self._tick_idx, block_idx=self._block_idx,
             active_locked=(None if self._active_locked is None
                            else int(self._active_locked)),
@@ -585,6 +658,13 @@ class FleetDemodulator:
         self.unpark_after = meta["unpark_after"]
         self.park_max = meta["park_max"]
         self.flap_park = meta["flap_park"]
+        if "sweep_rescue_s" in meta:
+            self.sweep_rescue_s = float(meta["sweep_rescue_s"])
+            self._rescue_blocks = (
+                0 if self.sweep_rescue_s <= 0 else
+                max(1, int(round(self.sweep_rescue_s
+                                 * self.cfg.samplerate
+                                 / self.cfg.block_len))))
         sharding = NamedSharding(self.mesh, P(self.axis_name))
         self.carry = DemodCarry(**{
             k[len(p) + len("carry_"):]:
@@ -593,6 +673,9 @@ class FleetDemodulator:
             if k.startswith(f"{p}carry_")})
         self._unlock_streak = np.asarray(z[f"{p}unlock_streak"]).copy()
         self._flap_count = np.asarray(z[f"{p}flap_count"]).copy()
+        if f"{p}rescue_streak" in z.files:
+            self._rescue_streak = np.asarray(
+                z[f"{p}rescue_streak"]).copy()
         for name, attr in (("last_locked_vec", "_last_locked_vec"),
                            ("lonce_vec", "_lonce_vec"),
                            ("agc_vec", "_agc_vec"),
@@ -624,6 +707,8 @@ class FleetDemodulator:
             ps.locked_streak = int(pm["locked_streak"])
             ps.blocks_fed = int(pm["blocks_fed"])
             ps.blocks_done = int(pm["blocks_done"])
+            ps.kick_wanted = bool(pm.get("kick_wanted", False))
+            ps.last_kick_fed = int(pm.get("last_kick_fed", 0))
             ps.out_rows = unpack_rows(z, f"{p}parked_{i}_rows_")
             self._parked[i] = ps
         for i in meta["retired"]:
@@ -661,6 +746,12 @@ class FleetDemodulator:
             if item is None:
                 return
             p, block = item
+            with self._plock:
+                if p.kick_wanted:        # sweep rescue (_maybe_rescue)
+                    p.carry = dict(p.carry,
+                                   p_freq=np.float32(self.cfg.pll_fmax),
+                                   updown=np.float32(-1.0))
+                    p.kick_wanted = False
             try:
                 if self._host_fn is not None:
                     ctx = jax.default_device(self._cpu_dev)

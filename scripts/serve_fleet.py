@@ -140,6 +140,11 @@ def main() -> int:
                     help="resume from --checkpoint (inputs are seeked to "
                          "the checkpoint's block index; .s files appended)")
     ap.add_argument("--status-every", type=int, default=64)
+    ap.add_argument("--sweep-rescue", type=float, default=0.0,
+                    help="seconds of unlocked signal before a stream's "
+                         "sweep is kicked onto the downward escape pass "
+                         "(0 = off = exact reference acquisition; see "
+                         "parallel/mesh.py sweep_rescue_s)")
     ap.add_argument("--max-blocks", type=int, default=0,
                     help="stop after this many blocks (0 = run to EOF); "
                          "for deterministic kill/resume validation")
@@ -175,7 +180,8 @@ def main() -> int:
         print(f"resumed at block {start_block}", flush=True)
     else:
         fleet = ServingFleet(cfg, n_streams, group_size=args.group_size,
-                             band=args.band)
+                             band=args.band,
+                             sweep_rescue_s=args.sweep_rescue)
 
     os.makedirs(args.out_dir, exist_ok=True)
     mode = "ab" if args.resume else "wb"
