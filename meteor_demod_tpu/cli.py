@@ -333,6 +333,10 @@ def main(argv: list[str] | None = None) -> int:
         sys.stderr.write(f"Invalid configuration: {e}\n")
         return 1
 
+    if opts.sweep_rescue_s > 0 and opts.turbo_chunks is not None:
+        sys.stderr.write("--sweep-rescue is ignored with -T/--turbo (the "
+                         "turbo paths run whole spans; acquisition kicks "
+                         "apply to the sequential/live path only)\n")
     if opts.checkpoint_path is not None and opts.turbo_chunks is not None:
         sys.stderr.write("--checkpoint cannot be combined with -T/--turbo "
                          "(the turbo path is whole-file)\n")
@@ -361,6 +365,9 @@ def main(argv: list[str] | None = None) -> int:
                 f"different configuration; refusing to resume\n")
             return 1
         demod = resumed
+        # The loader builds a default StreamDemodulator; re-apply the
+        # session policy flags (the carry/counters stay as saved).
+        demod.sweep_rescue_s = float(opts.sweep_rescue_s)
         if not opts.quiet:
             print(f"Resumed from {opts.checkpoint_path} "
                   f"({demod.symbols_out} symbols so far)",

@@ -313,6 +313,12 @@ class StreamDemodulator:
     def _maybe_sweep_kick(self, n_samples: int) -> None:
         """Count unlocked signal; kick the carry onto the downward escape
         sweep when the budget is exceeded (see __init__)."""
+        if self.span_turbo:
+            # Span mode buffers ~18 s before any device op: the budget
+            # would count buffered (undemodulated) samples and kick a
+            # carry that has seen no signal — and the egress below would
+            # break the span path's single-thread device-access rule.
+            return
         if self._telemetry["locked"]:
             self._rescue_pending_samples = 0
             return

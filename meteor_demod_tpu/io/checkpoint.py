@@ -23,6 +23,16 @@ from ..demod.state import DemodCarry
 _FORMAT_VERSION = 1
 
 
+def _savez(path: str, **arrays) -> None:
+    """np.savez to the EXACT path given: np.savez(str) silently appends
+    .npz to names lacking the suffix (so save('ck.0') would write
+    'ck.0.npz' and the matching load would FileNotFoundError); writing
+    through an open handle keeps save/load paths symmetric for the
+    per-process multihost naming this module recommends."""
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
+
+
 def save_checkpoint(path: str, demod: StreamDemodulator) -> None:
     """Serialize a StreamDemodulator's complete state to `path` (.npz).
 
@@ -39,12 +49,12 @@ def save_checkpoint(path: str, demod: StreamDemodulator) -> None:
                 cfg=dataclasses.asdict(demod.cfg),
                 symbols_out=demod.symbols_out,
                 fallback_blocks=demod.fallback_blocks)
-    np.savez(path,
-             meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
-             pending=demod._pending,
-             backlog_re=backlog["re"], backlog_im=backlog["im"],
-             backlog_lo=backlog["locked_once"],
-             **carry)
+    _savez(path,
+           meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+           pending=demod._pending,
+           backlog_re=backlog["re"], backlog_im=backlog["im"],
+           backlog_lo=backlog["locked_once"],
+           **carry)
 
 
 def _fleet_ctor_kw(meta: dict) -> dict:
@@ -68,9 +78,9 @@ def save_fleet_checkpoint(path: str, fleet) -> None:
     from the file is bit-identical to continuing the original (tested)."""
     meta, arrays = fleet.state_dict()
     meta = dict(version=_FORMAT_VERSION, kind="fleet", fleet=meta)
-    np.savez(path,
-             meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
-             **arrays)
+    _savez(path,
+           meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+           **arrays)
 
 
 def load_fleet_checkpoint(path: str, mesh=None):
@@ -113,9 +123,9 @@ def save_serving_checkpoint(path: str, serving) -> None:
                 resort_wanted=bool(serving._resort_wanted),
                 deferred=sorted(int(s) for s in serving._deferred),
                 groups=groups_meta)
-    np.savez(path,
-             meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
-             **arrays)
+    _savez(path,
+           meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+           **arrays)
 
 
 def load_serving_checkpoint(path: str, mesh=None):
@@ -155,9 +165,9 @@ def save_multihost_checkpoint(path: str, fleet) -> None:
     this with its own path (e.g. suffixed with jax.process_index())."""
     meta, arrays = fleet.state_dict()
     meta = dict(version=_FORMAT_VERSION, kind="multihost", fleet=meta)
-    np.savez(path,
-             meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
-             **arrays)
+    _savez(path,
+           meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+           **arrays)
 
 
 def load_multihost_checkpoint(path: str):
@@ -172,6 +182,7 @@ def load_multihost_checkpoint(path: str):
         fm = meta["fleet"]
         fleet = MultiHostFleet(DemodConfig(**fm["cfg"]),
                                fm["streams_per_device"],
+                               backend=fm.get("backend", "auto"),
                                axis_name=fm["axis_name"],
                                recover_flagged=fm["recover_flagged"],
                                telemetry_every=fm["telemetry_every"])

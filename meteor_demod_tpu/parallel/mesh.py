@@ -196,19 +196,7 @@ class FleetDemodulator:
         # kick is the same host-side carry splice parking uses. Applies to
         # device lanes at telemetry ticks and to parked host carries via
         # the park worker.
-        self.sweep_rescue_s = float(sweep_rescue_s)
-        self._rescue_blocks = (
-            0 if sweep_rescue_s <= 0 else
-            max(1, int(round(sweep_rescue_s * cfg.samplerate
-                             / cfg.block_len))))
-        # Post-kick cooldown: a full downward pass takes 2*fmax/SWEEP_STEP
-        # symbols; re-kicking before it completes would reset the sweep
-        # forever. Counters go negative after a kick so the next one
-        # waits transit + budget.
-        from ..constants import SWEEP_STEP
-        self._rescue_transit_blocks = int(
-            2.0 * float(cfg.pll_fmax) / SWEEP_STEP
-            * cfg.samplerate / cfg.symrate / cfg.block_len) + 1
+        self.set_sweep_rescue(sweep_rescue_s)
         self._rescue_streak = np.zeros(n_streams, np.int64)
         self._parked: dict[int, _ParkedStream] = {}
         self._retired_rows: dict[int, list] = {}
@@ -253,6 +241,23 @@ class FleetDemodulator:
         # per-sample path is always exact, demod.c:23-48).
         self.recover_flagged = recover_flagged
         self.recovered_streams = 0
+
+    def set_sweep_rescue(self, seconds: float) -> None:
+        """(Re)configure the sweep rescue (see the note above): `seconds`
+        of unlocked signal before a kick; 0 disables. Also derives the
+        post-kick cooldown — a full downward pass takes 2*fmax/SWEEP_STEP
+        symbols, and re-kicking before it completes would reset the sweep
+        forever, so counters go negative after a kick and the next one
+        waits transit + budget."""
+        from ..constants import SWEEP_STEP
+        cfg = self.cfg
+        self.sweep_rescue_s = float(seconds)
+        self._rescue_blocks = (
+            0 if seconds <= 0 else
+            max(1, int(round(seconds * cfg.samplerate / cfg.block_len))))
+        self._rescue_transit_blocks = int(
+            2.0 * float(cfg.pll_fmax) / SWEEP_STEP
+            * cfg.samplerate / cfg.symrate / cfg.block_len) + 1
 
     def _get_fn(self, locked: bool, telemetry: bool) -> Callable:
         banded = locked and self.use_banded and self.banded_cfg is not None
@@ -659,12 +664,7 @@ class FleetDemodulator:
         self.park_max = meta["park_max"]
         self.flap_park = meta["flap_park"]
         if "sweep_rescue_s" in meta:
-            self.sweep_rescue_s = float(meta["sweep_rescue_s"])
-            self._rescue_blocks = (
-                0 if self.sweep_rescue_s <= 0 else
-                max(1, int(round(self.sweep_rescue_s
-                                 * self.cfg.samplerate
-                                 / self.cfg.block_len))))
+            self.set_sweep_rescue(float(meta["sweep_rescue_s"]))
         sharding = NamedSharding(self.mesh, P(self.axis_name))
         self.carry = DemodCarry(**{
             k[len(p) + len("carry_"):]:
@@ -748,9 +748,13 @@ class FleetDemodulator:
             p, block = item
             with self._plock:
                 if p.kick_wanted:        # sweep rescue (_maybe_rescue)
-                    p.carry = dict(p.carry,
-                                   p_freq=np.float32(self.cfg.pll_fmax),
-                                   updown=np.float32(-1.0))
+                    # Recheck the lock: a block queued before the kick
+                    # request may have locked the host demod — kicking
+                    # now would destroy the just-acquired lock.
+                    if not p.locked:
+                        p.carry = dict(p.carry,
+                                       p_freq=np.float32(self.cfg.pll_fmax),
+                                       updown=np.float32(-1.0))
                     p.kick_wanted = False
             try:
                 if self._host_fn is not None:

@@ -174,6 +174,14 @@ def main() -> int:
             raise SystemExit(
                 f"checkpoint has {fleet.n_streams} streams, inputs give "
                 f"{n_streams}")
+        if fleet.group_size != args.group_size:
+            raise SystemExit(
+                f"checkpoint group size {fleet.group_size} != "
+                f"--group-size {args.group_size}")
+        # Session policy flags win over the checkpointed values — an
+        # operator restarting WITH --sweep-rescue expects it to apply.
+        for f in fleet.groups:
+            f.set_sweep_rescue(args.sweep_rescue)
         start_block = fleet.groups[0]._block_idx
         for s in sources:
             s.seek_blocks(start_block)
@@ -190,18 +198,37 @@ def main() -> int:
     writers = [SymbolWriter(f) for f in files]
     if args.resume:
         wpath = args.checkpoint + ".writers.npz"
-        if os.path.exists(wpath):
-            with np.load(wpath) as z:
-                for i, w in enumerate(writers):
-                    w._ring[:] = z["rings"][i]
-                    w._fill = int(z["fills"][i])
-                    w.bytes_out = int(z["bytes_out"][i])
-            # The .s files may hold bytes written AFTER the checkpoint
-            # (blocks between the last save and the kill): truncate back
-            # to the recorded counts so the resume appends exactly once.
-            for i, f in enumerate(files):
-                f.truncate(writers[i].bytes_out)
-                f.seek(writers[i].bytes_out)
+        if not os.path.exists(wpath):
+            raise SystemExit(
+                f"{wpath} missing: writer ring state is saved next to "
+                "every checkpoint — without it a resume would duplicate "
+                "or misalign output bytes. Restart without --resume to "
+                "start fresh.")
+        with np.load(wpath) as z:
+            if int(z["block_idx"]) != start_block:
+                raise SystemExit(
+                    f"writer state is from block {int(z['block_idx'])} "
+                    f"but the fleet checkpoint is from {start_block} — "
+                    "the host died between the two save steps. Restart "
+                    "without --resume (or restore a consistent pair).")
+            for i, w in enumerate(writers):
+                w._ring[:] = z["rings"][i]
+                w._fill = int(z["fills"][i])
+                w.bytes_out = int(z["bytes_out"][i])
+        # The .s files may hold bytes written AFTER the checkpoint
+        # (blocks between the last save and the kill): truncate back
+        # to the recorded counts so the resume appends exactly once.
+        # A file SHORTER than the count means the out-dir does not match
+        # the checkpoint (truncate would zero-fill a silent hole).
+        for i, f in enumerate(files):
+            have = os.fstat(f.fileno()).st_size
+            if have < writers[i].bytes_out:
+                raise SystemExit(
+                    f"{f.name}: {have} bytes on disk but the checkpoint "
+                    f"recorded {writers[i].bytes_out} — the output dir "
+                    "does not match this checkpoint")
+            f.truncate(writers[i].bytes_out)
+            f.seek(writers[i].bytes_out)
 
     stop = {"now": False}
 
@@ -211,19 +238,24 @@ def main() -> int:
     signal.signal(signal.SIGINT, _sig)
     signal.signal(signal.SIGTERM, _sig)
 
-    def _drain_stream(i: int) -> None:
-        """Write stream i's deferred host-path (parked) symbols."""
-        rows = fleet.parked_output(i)
-        v = rows["valid"].astype(bool)
+    def _write_rows(i: int, sym_re, sym_im, valid, locked_once) -> None:
+        """Valid-gate one stream's rows into its lock-gated writer."""
+        v = np.asarray(valid).astype(bool)
         if not v.any():
             return
         sym = np.zeros(int(v.sum()),
                        dtype=[("re", np.float32), ("im", np.float32),
                               ("locked_once", np.int32)])
-        sym["re"] = rows["sym_re"][v]
-        sym["im"] = rows["sym_im"][v]
-        sym["locked_once"] = rows["locked_once"][v]
+        sym["re"] = np.asarray(sym_re)[v]
+        sym["im"] = np.asarray(sym_im)[v]
+        sym["locked_once"] = np.asarray(locked_once)[v]
         writers[i].feed(quantize_symbols(sym), sym["locked_once"])
+
+    def _drain_stream(i: int) -> None:
+        """Write stream i's deferred host-path (parked) symbols."""
+        rows = fleet.parked_output(i)
+        _write_rows(i, rows["sym_re"], rows["sym_im"], rows["valid"],
+                    rows["locked_once"])
 
     def _save() -> None:
         if not args.checkpoint:
@@ -239,8 +271,12 @@ def main() -> int:
         tmp = args.checkpoint + ".tmp.npz"   # savez appends .npz otherwise
         save_serving_checkpoint(tmp, fleet)
         os.replace(tmp, args.checkpoint)
+        # block_idx ties the two files together: resume refuses a pair
+        # split by a crash between the replaces (loud error, never a
+        # silent byte hole).
         wtmp = args.checkpoint + ".writers.tmp.npz"
         np.savez(wtmp,
+                 block_idx=np.int64(fleet.groups[0]._block_idx),
                  rings=np.stack([w._ring for w in writers]),
                  fills=np.array([w._fill for w in writers]),
                  bytes_out=np.array([w.bytes_out for w in writers]))
@@ -260,17 +296,10 @@ def main() -> int:
             outs = fleet.process_blocks(batch)
             for i in range(n_streams):
                 _drain_stream(i)
-                v = np.asarray(outs.valid)[i].astype(bool)
-                if v.any():
-                    sym = np.zeros(int(v.sum()),
-                                   dtype=[("re", np.float32),
-                                          ("im", np.float32),
-                                          ("locked_once", np.int32)])
-                    sym["re"] = np.asarray(outs.sym_re)[i][v]
-                    sym["im"] = np.asarray(outs.sym_im)[i][v]
-                    sym["locked_once"] = np.asarray(outs.locked_once)[i][v]
-                    writers[i].feed(quantize_symbols(sym),
-                                    sym["locked_once"])
+                _write_rows(i, np.asarray(outs.sym_re)[i],
+                            np.asarray(outs.sym_im)[i],
+                            np.asarray(outs.valid)[i],
+                            np.asarray(outs.locked_once)[i])
             blocks += 1
             if args.checkpoint and blocks % args.checkpoint_every == 0:
                 _save()
