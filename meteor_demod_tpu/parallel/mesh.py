@@ -66,7 +66,8 @@ def make_fleet_demod(cfg: DemodConfig, mesh: Mesh,
                      axis_name: str = "streams",
                      backend: str = "auto",
                      locked: bool = False,
-                     telemetry: bool = True) -> Callable:
+                     telemetry: bool = True,
+                     chain: int = 1) -> Callable:
     """Build the jitted fleet step: (carry, blocks) -> (carry', outs, telemetry).
 
     carry leaves and blocks have a leading `streams` axis sharded over the
@@ -80,7 +81,17 @@ def make_fleet_demod(cfg: DemodConfig, mesh: Mesh,
     fleets mirror that by dispatching this program between refresh ticks
     (FleetDemodulator/MultiHostFleet telemetry_every), so the hot loop has
     ZERO cross-device traffic and no lockstep barrier (docs/SCALING.md,
-    telemetry amortization)."""
+    telemetry amortization).
+
+    chain=K runs K consecutive blocks per dispatch through an in-program
+    lax.scan — the shape every bench headline is measured in (one upload,
+    one readback, one dispatch per K blocks; the per-dispatch host round
+    trip is the serving host's dominant cost at K=1). blocks gain a block
+    axis (B, K, L, 2) and the outputs come back step-concatenated
+    (B, K*S) — consumers see one wider block. carry.flags is OR-sticky
+    across the chain (demod/scan.py:198), so a mid-chain excursion
+    surfaces in the post-chain readback and the oracle recovery replays
+    the stream's whole K-block span."""
     from ..demod.backend import default_backend, make_batch_demod
     if (backend if backend != "auto" else default_backend()) == "scan":
         locked = False                 # scan has no locked geometry
@@ -89,7 +100,14 @@ def make_fleet_demod(cfg: DemodConfig, mesh: Mesh,
         # Inside shard_map the step sees the per-device shard; its leading
         # dim (n_streams / n_devices) picks the right batched builder.
         demod = make_batch_demod(cfg, blocks.shape[0], backend, locked)
-        carry, outs = demod(carry, blocks)
+        if chain == 1:
+            carry, outs = demod(carry, blocks)
+        else:
+            xs = jnp.swapaxes(blocks, 0, 1)          # (K, B, L, 2)
+            carry, outs = jax.lax.scan(demod, carry, xs)
+            outs = jax.tree_util.tree_map(           # (K,B,S) -> (B,K*S)
+                lambda a: jnp.swapaxes(a, 0, 1).reshape(a.shape[1], -1),
+                outs)
         if not telemetry:
             return carry, outs, {}
         tel = {
@@ -146,7 +164,7 @@ class FleetDemodulator:
                  telemetry_every: int = 1, park: bool = True,
                  park_after: int = 6, unpark_after: int = 2,
                  park_max: int | None = None, flap_park: int = 6,
-                 sweep_rescue_s: float = 0.0):
+                 sweep_rescue_s: float = 0.0, chain_blocks: int = 1):
         cfg.validate()
         self.cfg = cfg
         self.axis_name = axis_name
@@ -157,8 +175,16 @@ class FleetDemodulator:
                 f"n_streams {n_streams} must be divisible by mesh size {n_dev}")
         if telemetry_every < 1:
             raise ValueError("telemetry_every must be >= 1")
+        if chain_blocks < 1:
+            raise ValueError("chain_blocks must be >= 1")
         self.n_streams = n_streams
         self._backend = backend
+        # Chained dispatch (make_fleet_demod chain=K): K consecutive
+        # blocks per device call. The bench headlines are measured in
+        # this shape (CHAIN=16); at K=1 a serving host is dominated by
+        # the per-dispatch host round trip. Policy ticks (telemetry,
+        # parking, rescue) then advance once per K blocks.
+        self.chain_blocks = int(chain_blocks)
         # Straggler parking (VERDICT r4 item 2): the wide<->locked program
         # switch considers NON-PARKED streams only, so one dead antenna /
         # never-locking input no longer pins the whole fleet on the wide
@@ -276,7 +302,8 @@ class FleetDemodulator:
                 cfg = self.cfg.serving() if locked else self.cfg
             self._fns[key] = make_fleet_demod(
                 cfg, self.mesh, self.axis_name, self._backend,
-                locked=locked, telemetry=telemetry)
+                locked=locked, telemetry=telemetry,
+                chain=self.chain_blocks)
         return self._fns[key]
 
     def process_blocks(self, blocks: np.ndarray):
@@ -284,15 +311,18 @@ class FleetDemodulator:
         -> per-stream BlockOutput (numpy, via egress)."""
         if np.iscomplexobj(blocks):
             blocks = iq_to_f32(blocks)
-        if blocks.shape != (self.n_streams, self.cfg.block_len, 2):
-            raise ValueError(
-                f"expected {(self.n_streams, self.cfg.block_len, 2)},"
-                f" got {blocks.shape}")
+        K = self.chain_blocks
+        want = (self.n_streams, K * self.cfg.block_len, 2)
+        if blocks.shape != want:
+            raise ValueError(f"expected {want}, got {blocks.shape}")
         blocks = np.ascontiguousarray(blocks, dtype=np.float32)
         if self._parked:
             blocks = self._feed_parked(blocks)
         prev_carry = self.carry
-        x = shard_blocks(blocks, self.mesh, self.axis_name)
+        dev_blocks = (blocks if K == 1 else
+                      blocks.reshape(self.n_streams, K,
+                                     self.cfg.block_len, 2))
+        x = shard_blocks(dev_blocks, self.mesh, self.axis_name)
         tel_tick = (self._block_idx % self.telemetry_every) == 0
         self._block_idx += 1
         # LOCKED-mode program switching (kernels/block_demod.py): once
@@ -412,7 +442,8 @@ class FleetDemodulator:
         the sweep_rescue_s note in __init__): active device lanes get a
         host-side carry splice here; parked streams get a kick request the
         park worker applies to the host carry."""
-        kick_ticks = -(-self._rescue_blocks // self.telemetry_every)
+        blocks_per_tick = self.telemetry_every * self.chain_blocks
+        kick_ticks = -(-self._rescue_blocks // blocks_per_tick)
         lanes = np.nonzero(active
                            & (self._rescue_streak >= kick_ticks))[0]
         if len(lanes):
@@ -424,7 +455,7 @@ class FleetDemodulator:
             self.carry = DemodCarry(
                 **{k: jax.device_put(v, sharding) for k, v in cur.items()})
             self._rescue_streak[lanes] = -(self._rescue_transit_blocks
-                                           // self.telemetry_every)
+                                           // blocks_per_tick)
         if not self._parked:
             return
         with self._plock:
@@ -517,14 +548,18 @@ class FleetDemodulator:
     def _feed_parked(self, blocks: np.ndarray) -> np.ndarray:
         """Queue parked streams' real blocks to the host worker and fill
         their device lanes with a donor stream's data (computed then
-        discarded — static shapes keep the fleet program unchanged)."""
+        discarded — static shapes keep the fleet program unchanged).
+        Chained dispatch feeds the host worker its K sub-blocks
+        individually (the host step is per-block)."""
         donor = next(i for i in range(self.n_streams)
                      if i not in self._parked)
+        L = self.cfg.block_len
         blocks = blocks.copy()
         for i, p in self._parked.items():
             with self._plock:
-                p.blocks_fed += 1
-            self._queue.put((p, blocks[i].copy()))
+                p.blocks_fed += self.chain_blocks
+            for k in range(self.chain_blocks):
+                self._queue.put((p, blocks[i, k * L:(k + 1) * L].copy()))
             blocks[i] = blocks[donor]
         return blocks
 
@@ -633,6 +668,7 @@ class FleetDemodulator:
             unpark_after=self.unpark_after, park_max=self.park_max,
             flap_park=self.flap_park,
             sweep_rescue_s=self.sweep_rescue_s,
+            chain_blocks=self.chain_blocks,
             tick_idx=self._tick_idx, block_idx=self._block_idx,
             active_locked=(None if self._active_locked is None
                            else int(self._active_locked)),

@@ -18,7 +18,12 @@ deployment needs around it:
   pins the resume contract). Writer ring state rides in a side
   <checkpoint>.writers.npz and the .s files are truncated back to the
   checkpointed byte counts on resume, so the restarted host's byte
-  stream is EXACTLY the uninterrupted one (validated below).
+  stream is EXACTLY the uninterrupted one (validated; requires stable
+  park membership — a stream that transiently parks takes host-program
+  symbols for the parked span, whose int8 values sit within the
+  cross-program loop noise of the -T contract and whose park timing is
+  wall-clock dependent. --park-after-s defaults generous so only
+  genuinely dead streams park).
 
 Smoke run (CPU):
     METEOR_DEMOD_PLATFORM=cpu python scripts/serve_fleet.py \
@@ -83,23 +88,26 @@ class _SynthSource:
     """A deterministic synthesized pass (or pure-noise dead antenna)."""
 
     def __init__(self, idx: int, cfg: DemodConfig, n_blocks: int,
-                 dead: bool):
-        n = n_blocks * cfg.block_len
+                 feed_len: int, dead: bool):
+        n = n_blocks * feed_len
         if dead:
             rng = np.random.default_rng(1000 + idx)
             x = (500.0 * (rng.standard_normal(n)
                           + 1j * rng.standard_normal(n))
                  ).astype(np.complex64)
         else:
+            # Carriers cycle within the acquirable +-fmax band whatever
+            # the fleet size (317 Hz steps folded into +-2400 Hz).
+            c = -2400.0 + (317.0 * idx) % 4800.0
             x, _ = synth_psk(
                 int(n * cfg.symrate / cfg.samplerate) + 64,
                 cfg.samplerate, symrate=cfg.symrate, oqpsk=cfg.oqpsk,
-                carrier_hz=-2000.0 + 317.0 * idx, amplitude=6000.0,
+                carrier_hz=c, amplitude=6000.0,
                 snr_db=(12.0, 15.0, 18.0, 25.0)[idx % 4], seed=idx,
                 carrier_ramp_hz_s=(-30.0, 0.0, 30.0)[idx % 3])
             x = x[:n]
         self.x = x
-        self.block_len = cfg.block_len
+        self.block_len = feed_len
         self.pos = 0
         self.done = False
 
@@ -129,6 +137,10 @@ def main() -> int:
     ap.add_argument("-s", "--samplerate", type=int, default=230400)
     ap.add_argument("--block-len", type=int, default=8192)
     ap.add_argument("--group-size", type=int, default=128)
+    ap.add_argument("--chain", type=int, default=8,
+                    help="blocks per device dispatch (the bench headline "
+                         "shape is 16; higher amortizes the host round "
+                         "trip, lower tightens the policy/status tick)")
     ap.add_argument("--band", type=int, default=8)
     ap.add_argument("--out-dir", required=True)
     ap.add_argument("--checkpoint", default=None,
@@ -140,6 +152,16 @@ def main() -> int:
                     help="resume from --checkpoint (inputs are seeked to "
                          "the checkpoint's block index; .s files appended)")
     ap.add_argument("--status-every", type=int, default=64)
+    ap.add_argument("--park-after-s", type=float, default=5.0,
+                    help="seconds of signal a stream may stay unlocked "
+                         "(while peers are locked) before it parks onto "
+                         "the host side-path. Generous by default: a "
+                         "TRANSIENTLY parked stream's symbols come from "
+                         "the host program for the parked span — same "
+                         "decisions, int8 soft values within the "
+                         "cross-program loop noise of the -T contract — "
+                         "so only streams that are genuinely dead should "
+                         "park")
     ap.add_argument("--sweep-rescue", type=float, default=0.0,
                     help="seconds of unlocked signal before a stream's "
                          "sweep is kicked onto the downward escape pass "
@@ -151,14 +173,15 @@ def main() -> int:
     args = ap.parse_args()
 
     cfg = DemodConfig(samplerate=args.samplerate, block_len=args.block_len)
+    feed_len = args.chain * cfg.block_len     # samples per dispatch
     n_blocks_synth = max(
-        1, int(args.seconds * cfg.samplerate / cfg.block_len))
-    sources = [_FileSource(p, cfg.block_len, cfg.samplerate)
+        1, int(args.seconds * cfg.samplerate / feed_len))
+    sources = [_FileSource(p, feed_len, cfg.samplerate)
                for p in args.inputs]
     n_files = len(sources)
     for i in range(args.synth):
         sources.append(_SynthSource(n_files + i, cfg, n_blocks_synth,
-                                    dead=i < args.dead))
+                                    feed_len, dead=i < args.dead))
     n_streams = len(sources)
     if n_streams == 0 or n_streams % args.group_size != 0:
         raise SystemExit(
@@ -180,8 +203,11 @@ def main() -> int:
                 f"--group-size {args.group_size}")
         # Session policy flags win over the checkpointed values — an
         # operator restarting WITH --sweep-rescue expects it to apply.
+        park_ticks = max(1, round(args.park_after_s
+                                  * cfg.samplerate / feed_len))
         for f in fleet.groups:
             f.set_sweep_rescue(args.sweep_rescue)
+            f.park_after = park_ticks
         start_block = fleet.groups[0]._block_idx
         for s in sources:
             s.seek_blocks(start_block)
@@ -189,7 +215,11 @@ def main() -> int:
     else:
         fleet = ServingFleet(cfg, n_streams, group_size=args.group_size,
                              band=args.band,
-                             sweep_rescue_s=args.sweep_rescue)
+                             sweep_rescue_s=args.sweep_rescue,
+                             chain_blocks=args.chain,
+                             park_after=max(1, round(
+                                 args.park_after_s * cfg.samplerate
+                                 / feed_len)))
 
     os.makedirs(args.out_dir, exist_ok=True)
     mode = "ab" if args.resume else "wb"
@@ -308,7 +338,7 @@ def main() -> int:
                 locked = sum(int(t["locked_streams"]) for t in tel.values()
                              if t is not None)
                 parked = sum(len(f._parked) for f in fleet.groups)
-                rate = (blocks * cfg.block_len * n_streams
+                rate = (blocks * feed_len * n_streams
                         / max(time.time() - t0, 1e-9) / 1e6)
                 print(f"block {start_block + blocks}: locked {locked}/"
                       f"{n_streams}, parked {parked}, banded groups "
