@@ -339,9 +339,12 @@ def test_acquisition_dead_zone_near_zero_negative(ref_binary, tmp_path):
     (~1k symbols of 1.44M transmitted) and our demodulator's locked_once
     stays 0 — faithful parity on the failure, not just on success. (The
     r5 fleet is not PINNED by such a stream: the parking policy moves it
-    off the hot path, bench fleet_acquisition_diverse.) If upstream ever
-    fixes the sweep, the ref assertion flips and this zone should be
-    re-characterized."""
+    off the hot path, bench fleet_acquisition_diverse; and the opt-in
+    sweep rescue — --sweep-rescue / sweep_rescue_s,
+    tests/test_sweep_rescue.py — escapes the zone entirely by restarting
+    the sweep from +fmax downward, which the reference cannot do.) If
+    upstream ever fixes the sweep, the ref assertion flips and this zone
+    should be re-characterized."""
     fs = 230400
     x, _ = synth_psk(int(20 * 72000), fs, carrier_hz=-195.3,
                      amplitude=6000.0, snr_db=25.0, seed=40)
