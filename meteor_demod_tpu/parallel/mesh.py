@@ -307,8 +307,10 @@ class FleetDemodulator:
         return self._fns[key]
 
     def process_blocks(self, blocks: np.ndarray):
-        """blocks: (n_streams, block_len) complex64 (or (..., 2) float32)
-        -> per-stream BlockOutput (numpy, via egress)."""
+        """blocks: (n_streams, chain_blocks*block_len) complex64 (or
+        (..., 2) float32) -> per-stream BlockOutput (numpy, via egress;
+        with chain_blocks=K the output rows are the K blocks'
+        step-concatenation)."""
         if np.iscomplexobj(blocks):
             blocks = iq_to_f32(blocks)
         K = self.chain_blocks
@@ -699,6 +701,12 @@ class FleetDemodulator:
         self.unpark_after = meta["unpark_after"]
         self.park_max = meta["park_max"]
         self.flap_park = meta["flap_park"]
+        new_chain = int(meta.get("chain_blocks", 1))
+        if new_chain != self.chain_blocks:
+            # Structural: the chained program differs, so the eagerly
+            # built fn cache is the wrong shape.
+            self.chain_blocks = new_chain
+            self._fns = {}
         if "sweep_rescue_s" in meta:
             self.set_sweep_rescue(float(meta["sweep_rescue_s"]))
         sharding = NamedSharding(self.mesh, P(self.axis_name))

@@ -79,8 +79,16 @@ class _FileSource:
             return np.zeros(self.block_len, np.complex64)
         raw = self.f.read(self.block_bytes)
         if len(raw) < self.block_bytes:
+            # Zero-pad the partial tail instead of dropping it (with
+            # --chain the feed is K blocks, so a dropped partial read
+            # would lose up to K*block_len-1 real samples).
             self.done = True
-            return np.zeros(self.block_len, np.complex64)
+            bps_bytes = 2 * (self.bps // 8)
+            raw = raw[:len(raw) - len(raw) % bps_bytes]
+            tail = decode_iq(raw, self.bps) if raw else                 np.zeros(0, np.complex64)
+            out = np.zeros(self.block_len, np.complex64)
+            out[:len(tail)] = tail
+            return out
         return decode_iq(raw, self.bps)
 
 
@@ -147,7 +155,8 @@ def main() -> int:
                     help=".npz path; saved periodically and on SIGINT/"
                          "SIGTERM")
     ap.add_argument("--checkpoint-every", type=int, default=256,
-                    help="blocks between periodic checkpoint saves")
+                    help="dispatches (chains of --chain blocks) between "
+                         "periodic checkpoint saves")
     ap.add_argument("--resume", action="store_true",
                     help="resume from --checkpoint (inputs are seeked to "
                          "the checkpoint's block index; .s files appended)")
@@ -168,12 +177,15 @@ def main() -> int:
                          "(0 = off = exact reference acquisition; see "
                          "parallel/mesh.py sweep_rescue_s)")
     ap.add_argument("--max-blocks", type=int, default=0,
-                    help="stop after this many blocks (0 = run to EOF); "
-                         "for deterministic kill/resume validation")
+                    help="stop after this many dispatches (chains of "
+                         "--chain blocks; 0 = run to EOF); for "
+                         "deterministic kill/resume validation")
     args = ap.parse_args()
 
     cfg = DemodConfig(samplerate=args.samplerate, block_len=args.block_len)
     feed_len = args.chain * cfg.block_len     # samples per dispatch
+    park_ticks = max(1, round(args.park_after_s * cfg.samplerate
+                              / feed_len))
     n_blocks_synth = max(
         1, int(args.seconds * cfg.samplerate / feed_len))
     sources = [_FileSource(p, feed_len, cfg.samplerate)
@@ -201,25 +213,27 @@ def main() -> int:
             raise SystemExit(
                 f"checkpoint group size {fleet.group_size} != "
                 f"--group-size {args.group_size}")
+        if fleet.groups and fleet.groups[0].chain_blocks != args.chain:
+            raise SystemExit(
+                f"checkpoint was saved with --chain "
+                f"{fleet.groups[0].chain_blocks}, this run uses "
+                f"--chain {args.chain} — the block index and input "
+                "seeks are in chain units; pass the matching --chain")
         # Session policy flags win over the checkpointed values — an
         # operator restarting WITH --sweep-rescue expects it to apply.
-        park_ticks = max(1, round(args.park_after_s
-                                  * cfg.samplerate / feed_len))
         for f in fleet.groups:
             f.set_sweep_rescue(args.sweep_rescue)
             f.park_after = park_ticks
         start_block = fleet.groups[0]._block_idx
         for s in sources:
             s.seek_blocks(start_block)
-        print(f"resumed at block {start_block}", flush=True)
+        print(f"resumed at chain {start_block}", flush=True)
     else:
         fleet = ServingFleet(cfg, n_streams, group_size=args.group_size,
                              band=args.band,
                              sweep_rescue_s=args.sweep_rescue,
                              chain_blocks=args.chain,
-                             park_after=max(1, round(
-                                 args.park_after_s * cfg.samplerate
-                                 / feed_len)))
+                             park_after=park_ticks)
 
     os.makedirs(args.out_dir, exist_ok=True)
     mode = "ab" if args.resume else "wb"
@@ -311,7 +325,7 @@ def main() -> int:
                  fills=np.array([w._fill for w in writers]),
                  bytes_out=np.array([w.bytes_out for w in writers]))
         os.replace(wtmp, args.checkpoint + ".writers.npz")
-        print(f"checkpoint saved at block {fleet.groups[0]._block_idx}",
+        print(f"checkpoint saved at chain {fleet.groups[0]._block_idx}",
               flush=True)
 
     t0 = time.time()
@@ -322,10 +336,18 @@ def main() -> int:
                 break
             if all(s.done for s in sources):
                 break
+            # A source that already hit EOF feeds zeros this chain (the
+            # fleet shape is static); its device rows are post-signal
+            # garbage (locked_once stays set, so the lock gate would pass
+            # them) — drop them. The real tail is written in the chain
+            # where done first flips (was_done still False there).
+            was_done = [s.done for s in sources]
             batch = np.stack([s.next_block() for s in sources])
             outs = fleet.process_blocks(batch)
             for i in range(n_streams):
                 _drain_stream(i)
+                if was_done[i]:
+                    continue
                 _write_rows(i, np.asarray(outs.sym_re)[i],
                             np.asarray(outs.sym_im)[i],
                             np.asarray(outs.valid)[i],
@@ -340,7 +362,7 @@ def main() -> int:
                 parked = sum(len(f._parked) for f in fleet.groups)
                 rate = (blocks * feed_len * n_streams
                         / max(time.time() - t0, 1e-9) / 1e6)
-                print(f"block {start_block + blocks}: locked {locked}/"
+                print(f"chain {start_block + blocks}: locked {locked}/"
                       f"{n_streams}, parked {parked}, banded groups "
                       f"{fleet.banded_groups()}, {rate:.1f} Msamp/s",
                       flush=True)
@@ -353,7 +375,7 @@ def main() -> int:
         for f in files:
             f.close()
         total = sum(w.bytes_out for w in writers)
-        print(f"{start_block + blocks} blocks served, {total} soft bytes "
+        print(f"{start_block + blocks} chains served, {total} soft bytes "
               f"across {n_streams} streams", flush=True)
     return 0
 
