@@ -97,6 +97,31 @@ def test_fleet_checkpoint_resume_bitwise(cfg, tmp_path):
         np.testing.assert_array_equal(got[k], want[k], err_msg=k)
 
 
+def test_fleet_checkpoint_chain_roundtrip_bitwise(cfg, tmp_path):
+    """chain_blocks>1 round-trips through the checkpoint (structural
+    ctor kwarg + restore_state fn-cache clear): the resumed chained
+    fleet's continuation is bitwise the uninterrupted one."""
+    n_streams, K, n_chains, cut = 8, 2, 8, 5
+    data = _mixed_data(cfg, n_streams, K * n_chains)
+    L = K * cfg.block_len
+
+    def run(fleet, lo, hi):
+        return [fleet.process_blocks(data[:, c * L:(c + 1) * L])
+                for c in range(lo, hi)]
+
+    ref = FleetDemodulator(cfg, n_streams, park=False, chain_blocks=K)
+    ref_outs = run(ref, 0, n_chains)
+    fleet = FleetDemodulator(cfg, n_streams, park=False, chain_blocks=K)
+    run(fleet, 0, cut)
+    ckpt = str(tmp_path / "chain.npz")
+    save_fleet_checkpoint(ckpt, fleet)
+    resumed = load_fleet_checkpoint(ckpt)
+    assert resumed.chain_blocks == K
+    res_outs = run(resumed, cut, n_chains)
+    for c, (got, want) in enumerate(zip(res_outs, ref_outs[cut:])):
+        _assert_outs_equal(got, want, f"chain {cut + c}")
+
+
 def test_fleet_checkpoint_save_does_not_mutate(cfg, tmp_path):
     """save_fleet_checkpoint must be a pure snapshot: the live fleet's
     pending parked rows still drain afterwards."""
