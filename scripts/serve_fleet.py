@@ -56,23 +56,29 @@ _HEADER_SIZE = 44
 
 
 class _FileSource:
-    """Block-aligned reads from a 2-channel WAV; zeros after EOF."""
+    """Block-aligned reads from a 2-channel WAV (sniffed) or raw IQ
+    (8/16/32-bit via --bps, the CLI's raw fallback); zeros after EOF."""
 
-    def __init__(self, path: str, block_len: int, samplerate: int):
+    def __init__(self, path: str, block_len: int, samplerate: int,
+                 raw_bps: int):
         self.f = open(path, "rb")
         info = wav_parse(self.f)
         if info is None:
-            raise SystemExit(f"{path}: not a 2-channel WAV")
-        if info.samplerate != samplerate:
-            raise SystemExit(
-                f"{path}: samplerate {info.samplerate} != {samplerate}")
-        self.bps = info.bps
-        self.block_bytes = block_len * 2 * (info.bps // 8)
+            self.f.seek(0)                 # raw fallback (cli.py parity)
+            self.bps = raw_bps
+            self.data_start = 0
+        else:
+            if info.samplerate != samplerate:
+                raise SystemExit(
+                    f"{path}: samplerate {info.samplerate} != {samplerate}")
+            self.bps = info.bps
+            self.data_start = _HEADER_SIZE
+        self.block_bytes = block_len * 2 * (self.bps // 8)
         self.block_len = block_len
         self.done = False
 
     def seek_blocks(self, n: int) -> None:
-        self.f.seek(_HEADER_SIZE + n * self.block_bytes)
+        self.f.seek(self.data_start + n * self.block_bytes)
 
     def next_block(self) -> np.ndarray:
         if self.done:
@@ -143,6 +149,8 @@ def main() -> int:
     ap.add_argument("--seconds", type=float, default=10.0,
                     help="length of the synthesized streams")
     ap.add_argument("-s", "--samplerate", type=int, default=230400)
+    ap.add_argument("--bps", type=int, default=16,
+                    help="bits per sample for raw (non-WAV) inputs")
     ap.add_argument("--block-len", type=int, default=8192)
     ap.add_argument("--group-size", type=int, default=128)
     ap.add_argument("--chain", type=int, default=8,
@@ -188,7 +196,7 @@ def main() -> int:
                               / feed_len))
     n_blocks_synth = max(
         1, int(args.seconds * cfg.samplerate / feed_len))
-    sources = [_FileSource(p, feed_len, cfg.samplerate)
+    sources = [_FileSource(p, feed_len, cfg.samplerate, args.bps)
                for p in args.inputs]
     n_files = len(sources)
     for i in range(args.synth):
