@@ -46,39 +46,38 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from meteor_demod_tpu.config import DemodConfig                 # noqa: E402
 from meteor_demod_tpu.io.checkpoint import (                    # noqa: E402
     load_serving_checkpoint, save_serving_checkpoint)
-from meteor_demod_tpu.io.wav import decode_iq, wav_parse        # noqa: E402
+from meteor_demod_tpu.io.wav import decode_iq, open_input       # noqa: E402
 from meteor_demod_tpu.io.writer import SymbolWriter             # noqa: E402
 from meteor_demod_tpu.demod.pipeline import quantize_symbols    # noqa: E402
 from meteor_demod_tpu.parallel.serving import ServingFleet      # noqa: E402
 from meteor_demod_tpu.sim import synth_psk                      # noqa: E402
 
-_HEADER_SIZE = 44
-
 
 class _FileSource:
     """Block-aligned reads from a 2-channel WAV (sniffed) or raw IQ
-    (8/16/32-bit via --bps, the CLI's raw fallback); zeros after EOF."""
+    (8/16/32-bit via --bps) — io/wav.open_input, the CLI's exact ingest
+    sniffing; zeros after EOF."""
 
     def __init__(self, path: str, block_len: int, samplerate: int,
                  raw_bps: int):
-        self.f = open(path, "rb")
-        info = wav_parse(self.f)
-        if info is None:
-            self.f.seek(0)                 # raw fallback (cli.py parity)
-            self.bps = raw_bps
-            self.data_start = 0
-        else:
-            if info.samplerate != samplerate:
-                raise SystemExit(
-                    f"{path}: samplerate {info.samplerate} != {samplerate}")
-            self.bps = info.bps
-            self.data_start = _HEADER_SIZE
+        self.f, info, _ = open_input(path)
+        if info is not None and info.samplerate != samplerate:
+            raise SystemExit(
+                f"{path}: samplerate {info.samplerate} != {samplerate}")
+        self.bps = info.bps if info is not None else raw_bps
+        self.data_start = self.f.tell()    # after the sniffed header
+        self.size = os.path.getsize(path)
         self.block_bytes = block_len * 2 * (self.bps // 8)
         self.block_len = block_len
         self.done = False
 
     def seek_blocks(self, n: int) -> None:
-        self.f.seek(self.data_start + n * self.block_bytes)
+        pos = self.data_start + n * self.block_bytes
+        # A seek at/past the data end means no real sample remains: mark
+        # done so a resumed run cannot emit a post-EOF zero chain the
+        # uninterrupted run never wrote.
+        self.done = pos >= self.size
+        self.f.seek(pos)
 
     def next_block(self) -> np.ndarray:
         if self.done:
@@ -127,6 +126,7 @@ class _SynthSource:
 
     def seek_blocks(self, n: int) -> None:
         self.pos = n * self.block_len
+        self.done = self.pos + self.block_len > len(self.x)
 
     def next_block(self) -> np.ndarray:
         if self.pos + self.block_len > len(self.x):
@@ -149,7 +149,7 @@ def main() -> int:
     ap.add_argument("--seconds", type=float, default=10.0,
                     help="length of the synthesized streams")
     ap.add_argument("-s", "--samplerate", type=int, default=230400)
-    ap.add_argument("--bps", type=int, default=16,
+    ap.add_argument("--bps", type=int, default=16, choices=(8, 16, 32),
                     help="bits per sample for raw (non-WAV) inputs")
     ap.add_argument("--block-len", type=int, default=8192)
     ap.add_argument("--group-size", type=int, default=128)
@@ -184,6 +184,12 @@ def main() -> int:
                          "sweep is kicked onto the downward escape pass "
                          "(0 = off = exact reference acquisition; see "
                          "parallel/mesh.py sweep_rescue_s)")
+    ap.add_argument("--until", choices=("shortest", "longest"),
+                    default="shortest",
+                    help="stop when the FIRST source ends (default; no "
+                         "stream is ever fed post-EOF zeros) or when the "
+                         "LAST does (shorter streams feed zeros and "
+                         "their post-EOF rows are dropped)")
     ap.add_argument("--max-blocks", type=int, default=0,
                     help="stop after this many dispatches (chains of "
                          "--chain blocks; 0 = run to EOF); for "
@@ -221,6 +227,11 @@ def main() -> int:
             raise SystemExit(
                 f"checkpoint group size {fleet.group_size} != "
                 f"--group-size {args.group_size}")
+        if fleet.cfg != cfg:
+            raise SystemExit(
+                "checkpoint was saved with a different DemodConfig "
+                f"({fleet.cfg}) than this session ({cfg}) — pass the "
+                "matching -s/--block-len")
         if fleet.groups and fleet.groups[0].chain_blocks != args.chain:
             raise SystemExit(
                 f"checkpoint was saved with --chain "
@@ -338,9 +349,15 @@ def main() -> int:
 
     t0 = time.time()
     blocks = 0
+    mid_chain = False      # True while a chain's rows are being written:
+    # an exception there leaves a torn state (some writers have the
+    # chain, others do not), so the exit save must NOT checkpoint it —
+    # the last periodic checkpoint stays the consistent resume point.
     try:
         while not stop["now"]:
             if args.max_blocks and blocks >= args.max_blocks:
+                break
+            if args.until == "shortest" and any(s.done for s in sources):
                 break
             if all(s.done for s in sources):
                 break
@@ -351,6 +368,7 @@ def main() -> int:
             # where done first flips (was_done still False there).
             was_done = [s.done for s in sources]
             batch = np.stack([s.next_block() for s in sources])
+            mid_chain = True
             outs = fleet.process_blocks(batch)
             for i in range(n_streams):
                 _drain_stream(i)
@@ -360,6 +378,7 @@ def main() -> int:
                             np.asarray(outs.sym_im)[i],
                             np.asarray(outs.valid)[i],
                             np.asarray(outs.locked_once)[i])
+            mid_chain = False
             blocks += 1
             if args.checkpoint and blocks % args.checkpoint_every == 0:
                 _save()
@@ -375,7 +394,12 @@ def main() -> int:
                       f"{fleet.banded_groups()}, {rate:.1f} Msamp/s",
                       flush=True)
     finally:
-        _save()
+        if mid_chain:
+            print("aborted mid-chain: keeping the last periodic "
+                  "checkpoint (a save now would record a torn state)",
+                  flush=True)
+        else:
+            _save()
         for i in range(n_streams):
             _drain_stream(i)
         for w in writers:
