@@ -67,7 +67,8 @@ def make_fleet_demod(cfg: DemodConfig, mesh: Mesh,
                      backend: str = "auto",
                      locked: bool = False,
                      telemetry: bool = True,
-                     chain: int = 1) -> Callable:
+                     chain: int = 1,
+                     ingest: str = "f32") -> Callable:
     """Build the jitted fleet step: (carry, blocks) -> (carry', outs, telemetry).
 
     carry leaves and blocks have a leading `streams` axis sharded over the
@@ -99,6 +100,17 @@ def make_fleet_demod(cfg: DemodConfig, mesh: Mesh,
     def step(carry: DemodCarry, blocks: jnp.ndarray):
         # Inside shard_map the step sees the per-device shard; its leading
         # dim (n_streams / n_devices) picks the right batched builder.
+        # Raw ingest (ingest != "f32"): samples arrive as the SDR's raw
+        # integer format and decode ON DEVICE — bit-exactly io/wav.py
+        # decode_iq's math (i16: float cast; u8: float - 128) — so the
+        # host uploads 2x (i16) / 4x (u8) fewer bytes. The serving host
+        # is ingest-link-bound on tunneled setups (docs/PERF.md), so this
+        # is a direct throughput lever; XLA fuses the cast into the
+        # chain program for free.
+        if ingest == "i16":
+            blocks = blocks.astype(jnp.float32)
+        elif ingest == "u8":
+            blocks = blocks.astype(jnp.float32) - jnp.float32(128.0)
         demod = make_batch_demod(cfg, blocks.shape[0], backend, locked)
         if chain == 1:
             carry, outs = demod(carry, blocks)
@@ -164,7 +176,8 @@ class FleetDemodulator:
                  telemetry_every: int = 1, park: bool = True,
                  park_after: int = 6, unpark_after: int = 2,
                  park_max: int | None = None, flap_park: int = 6,
-                 sweep_rescue_s: float = 0.0, chain_blocks: int = 1):
+                 sweep_rescue_s: float = 0.0, chain_blocks: int = 1,
+                 ingest: str = "f32"):
         cfg.validate()
         self.cfg = cfg
         self.axis_name = axis_name
@@ -177,6 +190,14 @@ class FleetDemodulator:
             raise ValueError("telemetry_every must be >= 1")
         if chain_blocks < 1:
             raise ValueError("chain_blocks must be >= 1")
+        if ingest not in ("f32", "i16", "u8"):
+            raise ValueError(f"unsupported ingest {ingest!r}")
+        # Raw integer ingest (see make_fleet_demod): blocks arrive as
+        # int16 / uint8 (L, 2) sample pairs and decode on device —
+        # 2x/4x less host->device traffic, the binding constraint for a
+        # link-bound serving host. Host-side paths that need f32 (parked
+        # worker feed, oracle recovery) decode lazily per stream.
+        self.ingest = ingest
         self.n_streams = n_streams
         self._backend = backend
         # Chained dispatch (make_fleet_demod chain=K): K consecutive
@@ -303,7 +324,7 @@ class FleetDemodulator:
             self._fns[key] = make_fleet_demod(
                 cfg, self.mesh, self.axis_name, self._backend,
                 locked=locked, telemetry=telemetry,
-                chain=self.chain_blocks)
+                chain=self.chain_blocks, ingest=self.ingest)
         return self._fns[key]
 
     def process_blocks(self, blocks: np.ndarray):
@@ -311,13 +332,21 @@ class FleetDemodulator:
         (..., 2) float32) -> per-stream BlockOutput (numpy, via egress;
         with chain_blocks=K the output rows are the K blocks'
         step-concatenation)."""
-        if np.iscomplexobj(blocks):
-            blocks = iq_to_f32(blocks)
+        if self.ingest == "f32":
+            if np.iscomplexobj(blocks):
+                blocks = iq_to_f32(blocks)
+            feed_dtype = np.float32
+        else:
+            feed_dtype = np.int16 if self.ingest == "i16" else np.uint8
+            if blocks.dtype != feed_dtype:
+                raise ValueError(
+                    f"ingest {self.ingest!r} expects {feed_dtype} raw "
+                    f"sample pairs, got {blocks.dtype}")
         K = self.chain_blocks
         want = (self.n_streams, K * self.cfg.block_len, 2)
         if blocks.shape != want:
             raise ValueError(f"expected {want}, got {blocks.shape}")
-        blocks = np.ascontiguousarray(blocks, dtype=np.float32)
+        blocks = np.ascontiguousarray(blocks, dtype=feed_dtype)
         if self._parked:
             blocks = self._feed_parked(blocks)
         prev_carry = self.carry
@@ -547,6 +576,14 @@ class FleetDemodulator:
         self.carry = DemodCarry(
             **{k: jax.device_put(v, sharding) for k, v in cur.items()})
 
+    def _decode_rows(self, rows: np.ndarray) -> np.ndarray:
+        """Raw-ingest rows -> f32 (decode_iq's math) for host-side paths."""
+        if self.ingest == "i16":
+            return rows.astype(np.float32)
+        if self.ingest == "u8":
+            return rows.astype(np.float32) - np.float32(128.0)
+        return rows
+
     def _feed_parked(self, blocks: np.ndarray) -> np.ndarray:
         """Queue parked streams' real blocks to the host worker and fill
         their device lanes with a donor stream's data (computed then
@@ -561,7 +598,8 @@ class FleetDemodulator:
             with self._plock:
                 p.blocks_fed += self.chain_blocks
             for k in range(self.chain_blocks):
-                self._queue.put((p, blocks[i, k * L:(k + 1) * L].copy()))
+                self._queue.put((p, self._decode_rows(
+                    blocks[i, k * L:(k + 1) * L]).copy()))
             blocks[i] = blocks[donor]
         return blocks
 
@@ -671,6 +709,7 @@ class FleetDemodulator:
             flap_park=self.flap_park,
             sweep_rescue_s=self.sweep_rescue_s,
             chain_blocks=self.chain_blocks,
+            ingest=self.ingest,
             tick_idx=self._tick_idx, block_idx=self._block_idx,
             active_locked=(None if self._active_locked is None
                            else int(self._active_locked)),
@@ -702,10 +741,12 @@ class FleetDemodulator:
         self.park_max = meta["park_max"]
         self.flap_park = meta["flap_park"]
         new_chain = int(meta.get("chain_blocks", 1))
-        if new_chain != self.chain_blocks:
-            # Structural: the chained program differs, so the eagerly
-            # built fn cache is the wrong shape.
+        new_ingest = meta.get("ingest", "f32")
+        if new_chain != self.chain_blocks or new_ingest != self.ingest:
+            # Structural: the chained/raw-ingest program differs, so the
+            # eagerly built fn cache is the wrong shape.
             self.chain_blocks = new_chain
+            self.ingest = new_ingest
             self._fns = {}
         if "sweep_rescue_s" in meta:
             self.set_sweep_rescue(float(meta["sweep_rescue_s"]))
@@ -870,6 +911,8 @@ class FleetDemodulator:
         from ..dsp.fir import f32_to_iq
 
         flagged = np.nonzero(np.asarray(self.stream_flags))[0]
+        if self.ingest != "f32" and len(flagged):
+            blocks = self._decode_rows(blocks)     # oracle needs f32
         prev_np = egress(prev_carry)._asdict()
         cur = {k: np.array(v) for k, v in egress(self.carry)._asdict().items()}
         outs = outs.__class__(*(np.array(v) for v in outs))

@@ -70,6 +70,12 @@ class _FileSource:
         self.block_bytes = block_len * 2 * (self.bps // 8)
         self.block_len = block_len
         self.done = False
+        # Raw-ingest mode (set by main() when every source shares the
+        # fleet's integer format): next_block returns the file's raw
+        # (L, 2) integer sample pairs, decoded ON DEVICE — 2x/4x less
+        # host->device traffic on the link-bound serving path.
+        self.raw_dtype = None
+        self.raw_pad = 0
 
     def seek_blocks(self, n: int) -> None:
         pos = self.data_start + n * self.block_bytes
@@ -79,22 +85,35 @@ class _FileSource:
         self.done = pos >= self.size
         self.f.seek(pos)
 
+    def _empty(self) -> np.ndarray:
+        if self.raw_dtype is not None:
+            return np.full((self.block_len, 2), self.raw_pad,
+                           self.raw_dtype)
+        return np.zeros(self.block_len, np.complex64)
+
+    def _decode(self, raw: bytes) -> np.ndarray:
+        if self.raw_dtype is not None:
+            return np.frombuffer(raw, self.raw_dtype).reshape(-1, 2)
+        return decode_iq(raw, self.bps)
+
     def next_block(self) -> np.ndarray:
         if self.done:
-            return np.zeros(self.block_len, np.complex64)
+            return self._empty()
         raw = self.f.read(self.block_bytes)
         if len(raw) < self.block_bytes:
-            # Zero-pad the partial tail instead of dropping it (with
-            # --chain the feed is K blocks, so a dropped partial read
-            # would lose up to K*block_len-1 real samples).
+            # Pad the partial tail instead of dropping it (with --chain
+            # the feed is K blocks, so a dropped partial read would lose
+            # up to K*block_len-1 real samples). Pad value = the format's
+            # zero level (128 for unsigned 8-bit).
             self.done = True
             bps_bytes = 2 * (self.bps // 8)
             raw = raw[:len(raw) - len(raw) % bps_bytes]
-            tail = decode_iq(raw, self.bps) if raw else                 np.zeros(0, np.complex64)
-            out = np.zeros(self.block_len, np.complex64)
-            out[:len(tail)] = tail
+            out = self._empty()
+            if raw:
+                tail = self._decode(raw)
+                out[:len(tail)] = tail
             return out
-        return decode_iq(raw, self.bps)
+        return self._decode(raw)
 
 
 class _SynthSource:
@@ -184,6 +203,14 @@ def main() -> int:
                          "sweep is kicked onto the downward escape pass "
                          "(0 = off = exact reference acquisition; see "
                          "parallel/mesh.py sweep_rescue_s)")
+    ap.add_argument("--ingest", choices=("auto", "f32", "i16", "u8"),
+                    default="auto",
+                    help="sample upload format: i16/u8 uploads the raw "
+                         "integer stream and decodes on device (2x/4x "
+                         "less host->device traffic — the serving host "
+                         "is ingest-link-bound on tunneled setups). "
+                         "auto picks i16/u8 when EVERY input file shares "
+                         "that format and no synth streams are mixed in")
     ap.add_argument("--until", choices=("shortest", "longest"),
                     default="shortest",
                     help="stop when the FIRST source ends (default; no "
@@ -208,6 +235,28 @@ def main() -> int:
     for i in range(args.synth):
         sources.append(_SynthSource(n_files + i, cfg, n_blocks_synth,
                                     feed_len, dead=i < args.dead))
+    ingest = args.ingest
+    if ingest == "auto":
+        file_bps = {s.bps for s in sources if isinstance(s, _FileSource)}
+        if args.synth == 0 and file_bps == {16}:
+            ingest = "i16"
+        elif args.synth == 0 and file_bps == {8}:
+            ingest = "u8"
+        else:
+            ingest = "f32"
+    if ingest != "f32":
+        bad = [i for i, s in enumerate(sources)
+               if not isinstance(s, _FileSource)
+               or s.bps != (16 if ingest == "i16" else 8)]
+        if bad:
+            raise SystemExit(
+                f"--ingest {ingest} needs every input to be a "
+                f"{'16' if ingest == 'i16' else '8'}-bit file; "
+                f"streams {bad} are not")
+        for src in sources:
+            src.raw_dtype = np.int16 if ingest == "i16" else np.uint8
+            src.raw_pad = 0 if ingest == "i16" else 128
+        print(f"raw {ingest} ingest: on-device decode", flush=True)
     n_streams = len(sources)
     if n_streams == 0 or n_streams % args.group_size != 0:
         raise SystemExit(
@@ -232,6 +281,10 @@ def main() -> int:
                 "checkpoint was saved with a different DemodConfig "
                 f"({fleet.cfg}) than this session ({cfg}) — pass the "
                 "matching -s/--block-len")
+        if fleet.groups and fleet.groups[0].ingest != ingest:
+            raise SystemExit(
+                f"checkpoint ingest {fleet.groups[0].ingest!r} != this "
+                f"session's {ingest!r}; pass the matching --ingest")
         if fleet.groups and fleet.groups[0].chain_blocks != args.chain:
             raise SystemExit(
                 f"checkpoint was saved with --chain "
@@ -252,7 +305,7 @@ def main() -> int:
                              band=args.band,
                              sweep_rescue_s=args.sweep_rescue,
                              chain_blocks=args.chain,
-                             park_after=park_ticks)
+                             park_after=park_ticks, ingest=ingest)
 
     os.makedirs(args.out_dir, exist_ok=True)
     mode = "ab" if args.resume else "wb"
