@@ -120,5 +120,18 @@ class BlockOutput(NamedTuple):
     locked_once: jnp.ndarray  # int32, locked_once state after this symbol
 
 
+class PackedOutput(NamedTuple):
+    """Device-QUANTIZED per-step outputs (fleet packed_output=True): the
+    .s byte values computed on device — quantize_symbols' exact math
+    (component/2, clamp +-127, trunc toward zero; main.c:305-306) — so
+    the serving egress carries int8 end-to-end, ~4x less device->host
+    traffic than the f32 BlockOutput (the link is the serving host's
+    binding constraint on tunneled setups, docs/PERF.md)."""
+    sym_i: jnp.ndarray        # int8 quantized I
+    sym_q: jnp.ndarray        # int8 quantized Q
+    valid: jnp.ndarray        # int8 0/1
+    locked_once: jnp.ndarray  # int8
+
+
 def carry_to_numpy(carry: DemodCarry) -> dict:
     return {k: np.asarray(v) for k, v in carry._asdict().items()}

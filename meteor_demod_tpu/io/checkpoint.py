@@ -68,7 +68,8 @@ def _fleet_ctor_kw(meta: dict) -> dict:
                 park_max=meta["park_max"], flap_park=meta["flap_park"],
                 sweep_rescue_s=meta.get("sweep_rescue_s", 0.0),
                 chain_blocks=meta.get("chain_blocks", 1),
-                ingest=meta.get("ingest", "f32"))
+                ingest=meta.get("ingest", "f32"),
+                packed_output=meta.get("packed_output", False))
 
 
 def save_fleet_checkpoint(path: str, fleet) -> None:

@@ -32,7 +32,7 @@ from jax import shard_map
 from ..config import DemodConfig
 from ..demod.pipeline import egress
 
-from ..demod.state import DemodCarry, init_carry
+from ..demod.state import DemodCarry, PackedOutput, init_carry
 from ..dsp.fir import iq_to_f32
 
 
@@ -68,7 +68,8 @@ def make_fleet_demod(cfg: DemodConfig, mesh: Mesh,
                      locked: bool = False,
                      telemetry: bool = True,
                      chain: int = 1,
-                     ingest: str = "f32") -> Callable:
+                     ingest: str = "f32",
+                     packed: bool = False) -> Callable:
     """Build the jitted fleet step: (carry, blocks) -> (carry', outs, telemetry).
 
     carry leaves and blocks have a leading `streams` axis sharded over the
@@ -120,8 +121,23 @@ def make_fleet_demod(cfg: DemodConfig, mesh: Mesh,
             outs = jax.tree_util.tree_map(           # (K,B,S) -> (B,K*S)
                 lambda a: jnp.swapaxes(a, 0, 1).reshape(a.shape[1], -1),
                 outs)
+        if packed:
+            # Device-side quantization (state.PackedOutput): the .s byte
+            # math runs on device and the egress shrinks ~4x. Telemetry
+            # still reduces over the pre-packed valid.
+            packed_outs = PackedOutput(
+                sym_i=jnp.trunc(jnp.clip(
+                    outs.sym_re * jnp.float32(0.5),
+                    -127.0, 127.0)).astype(jnp.int8),
+                sym_q=jnp.trunc(jnp.clip(
+                    outs.sym_im * jnp.float32(0.5),
+                    -127.0, 127.0)).astype(jnp.int8),
+                valid=outs.valid.astype(jnp.int8),
+                locked_once=outs.locked_once.astype(jnp.int8))
+        else:
+            packed_outs = outs
         if not telemetry:
-            return carry, outs, {}
+            return carry, packed_outs, {}
         tel = {
             "locked_streams": jax.lax.psum(
                 jnp.sum(carry.locked), axis_name),
@@ -133,7 +149,7 @@ def make_fleet_demod(cfg: DemodConfig, mesh: Mesh,
                 jnp.mean(carry.agc_gain), axis_name),
             "flags": jax.lax.psum(jnp.sum(carry.flags), axis_name),
         }
-        return carry, outs, tel
+        return carry, packed_outs, tel
 
     sharded = shard_map(
         step, mesh=mesh,
@@ -177,7 +193,7 @@ class FleetDemodulator:
                  park_after: int = 6, unpark_after: int = 2,
                  park_max: int | None = None, flap_park: int = 6,
                  sweep_rescue_s: float = 0.0, chain_blocks: int = 1,
-                 ingest: str = "f32"):
+                 ingest: str = "f32", packed_output: bool = False):
         cfg.validate()
         self.cfg = cfg
         self.axis_name = axis_name
@@ -198,6 +214,11 @@ class FleetDemodulator:
         # link-bound serving host. Host-side paths that need f32 (parked
         # worker feed, oracle recovery) decode lazily per stream.
         self.ingest = ingest
+        # Device-side output quantization (state.PackedOutput): outputs
+        # come back as the final .s int8 byte values — ~4x less
+        # device->host traffic. The oracle recovery and parked paths
+        # splice host-quantized values with the identical math.
+        self.packed_output = bool(packed_output)
         self.n_streams = n_streams
         self._backend = backend
         # Chained dispatch (make_fleet_demod chain=K): K consecutive
@@ -324,7 +345,8 @@ class FleetDemodulator:
             self._fns[key] = make_fleet_demod(
                 cfg, self.mesh, self.axis_name, self._backend,
                 locked=locked, telemetry=telemetry,
-                chain=self.chain_blocks, ingest=self.ingest)
+                chain=self.chain_blocks, ingest=self.ingest,
+                packed=self.packed_output)
         return self._fns[key]
 
     def process_blocks(self, blocks: np.ndarray):
@@ -606,9 +628,11 @@ class FleetDemodulator:
     def _mask_parked(self, outs):
         """Invalidate parked lanes' donor-duplicate outputs and flags."""
         outs = outs.__class__(*(np.array(v) for v in outs))
+        a, b = (("sym_i", "sym_q") if self.packed_output
+                else ("sym_re", "sym_im"))
         for i, p in self._parked.items():
-            outs.sym_re[i] = 0.0
-            outs.sym_im[i] = 0.0
+            getattr(outs, a)[i] = 0
+            getattr(outs, b)[i] = 0
             outs.valid[i] = 0
             outs.locked_once[i] = p.carry["locked_once"]
             self.stream_flags[i] = 0
@@ -710,6 +734,7 @@ class FleetDemodulator:
             sweep_rescue_s=self.sweep_rescue_s,
             chain_blocks=self.chain_blocks,
             ingest=self.ingest,
+            packed_output=self.packed_output,
             tick_idx=self._tick_idx, block_idx=self._block_idx,
             active_locked=(None if self._active_locked is None
                            else int(self._active_locked)),
@@ -742,11 +767,14 @@ class FleetDemodulator:
         self.flap_park = meta["flap_park"]
         new_chain = int(meta.get("chain_blocks", 1))
         new_ingest = meta.get("ingest", "f32")
-        if new_chain != self.chain_blocks or new_ingest != self.ingest:
-            # Structural: the chained/raw-ingest program differs, so the
-            # eagerly built fn cache is the wrong shape.
+        new_packed = bool(meta.get("packed_output", False))
+        if (new_chain != self.chain_blocks or new_ingest != self.ingest
+                or new_packed != self.packed_output):
+            # Structural: the chained/raw-ingest/packed program differs,
+            # so the eagerly built fn cache is the wrong shape.
             self.chain_blocks = new_chain
             self.ingest = new_ingest
+            self.packed_output = new_packed
             self._fns = {}
         if "sweep_rescue_s" in meta:
             self.set_sweep_rescue(float(meta["sweep_rescue_s"]))
@@ -916,7 +944,9 @@ class FleetDemodulator:
         prev_np = egress(prev_carry)._asdict()
         cur = {k: np.array(v) for k, v in egress(self.carry)._asdict().items()}
         outs = outs.__class__(*(np.array(v) for v in outs))
-        S = outs.sym_re.shape[1]
+        a, b = (("sym_i", "sym_q") if self.packed_output
+                else ("sym_re", "sym_im"))
+        S = getattr(outs, a).shape[1]
         for i in flagged:
             st = numpy_carry_to_scalar_state(
                 self.cfg, {k: v[i] for k, v in prev_np.items()})
@@ -928,11 +958,16 @@ class FleetDemodulator:
                     f"stream {i}: oracle produced {n} symbols > {S} slots")
             for k, v in scalar_state_to_numpy_carry(self.cfg, st).items():
                 cur[k][i] = v
-            outs.sym_re[i] = 0.0
-            outs.sym_im[i] = 0.0
+            re, im = sym["re"], sym["im"]
+            if self.packed_output:
+                # Host-side quantization with the device's exact math.
+                re = np.trunc(np.clip(re * np.float32(0.5), -127.0, 127.0))
+                im = np.trunc(np.clip(im * np.float32(0.5), -127.0, 127.0))
+            getattr(outs, a)[i] = 0
+            getattr(outs, b)[i] = 0
             outs.valid[i] = 0
-            outs.sym_re[i, :n] = sym["re"]
-            outs.sym_im[i, :n] = sym["im"]
+            getattr(outs, a)[i, :n] = re
+            getattr(outs, b)[i, :n] = im
             outs.valid[i, :n] = 1
             outs.locked_once[i, :n] = sym["locked_once"]
             outs.locked_once[i, n:] = st["locked_once"]

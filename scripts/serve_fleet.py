@@ -305,7 +305,8 @@ def main() -> int:
                              band=args.band,
                              sweep_rescue_s=args.sweep_rescue,
                              chain_blocks=args.chain,
-                             park_after=park_ticks, ingest=ingest)
+                             park_after=park_ticks, ingest=ingest,
+                             packed_output=True)
 
     os.makedirs(args.out_dir, exist_ok=True)
     mode = "ab" if args.resume else "wb"
@@ -354,17 +355,30 @@ def main() -> int:
     signal.signal(signal.SIGINT, _sig)
     signal.signal(signal.SIGTERM, _sig)
 
-    def _write_rows(i: int, sym_re, sym_im, valid, locked_once) -> None:
-        """Valid-gate one stream's rows into its lock-gated writer."""
+    def _write_rows(i: int, sym_a, sym_b, valid, locked_once) -> None:
+        """Valid-gate one stream's rows into its lock-gated writer.
+        Device rows arrive PRE-QUANTIZED int8 (PackedOutput — the fleet
+        runs packed_output=True, so the .s byte math happened on device
+        and the egress was ~4x smaller); parked host-path rows arrive
+        f32 and quantize here with the identical math."""
         v = np.asarray(valid).astype(bool)
         if not v.any():
+            return
+        sym_a, sym_b = np.asarray(sym_a), np.asarray(sym_b)
+        lo = np.asarray(locked_once)[v].astype(np.int32)
+        if sym_a.dtype == np.int8:
+            n = int(v.sum())
+            iq = np.empty(2 * n, np.int8)
+            iq[0::2] = sym_a[v]
+            iq[1::2] = sym_b[v]
+            writers[i].feed(iq, lo)
             return
         sym = np.zeros(int(v.sum()),
                        dtype=[("re", np.float32), ("im", np.float32),
                               ("locked_once", np.int32)])
-        sym["re"] = np.asarray(sym_re)[v]
-        sym["im"] = np.asarray(sym_im)[v]
-        sym["locked_once"] = np.asarray(locked_once)[v]
+        sym["re"] = sym_a[v]
+        sym["im"] = sym_b[v]
+        sym["locked_once"] = lo
         writers[i].feed(quantize_symbols(sym), sym["locked_once"])
 
     def _drain_stream(i: int) -> None:
@@ -427,8 +441,8 @@ def main() -> int:
                 _drain_stream(i)
                 if was_done[i]:
                     continue
-                _write_rows(i, np.asarray(outs.sym_re)[i],
-                            np.asarray(outs.sym_im)[i],
+                _write_rows(i, np.asarray(outs.sym_i)[i],
+                            np.asarray(outs.sym_q)[i],
                             np.asarray(outs.valid)[i],
                             np.asarray(outs.locked_once)[i])
             mid_chain = False

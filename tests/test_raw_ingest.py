@@ -43,6 +43,48 @@ def _int_fixture(cfg, n_streams, n_blocks, scale, noise_stream=None):
     return np.stack(raws)
 
 
+def test_packed_output_bitwise_equals_host_quantize(cfg):
+    """packed_output=True (device-side quantization, state.PackedOutput)
+    produces the EXACT bytes host-side quantize_symbols would — for
+    device rows, oracle-recovered rows, and parked masked rows."""
+    from tests.test_fleet_recovery import _mixed_fleet
+    from meteor_demod_tpu.demod.pipeline import quantize_symbols
+    n_streams, n_blocks, K = 8, 9, 3
+    data = _mixed_fleet(cfg, n_streams, n_blocks)   # incl. a flag trip
+
+    L = K * cfg.block_len
+    a2 = FleetDemodulator(cfg, n_streams, park=False, chain_blocks=K)
+    b2 = FleetDemodulator(cfg, n_streams, park=False, chain_blocks=K,
+                          packed_output=True)
+    for c in range(n_blocks // K):
+        blk = data[:, c * L:(c + 1) * L]
+        for fa, fb, kk in ((a2, b2, "chain"),):
+            ga = fa.process_blocks(blk)
+            gb = fb.process_blocks(blk)
+            np.testing.assert_array_equal(
+                np.asarray(ga.valid), np.asarray(gb.valid),
+                err_msg=f"{kk} {c} valid")
+            np.testing.assert_array_equal(
+                np.asarray(ga.locked_once).astype(np.int8),
+                np.asarray(gb.locked_once), err_msg=f"{kk} {c} lonce")
+            for s in range(n_streams):
+                v = np.asarray(ga.valid)[s].astype(bool)
+                sym = np.zeros(int(v.sum()),
+                               dtype=[("re", np.float32),
+                                      ("im", np.float32),
+                                      ("locked_once", np.int32)])
+                sym["re"] = np.asarray(ga.sym_re)[s][v]
+                sym["im"] = np.asarray(ga.sym_im)[s][v]
+                want = quantize_symbols(sym)
+                np.testing.assert_array_equal(
+                    np.asarray(gb.sym_i)[s][v], want[0::2],
+                    err_msg=f"{kk} {c} stream {s} I")
+                np.testing.assert_array_equal(
+                    np.asarray(gb.sym_q)[s][v], want[1::2],
+                    err_msg=f"{kk} {c} stream {s} Q")
+    assert b2.recovered_streams > 0    # the packed recovery path ran
+
+
 @pytest.mark.parametrize("ingest", ["i16", "u8"])
 def test_raw_ingest_bitwise_equals_f32(cfg, ingest):
     n_streams, n_blocks, K = 8, 8, 2
